@@ -1,0 +1,29 @@
+from .barcodes import BarcodeHandler
+from .encoding import (
+    base_lookup,
+    compress_base,
+    compress_bases_vectorized,
+    decompress_base,
+    fast_np_add_at_1d,
+    hash_string,
+)
+from .files import as_str, download_file
+from .lookup import FeatureLookup
+from .summary import compute_qualities, _compute_qualities, summarize_counted_SNPs
+from .timing import Timer
+
+__all__ = [
+    "BarcodeHandler",
+    "FeatureLookup",
+    "Timer",
+    "as_str",
+    "base_lookup",
+    "compress_base",
+    "compress_bases_vectorized",
+    "compute_qualities",
+    "decompress_base",
+    "download_file",
+    "fast_np_add_at_1d",
+    "hash_string",
+    "summarize_counted_SNPs",
+]

@@ -1,0 +1,21 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+without TPU hardware (the driver separately dry-runs the multi-chip path and
+benchmarks on a real chip). These env vars must be set before jax imports.
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_EXAMPLE_DATA = Path("/root/reference/examples/example_data")

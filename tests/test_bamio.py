@@ -1,0 +1,210 @@
+"""Tests for the self-contained BGZF/BAM/BAI/VCF I/O subsystem.
+
+Round-trips through our own writer/reader, and — when the upstream example
+data is present on this machine — parses a real htslib-produced BAM/BAI to
+validate format compatibility.
+"""
+import numpy as np
+import pytest
+
+from demuxalot_tpu.bamio import (
+    AlignedRead,
+    BamReader,
+    BamWriter,
+    BgzfReader,
+    BgzfWriter,
+    VariantFile,
+    index_bam,
+    qualitystring_to_array,
+    read_vcf_to_header_and_pandas,
+    sort_bam,
+)
+
+from conftest import REFERENCE_EXAMPLE_DATA
+
+
+def test_bgzf_roundtrip(tmp_path):
+    path = tmp_path / "data.bgz"
+    rng = np.random.RandomState(0)
+    payload = rng.bytes(300_000)
+    with BgzfWriter(path) as w:
+        for i in range(0, len(payload), 7919):
+            w.write(payload[i : i + 7919])
+    reader = BgzfReader(path)
+    assert reader.read_all() == payload
+
+    reader2 = BgzfReader(path)
+    assert reader2.read(1000) == payload[:1000]
+    assert reader2.read(100_000) == payload[1000:101_000]
+
+
+def _make_read(name, ref_id, start, seq, cb="AACC-1", ub="ACGTACGTAC", qual=30):
+    a = AlignedRead()
+    a.query_name = name
+    a.query_sequence = seq
+    a.flag = 99
+    a.reference_id = ref_id
+    a.reference_start = start
+    a.mapping_quality = 255
+    a.cigar = ((0, len(seq)),)
+    a.template_length = len(seq)
+    a.query_qualities = [qual] * len(seq)
+    a.tags = (
+        ("NM", 1),
+        ("RG", "L1"),
+        ("NH", 1),
+        ("AS", len(seq) - 2),
+        ("CB", cb),
+        ("UB", ub),
+    )
+    return a
+
+
+def test_bam_write_read_roundtrip(tmp_path):
+    path = str(tmp_path / "test.bam")
+    header = {"HD": {"VN": "1.0"}, "SQ": [dict(LN=1000, SN="chr1"), dict(LN=2000, SN="chr2")]}
+    rng = np.random.RandomState(1)
+    reads = []
+    for i in range(200):
+        ref_id = int(rng.randint(2))
+        start = int(rng.randint(0, 900))
+        seq = "".join(rng.choice(list("ACGT"), 50))
+        reads.append(_make_read(f"r{i:03}", ref_id, start, seq))
+
+    with BamWriter(path, header) as w:
+        for r in reads:
+            w.write(r)
+
+    parsed = list(BamReader(path))
+    assert len(parsed) == len(reads)
+    for orig, back in zip(reads, parsed):
+        assert back.query_name == orig.query_name
+        assert back.reference_id == orig.reference_id
+        assert back.reference_start == orig.reference_start
+        assert back.query_sequence == orig.query_sequence
+        assert back.query_qualities == orig.query_qualities
+        assert back.cigartuples == orig.cigartuples
+        assert back.get_tag("CB") == orig.get_tag("CB")
+        assert back.get_tag("AS") == orig.get_tag("AS")
+        assert back.get_tag("NH") == 1
+        assert back.reference_end == orig.reference_start + 50
+
+
+def test_bam_sort_index_fetch(tmp_path):
+    path = str(tmp_path / "test.bam")
+    header = {"HD": {"VN": "1.0"}, "SQ": [dict(LN=100_000, SN="chr1"), dict(LN=50_000, SN="chr2")]}
+    rng = np.random.RandomState(2)
+    with BamWriter(path, header) as w:
+        for i in range(2000):
+            ref_id = int(rng.randint(2))
+            limit = 100_000 if ref_id == 0 else 50_000
+            start = int(rng.randint(0, limit - 100))
+            seq = "".join(rng.choice(list("ACGT"), 100))
+            w.write(_make_read(f"r{i:04}", ref_id, start, seq))
+
+    sort_bam(path, path)
+    index_bam(path)
+
+    reader = BamReader(path)
+    # sorted order
+    all_reads = list(reader)
+    keys = [(r.reference_id, r.reference_start) for r in all_reads]
+    assert keys == sorted(keys)
+
+    # fetch returns exactly the overlapping reads
+    for chrom, beg, end in [("chr1", 5000, 10_000), ("chr1", 0, 100), ("chr2", 40_000, 50_000)]:
+        ref_id = reader.header.ref2id[chrom]
+        expected = {
+            r.query_name
+            for r in all_reads
+            if r.reference_id == ref_id and r.reference_start < end and r.reference_end > beg
+        }
+        got = {r.query_name for r in reader.fetch(chrom, beg, end)}
+        assert got == expected, f"fetch mismatch for {chrom}:{beg}-{end}"
+
+    # index statistics
+    stats = {s.contig: s.mapped for s in reader.get_index_statistics()}
+    from collections import Counter
+
+    truth = Counter("chr1" if r.reference_id == 0 else "chr2" for r in all_reads)
+    assert stats == dict(truth)
+
+
+def test_count_coverage(tmp_path):
+    path = str(tmp_path / "cov.bam")
+    header = {"HD": {"VN": "1.0"}, "SQ": [dict(LN=1000, SN="chr1")]}
+    with BamWriter(path, header) as w:
+        # three reads over position 100..150, all 'A' at offset 0 except one 'C'
+        w.write(_make_read("r1", 0, 100, "A" * 50))
+        w.write(_make_read("r2", 0, 100, "C" + "A" * 49))
+        w.write(_make_read("r3", 0, 120, "G" * 50))
+        w.write(_make_read("r4", 0, 130, "T" * 50, qual=5))  # below quality threshold
+    sort_bam(path, path)
+    index_bam(path)
+
+    reader = BamReader(path)
+    a, c, g, t = reader.count_coverage("chr1", 100, 200)
+    assert a[0] == 1 and c[0] == 1
+    assert a[1] == 2
+    assert g[25] == 1
+    assert t.sum() == 0  # r4 filtered by quality_threshold=15
+    # callback filtering
+    a2, *_ = reader.count_coverage("chr1", 100, 200, read_callback=lambda r: r.query_name != "r2")
+    assert a2[1] == 1
+
+
+def test_qualitystring_to_array():
+    assert qualitystring_to_array("<<") == [27, 27]
+    assert qualitystring_to_array("I") == [40]
+
+
+@pytest.mark.skipif(not REFERENCE_EXAMPLE_DATA.exists(), reason="reference example data not present")
+def test_parse_real_htslib_bam():
+    """Parse a real cellranger-style BAM + BAI produced by htslib."""
+    bam = BamReader(str(REFERENCE_EXAMPLE_DATA / "test_bamfile.bam"))
+    assert bam.references == ["chr1", "chr2", "chr3"]
+    assert bam.get_reference_length("chr1") == 1000
+
+    n = 0
+    seen_tags = False
+    for read in bam:
+        n += 1
+        if not seen_tags and read.has_tag("CB"):
+            assert isinstance(read.get_tag("CB"), str)
+            assert read.has_tag("UB")
+            assert isinstance(read.get_tag("AS"), int)
+            seen_tags = True
+        assert read.reference_end is not None
+    assert n > 1000
+    assert seen_tags
+
+    # region fetch against htslib-generated BAI
+    sub = list(bam.fetch("chr1", 100, 300))
+    assert len(sub) > 0
+    for read in sub:
+        assert read.reference_start < 300 and read.reference_end > 100
+    # full-chromosome fetch == manual filter over full iteration
+    whole = [r for r in bam if r.reference_id == 0]
+    fetched = list(bam.fetch("chr1"))
+    assert len(whole) == len(fetched)
+
+    stats = bam.get_index_statistics()
+    assert sum(s.mapped for s in stats) > 1000
+
+
+@pytest.mark.skipif(not REFERENCE_EXAMPLE_DATA.exists(), reason="reference example data not present")
+def test_parse_real_vcf():
+    vcf = VariantFile(str(REFERENCE_EXAMPLE_DATA / "test_genotypes.vcf"))
+    assert vcf.sample_names == ["Donor01", "Donor02", "Donor03", "Donor04"]
+    records = list(vcf.fetch())
+    assert len(records) > 100
+    rec = records[0]
+    assert rec.chrom == "chr1"
+    assert rec.pos == 1  # 1-based
+    assert rec.alleles == ("G", "T")
+    assert rec.samples["Donor01"]["GT"] == (0, 0)
+    assert rec.samples["Donor02"]["GT"] == (1, 1)
+
+    header, df = read_vcf_to_header_and_pandas(str(REFERENCE_EXAMPLE_DATA / "test_genotypes.vcf"))
+    assert len(df) == len(records)
+    assert df["POS"].iloc[0] == 0  # converted to 0-based
