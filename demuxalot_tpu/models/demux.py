@@ -1,0 +1,370 @@
+"""Demultiplexer: doublet-aware posterior inference and EM genotype refinement.
+
+Orchestrates the host packing layer (``ops.packing``) and the device compute
+(``ops.likelihood`` / ``ops.pallas_likelihood``): barcode-sorted call arrays
+are transferred once, the log-likelihood accumulation and EM sufficient
+statistics run jit-compiled on the accelerator, and results come back as the
+reference-shaped pandas dataframes (index = barcodes, columns = donors and
+'A+B' doublets).
+
+API parity with the reference namespace class (demuxalot/demux.py:24-156):
+``predict_posteriors``, ``learn_genotypes``, ``staged_genotype_learning``
+(a generator — the natural EM-resume hook), ``pack_calls``, plus the same
+three class-level knobs. Multi-device execution is in
+``demuxalot_tpu.parallel`` and uses the same underlying ops.
+
+Regularization stance (inherited from the reference): probabilities of SNP
+calls are aggregated per (variant, barcode) row rather than per molecule,
+bounding the contribution of any single molecule.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops import likelihood as L
+from ..ops import packing as P
+from ..utils.barcodes import BarcodeHandler
+from ..utils.lookup import FeatureLookup
+from .genotypes import ProbabilisticGenotypes
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_snps", "n_barcodes", "p_genotype_clip", "call_chunk", "use_pallas"),
+)
+def _logits_forward(
+    betas,
+    variant2snp,
+    mixing,
+    penalties,
+    vid,
+    cb,
+    q,
+    *,
+    n_snps: int,
+    n_barcodes: int,
+    p_genotype_clip: float,
+    call_chunk: int,
+    use_pallas: bool,
+):
+    genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+    if use_pallas:
+        from ..ops.pallas_likelihood import barcode_logits_pallas
+
+        return barcode_logits_pallas(genotype_prob, mixing, penalties, vid, cb, q, n_barcodes)
+    return L.barcode_logits(
+        genotype_prob, mixing, penalties, vid, cb, q, n_barcodes, call_chunk=call_chunk
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_variants", "n_genotypes", "contribution_power", "call_chunk"),
+)
+def _mstep(
+    posterior_probs,
+    vid_v,
+    cb_v,
+    q_v,
+    *,
+    n_variants: int,
+    n_genotypes: int,
+    contribution_power: float,
+    call_chunk: int,
+):
+    return L.genotype_addition_from_posteriors(
+        posterior_probs, vid_v, cb_v, q_v, n_variants, n_genotypes, contribution_power,
+        call_chunk=call_chunk,
+    )
+
+
+def _default_use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+class Demultiplexer:
+    """Demultiplexer that can also learn (refine) genotypes from the data."""
+
+    # contribution_power dampens contributions from barcodes that have no
+    # clearly-best candidate donor
+    contribution_power = 2.0
+    aggregate_on_snps = False
+    compensation_during_computing_barcode_logits = 0.5
+    # device knobs (framework-specific): calls per scan chunk, Pallas kernel toggle
+    call_chunk = L.DEFAULT_CALL_CHUNK
+    use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
+
+    # -- public API --------------------------------------------------------
+    @staticmethod
+    def learn_genotypes(
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        n_iterations: int = 5,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.0,
+        barcode_prior_logits: Optional[np.ndarray] = None,
+    ) -> Tuple[ProbabilisticGenotypes, pd.DataFrame]:
+        """EM-refine genotypes from data, starting from an initial guess.
+
+        :param chromosome2compressed_snp_calls: output of count_snps
+        :param genotypes: initial genotypes (e.g. from a bead array or WGS)
+        :param barcode_handler: which barcodes to consider
+        :param n_iterations: number of EM iterations
+        :param p_genotype_clip: minimal probability assigned to a polymorphism
+        :param doublet_prior: prior fraction of doublets; zero skips doublet
+            columns entirely (helpful with many donors)
+        :param barcode_prior_logits: optional [n_barcodes, n_options] prior
+            assignment logits, applied at the first iteration only
+        :return: (learnt genotypes, last-iteration barcode posterior probs)
+        """
+        *_, last_iteration_output = Demultiplexer.staged_genotype_learning(
+            chromosome2compressed_snp_calls=chromosome2compressed_snp_calls,
+            genotypes=genotypes,
+            barcode_handler=barcode_handler,
+            n_iterations=n_iterations,
+            p_genotype_clip=p_genotype_clip,
+            doublet_prior=doublet_prior,
+            barcode_prior_logits=barcode_prior_logits,
+        )
+        last_iteration_barcode_probs, debug_information = last_iteration_output
+        learnt_genotypes = genotypes._with_betas(
+            genotypes.get_betas() + debug_information["genotype_addition"]
+        )
+        return learnt_genotypes, last_iteration_barcode_probs
+
+    @staticmethod
+    def staged_genotype_learning(
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        n_iterations: int = 5,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.0,
+        barcode_prior_logits: Optional[np.ndarray] = None,
+    ):
+        """Generator EM loop; yields (posterior probs df, debug info) per iteration.
+
+        The prior betas stay frozen; learning accumulates into a separate
+        additive term (``genotype_addition``), and only singlet posterior
+        columns drive the M-step (reference: demuxalot/demux.py:68-118).
+        """
+        assert 0 <= doublet_prior < 1
+        mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
+        penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
+        if barcode_prior_logits is not None:
+            n_options = len(penalties)
+            assert barcode_prior_logits.shape == (
+                barcode_handler.n_barcodes,
+                n_options,
+            ), "wrong shape of priors"
+
+        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
+            chromosome2compressed_snp_calls, genotypes, add_data_prior=True
+        )
+        n_variants, n_genotypes = prior_betas.shape
+        n_snps = int(variant2snp.max()) + 1 if n_variants else 0
+        n_barcodes = barcode_handler.n_barcodes
+
+        device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+        prior_betas_dev = jnp.asarray(prior_betas)
+        variant2snp_dev = jnp.asarray(variant2snp)
+        mixing_dev = jnp.asarray(mixing)
+        penalties_dev = jnp.asarray(penalties)
+        vid_b, cb_b, q_b = jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
+        vid_v, cb_v, q_v = jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
+
+        genotype_addition = np.zeros_like(prior_betas)
+
+        for _iteration in range(n_iterations):
+            if Demultiplexer.aggregate_on_snps:
+                genotype_prob = np.asarray(
+                    L.probs_from_betas(
+                        jnp.asarray(prior_betas + genotype_addition),
+                        variant2snp_dev, n_snps, p_genotype_clip,
+                    )
+                )
+                barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
+                    genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+                )
+            else:
+                barcode_posterior_logits = np.asarray(
+                    _logits_forward(
+                        jnp.asarray(prior_betas + genotype_addition),
+                        variant2snp_dev, mixing_dev, penalties_dev,
+                        vid_b, cb_b, q_b,
+                        n_snps=n_snps, n_barcodes=n_barcodes,
+                        p_genotype_clip=p_genotype_clip,
+                        call_chunk=Demultiplexer.call_chunk,
+                        use_pallas=Demultiplexer._resolve_use_pallas(),
+                    )
+                )
+            if _iteration == 0 and barcode_prior_logits is not None:
+                assert barcode_prior_logits.shape == barcode_posterior_logits.shape, (
+                    "mismatching priors passed"
+                )
+                barcode_posterior_logits = barcode_posterior_logits + barcode_prior_logits
+
+            barcode_posterior_probs = np.asarray(
+                jax.nn.softmax(jnp.asarray(barcode_posterior_logits), axis=-1)
+            )
+            barcode_posterior_probs_df = pd.DataFrame(
+                data=barcode_posterior_probs,
+                index=barcode_handler.ordered_barcodes,
+                columns=column_names,
+            )
+            debug_information = {
+                "barcode_logits": barcode_posterior_logits,
+                "genotype_prior": prior_betas,
+                "genotype_addition": genotype_addition,
+            }
+            # yielding here provides aligned posteriors for genotypes and barcodes
+            yield barcode_posterior_probs_df, debug_information
+
+            genotype_addition = np.asarray(
+                _mstep(
+                    jnp.asarray(barcode_posterior_probs),
+                    vid_v, cb_v, q_v,
+                    n_variants=n_variants, n_genotypes=n_genotypes,
+                    contribution_power=float(Demultiplexer.contribution_power),
+                    call_chunk=Demultiplexer.call_chunk,
+                )
+            )
+
+    @staticmethod
+    def predict_posteriors(
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.35,
+    ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+        """Posterior donor assignment for every barcode (no learning).
+
+        Returns (logits_df, probs_df), both indexed by 'BARCODE' with columns
+        = donors plus 'DonorA+DonorB' doublets.
+        """
+        mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
+        penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
+
+        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
+            chromosome2compressed_snp_calls, genotypes, add_data_prior=False
+        )
+        n_variants = prior_betas.shape[0]
+        n_snps = int(variant2snp.max()) + 1 if n_variants else 0
+        n_barcodes = barcode_handler.n_barcodes
+
+        if Demultiplexer.aggregate_on_snps:
+            genotype_prob = np.asarray(
+                L.probs_from_betas(
+                    jnp.asarray(prior_betas), jnp.asarray(variant2snp), n_snps, p_genotype_clip
+                )
+            )
+            assert np.isfinite(genotype_prob).all()
+            barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
+                genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+            )
+        else:
+            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+            barcode_posterior_logits = np.asarray(
+                _logits_forward(
+                    jnp.asarray(prior_betas),
+                    jnp.asarray(variant2snp),
+                    jnp.asarray(mixing),
+                    jnp.asarray(penalties),
+                    jnp.asarray(device.vid_b),
+                    jnp.asarray(device.cb_b),
+                    jnp.asarray(device.q_b),
+                    n_snps=n_snps,
+                    n_barcodes=n_barcodes,
+                    p_genotype_clip=p_genotype_clip,
+                    call_chunk=Demultiplexer.call_chunk,
+                    use_pallas=Demultiplexer._resolve_use_pallas(),
+                )
+            )
+
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(barcode_posterior_logits), axis=1))
+        logits_df = pd.DataFrame(
+            data=barcode_posterior_logits,
+            index=list(barcode_handler.ordered_barcodes),
+            columns=column_names,
+        )
+        logits_df.index.name = "BARCODE"
+        probs_df = pd.DataFrame(
+            data=probs, index=list(barcode_handler.ordered_barcodes), columns=column_names
+        )
+        probs_df.index.name = "BARCODE"
+        return logits_df, probs_df
+
+    # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _resolve_use_pallas() -> bool:
+        flag = Demultiplexer.use_pallas
+        return _default_use_pallas() if flag is None else bool(flag)
+
+    @staticmethod
+    def pack_calls(chromosome2compressed_snp_calls, genotypes, add_data_prior: bool):
+        return P.pack_calls(chromosome2compressed_snp_calls, genotypes, add_data_prior)
+
+    # parity aliases for the reference's helper names
+    @staticmethod
+    def _doublet_penalties(n_genotypes: int, doublet_prior: float) -> np.ndarray:
+        return L.doublet_penalties(n_genotypes, doublet_prior)
+
+    @staticmethod
+    def molecule_calls2barcode_calls(molecule_calls):
+        return P.molecule_calls_to_barcode_calls(molecule_calls)
+
+    @staticmethod
+    def _compute_logits_aggregating_on_snps(
+        genotype_prob: np.ndarray,
+        mixing: np.ndarray,
+        penalties: np.ndarray,
+        molecule_calls: P.MoleculeCalls,
+        n_barcodes: int,
+    ) -> np.ndarray:
+        """Alternative per-SNP aggregation path (off by default).
+
+        Normalizes per-(barcode, snp) logits by molecule-count^compensation
+        and double log-softmaxes with a bad-SNP floor before collapsing to
+        barcodes — limits over-contribution of any single SNP
+        (reference: demuxalot/demux.py:204-244; host-side, kept for parity).
+        """
+        from scipy.special import log_softmax
+
+        snp_ids = molecule_calls.snp_id
+        bns_compressor = FeatureLookup(molecule_calls.compressed_cb, snp_ids)
+        calls_bns_id, bns_molecule_counts = bns_compressor.compress(
+            molecule_calls.compressed_cb, snp_ids
+        )
+        bns_id2barcode, _bns_id2snp_ids = bns_compressor.lookup_for_individual_features()
+
+        n_pg = mixing.shape[1]
+        # per-(barcode, snp) log-likelihoods for all pseudo-genotypes
+        p = genotype_prob[molecule_calls.variant_id] @ mixing  # [n_calls, n_pg]
+        log_penalties = np.log(p + molecule_calls.p_base_wrong[:, None])
+        bns_logits = np.zeros([bns_compressor.nvalues, n_pg], dtype="float32")
+        np.add.at(bns_logits, calls_bns_id, log_penalties.astype("float32"))
+
+        # regularize by number of contributing molecules, then apply bad-SNP floor
+        compensation = Demultiplexer.compensation_during_computing_barcode_logits
+        bns_logits /= bns_molecule_counts[:, None] ** compensation
+        bns_logits = log_softmax(bns_logits, axis=1)
+        p_bad_snp = 0.01
+        bns_logits = np.logaddexp(bns_logits, np.log(p_bad_snp / n_pg))
+        bns_logits = log_softmax(bns_logits, axis=1)
+
+        # NOTE: matching the reference, doublet penalties are NOT applied on
+        # this path (demuxalot/demux.py:239-244 computes but never adds them)
+        del penalties
+        barcode_posterior_logits = np.stack(
+            [np.bincount(bns_id2barcode, weights=col, minlength=n_barcodes) for col in bns_logits.T],
+            axis=1,
+        ).astype("float32")
+        return barcode_posterior_logits

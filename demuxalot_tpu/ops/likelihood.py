@@ -1,0 +1,205 @@
+"""Device-side demultiplexing math: genotype probs, doublet model, logits.
+
+The core computation is, per barcode b and pseudo-genotype g:
+
+    logits[b, g] = penalty[g] + Σ_{calls c of b} log(p[v_c, g]·(1−q_c) + max(q_c, 1e-4))
+
+with p[v, g] the per-variant genotype probability — for a doublet column
+(g1, g2) the mean of the two donors. The TPU-native structure: gather
+genotype rows per call, expand the doublet axis with one small matmul
+([calls, donors] @ [donors, pseudogenotypes], MXU), take the log (VPU), and
+segment-sum into barcode rows (calls pre-sorted by barcode). A Pallas kernel
+fusing these stages lives in ``pallas_likelihood.py``; this module is the
+plain-XLA path and the numerical reference (mirrors demuxalot/demux.py:
+158-274).
+
+All functions are pure and jit-friendly (static shapes, no data-dependent
+control flow), usable directly or inside shard_map.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_CALL_CHUNK = 256 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Host-side model setup (tiny, numpy)
+# ---------------------------------------------------------------------------
+
+def doublet_penalties(n_genotypes: int, doublet_prior: float) -> np.ndarray:
+    """Per-pseudogenotype logit corrections establishing the doublet prior.
+
+    Chosen so the softmax prior mass on singlets is exactly
+    ``1 - doublet_prior`` regardless of donor count
+    (reference: demuxalot/demux.py:158-173).
+    """
+    assert 0 <= doublet_prior < 1
+    if doublet_prior == 0:
+        return np.zeros(n_genotypes, dtype="float32")
+
+    doublet_logit_bonus = math.log(n_genotypes * doublet_prior)
+    doublet_logit_bonus -= math.log(n_genotypes * max(n_genotypes - 1, 1) / 2 * (1 - doublet_prior))
+    n_options = n_genotypes * (n_genotypes + 1) // 2  # singlets first, then doublets
+    penalties = np.zeros(n_options, dtype="float32")
+    penalties[n_genotypes:] = doublet_logit_bonus
+    return penalties
+
+
+def pseudogenotype_mixing(
+    genotype_names: List[str], doublet_prior: float
+) -> Tuple[np.ndarray, List[str]]:
+    """Mixing matrix [n_donors, n_pseudogenotypes] and column names.
+
+    Column g of the matrix expresses pseudo-genotype g's variant probability
+    as a combination of donor probabilities: identity for singlets, 0.5/0.5
+    for unordered donor pairs — so ``gathered_probs @ M`` expands the doublet
+    axis in one matmul. Column order matches the reference enumeration
+    (demuxalot/demux.py:175-191): singlets in donor order, then pairs (i, j)
+    with i < j, named 'A+B'.
+    """
+    n = len(genotype_names)
+    names = list(genotype_names)
+    columns = [np.eye(n, dtype="float32")]
+    if doublet_prior != 0:
+        assert doublet_prior > 0
+        pair_cols = []
+        for i, g1 in enumerate(genotype_names):
+            for j, g2 in enumerate(genotype_names):
+                if i < j:
+                    col = np.zeros(n, dtype="float32")
+                    col[i] = 0.5
+                    col[j] = 0.5
+                    pair_cols.append(col)
+                    names.append(f"{g1}+{g2}")
+        columns.append(np.stack(pair_cols, axis=1))
+    return np.concatenate(columns, axis=1), names
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+def probs_from_betas(
+    betas: jnp.ndarray,  # f32 [n_variants, n_donors]
+    variant2snp: jnp.ndarray,  # i32 [n_variants]
+    n_snps: int,
+    p_genotype_clip: float,
+) -> jnp.ndarray:
+    """Per-donor variant probability: beta / Σ betas of the same SNP, clipped.
+
+    (reference: demuxalot/demux.py:267-274)
+    """
+    denom = jax.ops.segment_sum(betas, variant2snp, num_segments=n_snps)
+    probs = betas / jnp.clip(denom[variant2snp], min=1e-7)
+    return jnp.clip(probs, p_genotype_clip, 1 - p_genotype_clip)
+
+
+def _pad_chunks(n: int, chunk: int) -> int:
+    return -(-n // chunk)
+
+
+def barcode_logits(
+    genotype_prob: jnp.ndarray,  # f32 [n_variants, n_donors]
+    mixing: jnp.ndarray,  # f32 [n_donors, n_pseudogenotypes]
+    penalties: jnp.ndarray,  # f32 [n_pseudogenotypes]
+    variant_id: jnp.ndarray,  # i32 [n_calls], sorted by barcode
+    cb: jnp.ndarray,  # i32 [n_calls], non-decreasing
+    q: jnp.ndarray,  # f32 [n_calls], padding rows have q == 1
+    n_barcodes: int,
+    call_chunk: int = DEFAULT_CALL_CHUNK,
+) -> jnp.ndarray:
+    """Accumulate log-likelihood logits [n_barcodes, n_pseudogenotypes].
+
+    Scans over fixed-size call chunks to bound the materialized
+    [chunk, n_pseudogenotypes] intermediate; each chunk contributes via a
+    sorted segment-sum. Padding calls (q=1) contribute log(1) = 0 exactly.
+    """
+    (n_calls,) = variant_id.shape
+    n_pg = mixing.shape[1]
+    logits0 = jnp.zeros((n_barcodes, n_pg), jnp.float32) + penalties[None, :]
+
+    if n_calls == 0:
+        return logits0
+
+    if n_calls <= call_chunk:
+        return logits0 + _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes)
+
+    n_chunks = _pad_chunks(n_calls, call_chunk)
+    pad = n_chunks * call_chunk - n_calls
+    variant_id = jnp.pad(variant_id, (0, pad))
+    cb = jnp.pad(cb, (0, pad))
+    q = jnp.pad(q, (0, pad), constant_values=1.0)
+
+    def body(logits, chunk):
+        vid_c, cb_c, q_c = chunk
+        return logits + _chunk_contribution(genotype_prob, mixing, vid_c, cb_c, q_c, n_barcodes), None
+
+    chunks = (
+        variant_id.reshape(n_chunks, call_chunk),
+        cb.reshape(n_chunks, call_chunk),
+        q.reshape(n_chunks, call_chunk),
+    )
+    logits, _ = jax.lax.scan(body, logits0, chunks)
+    return logits
+
+
+def _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes):
+    gathered = genotype_prob[variant_id]  # [c, donors]
+    p = jnp.dot(gathered, mixing, preferred_element_type=jnp.float32)  # [c, pg]
+    vals = jnp.log(p * (1.0 - q)[:, None] + jnp.clip(q, min=1e-4)[:, None])
+    return jax.ops.segment_sum(vals, cb, num_segments=n_barcodes, indices_are_sorted=True)
+
+
+def genotype_addition_from_posteriors(
+    posterior: jnp.ndarray,  # f32 [n_barcodes(global), n_pseudogenotypes]
+    variant_id: jnp.ndarray,  # i32 [n_calls], sorted by variant
+    cb: jnp.ndarray,  # i32 [n_calls], GLOBAL barcode indices
+    q: jnp.ndarray,  # f32 [n_calls], padding rows have q == 1
+    n_variants: int,
+    n_genotypes: int,
+    contribution_power: float,
+    call_chunk: int = DEFAULT_CALL_CHUNK,
+) -> jnp.ndarray:
+    """M-step sufficient statistics: posterior-weighted call counts per variant.
+
+    Uses singlet posterior columns only; per call,
+    ``(posterior[cb, g] · (1−q))**power`` scatter-added over the call's
+    variant (reference: demuxalot/demux.py:113-118). Padding calls (q=1)
+    contribute zero; the power is applied under a mask so it also holds for
+    power ≤ 0.
+    """
+    (n_calls,) = variant_id.shape
+    singlet_posterior = posterior[:, :n_genotypes]
+
+    def chunk_stats(vid_c, cb_c, q_c):
+        w = singlet_posterior[cb_c] * (1.0 - q_c)[:, None]
+        contrib = jnp.where(q_c[:, None] >= 1.0, 0.0, w**contribution_power)
+        return jax.ops.segment_sum(contrib, vid_c, num_segments=n_variants, indices_are_sorted=True)
+
+    if n_calls <= call_chunk:
+        return chunk_stats(variant_id, cb, q)
+
+    n_chunks = _pad_chunks(n_calls, call_chunk)
+    pad = n_chunks * call_chunk - n_calls
+    variant_id = jnp.pad(variant_id, (0, pad))
+    cb = jnp.pad(cb, (0, pad))
+    q = jnp.pad(q, (0, pad), constant_values=1.0)
+
+    def body(acc, chunk):
+        vid_c, cb_c, q_c = chunk
+        return acc + chunk_stats(vid_c, cb_c, q_c), None
+
+    chunks = (
+        variant_id.reshape(n_chunks, call_chunk),
+        cb.reshape(n_chunks, call_chunk),
+        q.reshape(n_chunks, call_chunk),
+    )
+    acc, _ = jax.lax.scan(body, jnp.zeros((n_variants, n_genotypes), jnp.float32), chunks)
+    return acc

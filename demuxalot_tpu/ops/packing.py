@@ -1,0 +1,311 @@
+"""Host-side packing: compressed SNP calls → dense device-ready arrays.
+
+This is the boundary between the CPU ingest frontend and the TPU compute
+path. It joins molecule calls against genotype variants, collapses them to
+unique (variant, barcode) rows, applies the beta regularization priors, and
+lays the result out as flat int32/float32 arrays — padded to static shapes
+and pre-sorted along both reduction axes (barcode for the E-step segment
+sum, variant for the M-step segment sum).
+
+Semantics mirror the reference packing (demuxalot/demux.py:276-392):
+searchsorted variant matching with unmatched calls dropped, per-group
+probability products, and the (1 + data-prior + sum-normalized-betas)
+× default_prior beta regularization.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..utils.encoding import compress_base
+
+
+@dataclass
+class MoleculeCalls:
+    """Per-call records after variant matching (one row per molecule×variant)."""
+
+    variant_id: np.ndarray  # int32 [n]
+    snp_id: np.ndarray  # int32 [n]
+    compressed_cb: np.ndarray  # int32 [n]
+    molecule_id: np.ndarray  # int32 [n], for backtracking only
+    p_base_wrong: np.ndarray  # float32 [n]
+    p_molecule_aligned_wrong: np.ndarray  # float32 [n]
+
+    def __len__(self):
+        return len(self.variant_id)
+
+    def __getitem__(self, key):
+        # recarray-style field access for parity with reference call sites
+        return getattr(self, key)
+
+
+BARCODE_CALLS_DTYPE = np.dtype(
+    [
+        ("variant_id", "int32"),
+        ("snp_id", "int32"),
+        ("compressed_cb", "int32"),
+        ("p_base_wrong", "float32"),
+        ("barcode_variant_count", "int64"),
+        ("barcode_snp_count", "float64"),
+    ]
+)
+
+
+def match_calls_to_variants(
+    chromosome2compressed_snp_calls,
+    genotypes,
+) -> MoleculeCalls:
+    """Join raw calls to genotype variant ids; unmatched calls are dropped.
+
+    Matching is per chromosome on the (position, base) key, like the
+    reference's sorted searchsorted join (demuxalot/demux.py:334-358).
+    """
+    variant_index2snp_index = genotypes.get_snp_ids_for_variants()
+
+    # per-chromosome sorted (pos*5 + base) key -> variant id
+    chrom2keys: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    chrom_list, pos_list, base_list, vid_list = [], [], [], []
+    for (chrom, pos, base), variant_index in genotypes.var2varid.items():
+        chrom_list.append(chrom)
+        pos_list.append(pos)
+        base_list.append(compress_base(base))
+        vid_list.append(variant_index)
+    chrom_arr = np.asarray(chrom_list, dtype=object)
+    pos_arr = np.asarray(pos_list, dtype=np.int64)
+    base_arr = np.asarray(base_list, dtype=np.int64)
+    vid_arr = np.asarray(vid_list, dtype=np.int64)
+    for chrom in set(chrom_list):
+        sel = chrom_arr == chrom
+        keys = pos_arr[sel] * 5 + base_arr[sel]
+        order = np.argsort(keys, kind="stable")
+        chrom2keys[chrom] = (keys[order], vid_arr[sel][order])
+
+    collected = {name: [] for name in (
+        "variant_id", "snp_id", "compressed_cb", "molecule_id", "p_base_wrong", "p_molecule_aligned_wrong",
+    )}
+
+    for chromosome, compressed in chromosome2compressed_snp_calls.items():
+        compressed.minimize_memory_footprint()
+        calls = compressed.snp_calls
+        molecules = compressed.molecules
+        if chromosome not in chrom2keys or len(calls) == 0:
+            continue
+        sorted_keys, sorted_vids = chrom2keys[chromosome]
+        call_keys = calls["snp_position"].astype(np.int64) * 5 + calls["base_index"].astype(np.int64)
+        idx = np.searchsorted(sorted_keys, call_keys).clip(0, len(sorted_keys) - 1)
+        matched = sorted_keys[idx] == call_keys
+        if not matched.any():
+            continue
+        variant_id = sorted_vids[idx][matched].astype(np.int32)
+        mol_index = calls["molecule_index"][matched]
+
+        collected["variant_id"].append(variant_id)
+        collected["snp_id"].append(variant_index2snp_index[variant_id])
+        collected["compressed_cb"].append(molecules["compressed_cb"][mol_index])
+        collected["molecule_id"].append(mol_index)
+        collected["p_base_wrong"].append(calls["p_base_wrong"][matched])
+        collected["p_molecule_aligned_wrong"].append(molecules["p_group_misaligned"][mol_index])
+
+    def cat(name, dtype):
+        chunks = collected[name]
+        if not chunks:
+            return np.empty(0, dtype=dtype)
+        return np.concatenate(chunks).astype(dtype)
+
+    return MoleculeCalls(
+        variant_id=cat("variant_id", np.int32),
+        snp_id=cat("snp_id", np.int32),
+        compressed_cb=cat("compressed_cb", np.int32),
+        molecule_id=cat("molecule_id", np.int32),
+        p_base_wrong=cat("p_base_wrong", np.float32),
+        p_molecule_aligned_wrong=cat("p_molecule_aligned_wrong", np.float32),
+    )
+
+
+def molecule_calls_to_barcode_calls(molecule_calls: MoleculeCalls) -> np.recarray:
+    """Collapse molecule calls to unique (variant, snp, barcode) rows.
+
+    ``p_base_wrong`` of a row is the product over its molecules' values;
+    counts per row and per (snp, barcode) ride along
+    (reference: demuxalot/demux.py:276-300).
+    """
+    vid = molecule_calls.variant_id.astype(np.int64)
+    cb = molecule_calls.compressed_cb.astype(np.int64)
+    cb_span = int(cb.max()) + 1 if len(cb) else 1
+    group_key = vid * cb_span + cb
+
+    unique_keys, inverse, barcode_variant_counts = np.unique(
+        group_key, return_inverse=True, return_counts=True
+    )
+    out_vid = (unique_keys // cb_span).astype(np.int32)
+    out_cb = (unique_keys % cb_span).astype(np.int32)
+
+    # snp_id is a function of variant_id: take it from any member row
+    first_row = np.zeros(len(unique_keys), dtype=np.int64)
+    first_row[inverse[::-1]] = np.arange(len(group_key) - 1, -1, -1)
+    out_snp = molecule_calls.snp_id[first_row]
+
+    # probability of a wrong base = product of member molecules' probabilities
+    p_base_wrong = np.ones(len(unique_keys), dtype="float32")
+    np.multiply.at(p_base_wrong, inverse, molecule_calls.p_base_wrong)
+
+    # molecules per (snp, barcode), broadcast back to rows
+    snp_cb_key = out_snp.astype(np.int64) * cb_span + out_cb
+    _, snp_cb_inverse = np.unique(snp_cb_key, return_inverse=True)
+    barcode_snp_count = np.bincount(snp_cb_inverse, weights=barcode_variant_counts)[snp_cb_inverse]
+
+    result = np.recarray(len(unique_keys), dtype=BARCODE_CALLS_DTYPE)
+    result["variant_id"] = out_vid
+    result["snp_id"] = out_snp
+    result["compressed_cb"] = out_cb
+    result["p_base_wrong"] = p_base_wrong
+    result["barcode_variant_count"] = barcode_variant_counts
+    result["barcode_snp_count"] = barcode_snp_count
+    return result
+
+
+def compute_prior_betas(
+    genotypes,
+    molecule_calls: MoleculeCalls,
+    variant_index2snp_index: np.ndarray,
+    add_data_prior: bool,
+) -> np.ndarray:
+    """Regularized betas: prior + (1 [+ data prior] + normalized sum) × default_prior.
+
+    Matches demuxalot/demux.py:367-390; result is frozen (read-only) — EM
+    accumulates into a separate addition array.
+    """
+    variant_index2betas = genotypes.get_betas()
+    assert np.all(variant_index2betas >= 0), "bad genotypes provided, negative betas appeared"
+
+    def normalize_over_snp(variant_counts, regularization=1.0):
+        assert len(variant_counts) == len(variant_index2snp_index)
+        snp_counts = np.bincount(variant_index2snp_index, weights=variant_counts)[variant_index2snp_index]
+        return variant_counts / (snp_counts + regularization)
+
+    prior_betas = 1.0  # baseline regularization
+    if add_data_prior:
+        # training only: molecule support counts as additional prior evidence
+        variant_index2n_molecules = np.bincount(molecule_calls.variant_id, minlength=genotypes.n_variants)
+        prior_betas = prior_betas + normalize_over_snp(variant_index2n_molecules, regularization=100.0)
+    prior_betas = prior_betas + normalize_over_snp(variant_index2betas.sum(axis=1), regularization=100.0)
+    addition = np.asarray(prior_betas)[:, np.newaxis] * genotypes.default_prior
+    result = variant_index2betas + addition.astype(variant_index2betas.dtype)
+    result.flags.writeable = False
+    return result
+
+
+def pack_calls(
+    chromosome2compressed_snp_calls,
+    genotypes,
+    add_data_prior: bool,
+):
+    """Full packing pipeline; returns the same 4-tuple shape as the reference.
+
+    (variant_index2snp_index, regularized_betas, molecule_calls, barcode_calls)
+    """
+    variant_index2snp_index = genotypes.get_snp_ids_for_variants()
+    molecule_calls = match_calls_to_variants(chromosome2compressed_snp_calls, genotypes)
+    barcode_calls = molecule_calls_to_barcode_calls(molecule_calls)
+    variant_index2betas = compute_prior_betas(
+        genotypes, molecule_calls, variant_index2snp_index, add_data_prior=add_data_prior
+    )
+    return variant_index2snp_index, variant_index2betas, molecule_calls, barcode_calls
+
+
+# ---------------------------------------------------------------------------
+# Device layout
+# ---------------------------------------------------------------------------
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class DeviceCalls:
+    """Static-shape call arrays in the two orders the device kernels need.
+
+    Padding rows use ``p_base_wrong = 1`` which contributes exactly zero to
+    both the log-likelihood (log(p·0 + 1) = 0) and the M-step sufficient
+    statistics ((post·0)^k = 0) — no masks required on device.
+
+    When ``n_shards > 1`` the arrays are laid out ``[n_shards, per_shard]``:
+    the barcode order is sharded contiguously by barcode range (shard s owns
+    barcodes [s·B/n, (s+1)·B/n)), the variant order is sharded evenly with
+    every shard's M-step partial psum-reduced.
+    """
+
+    # sorted by barcode (E-step / logits order)
+    cb_b: np.ndarray  # int32, local barcode index within shard
+    vid_b: np.ndarray  # int32
+    q_b: np.ndarray  # float32
+    # sorted by variant (M-step order); cb_v is the GLOBAL barcode index
+    cb_v: np.ndarray  # int32
+    vid_v: np.ndarray  # int32
+    q_v: np.ndarray  # float32
+    n_barcodes: int
+    n_barcodes_per_shard: int
+    n_shards: int
+
+
+def device_pack_barcode_calls(
+    barcode_calls: np.recarray,
+    n_barcodes: int,
+    n_shards: int = 1,
+    pad_multiple: int = 1024,
+) -> DeviceCalls:
+    """Lay out collapsed barcode calls for the device kernels."""
+    vid = barcode_calls["variant_id"].astype(np.int32)
+    cb = barcode_calls["compressed_cb"].astype(np.int32)
+    q = barcode_calls["p_base_wrong"].astype(np.float32)
+
+    n_barcodes_padded = _round_up(max(n_barcodes, n_shards), n_shards)
+    per_shard_b = n_barcodes_padded // n_shards
+
+    # --- barcode order, sharded by barcode range --------------------------
+    order_b = np.argsort(cb, kind="stable")
+    cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]
+    shard_of_call = cb_sorted // per_shard_b
+    boundaries = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
+    max_len = max(1, int(np.max(boundaries[1:] - boundaries[:-1])) if len(cb) else 1)
+    max_len = _round_up(max_len, pad_multiple)
+
+    cb_b = np.zeros((n_shards, max_len), dtype=np.int32)
+    vid_b = np.zeros((n_shards, max_len), dtype=np.int32)
+    q_b = np.ones((n_shards, max_len), dtype=np.float32)
+    for s in range(n_shards):
+        lo, hi = boundaries[s], boundaries[s + 1]
+        n = hi - lo
+        cb_b[s, :n] = cb_sorted[lo:hi] - s * per_shard_b  # local index
+        vid_b[s, :n] = vid_sorted[lo:hi]
+        q_b[s, :n] = q_sorted[lo:hi]
+
+    # --- variant order, sharded evenly ------------------------------------
+    order_v = np.argsort(vid, kind="stable")
+    n_calls = len(vid)
+    per_shard_v = _round_up(max(1, -(-n_calls // n_shards)), pad_multiple)
+    cb_v = np.zeros((n_shards, per_shard_v), dtype=np.int32)
+    vid_v = np.zeros((n_shards, per_shard_v), dtype=np.int32)
+    q_v = np.ones((n_shards, per_shard_v), dtype=np.float32)
+    flat_cb_v, flat_vid_v, flat_q_v = cb[order_v], vid[order_v], q[order_v]
+    for s in range(n_shards):
+        lo = min(s * per_shard_v, n_calls)
+        hi = min((s + 1) * per_shard_v, n_calls)
+        n = hi - lo
+        cb_v[s, :n] = flat_cb_v[lo:hi]
+        vid_v[s, :n] = flat_vid_v[lo:hi]
+        q_v[s, :n] = flat_q_v[lo:hi]
+
+    if n_shards == 1:
+        cb_b, vid_b, q_b = cb_b[0], vid_b[0], q_b[0]
+        cb_v, vid_v, q_v = cb_v[0], vid_v[0], q_v[0]
+
+    return DeviceCalls(
+        cb_b=cb_b, vid_b=vid_b, q_b=q_b,
+        cb_v=cb_v, vid_v=vid_v, q_v=q_v,
+        n_barcodes=n_barcodes,
+        n_barcodes_per_shard=per_shard_b,
+        n_shards=n_shards,
+    )

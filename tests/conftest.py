@@ -2,18 +2,21 @@
 
 Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 without TPU hardware (the driver separately dry-runs the multi-chip path and
-benchmarks on a real chip). These env vars must be set before jax imports.
+benchmarks on a real chip). Note: this machine's JAX build ignores the
+JAX_PLATFORMS env var (an 'axon' TPU-tunnel platform is pre-wired), so the
+platform must be forced through jax.config before any backend is touched.
 """
 import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))

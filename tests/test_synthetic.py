@@ -1,0 +1,159 @@
+"""End-to-end tests on synthetic BAM + genotypes (all data generated here).
+
+Mirrors the reference's test strategy (tests/test_synthetic.py): build a
+real sorted+indexed BAM through the framework's own writer, run the full
+pipeline, and check demultiplexing quality under degraded genotypes, the
+semi-supervised path, and the parquet checkpoint round-trip.
+"""
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from demuxalot_tpu import BarcodeHandler, Demultiplexer, ProbabilisticGenotypes, count_snps
+from demuxalot_tpu.sim import generate_bam_file
+
+
+def compute_loss(barcode2donor_names, barcode2probs):
+    """Mean -log P(true donors), clipped."""
+    probs = barcode2probs * 0
+    for barcode, correct_donors in barcode2donor_names.items():
+        for donor in correct_donors:
+            probs.loc[barcode, donor] = barcode2probs.loc[barcode, donor]
+    p = probs.sum(axis=1)
+    return -np.log(p.clip(1e-4)).mean()
+
+
+@pytest.fixture(scope="module")
+def synthetic_data(tmp_path_factory):
+    np.random.seed(42)
+    filename = str(tmp_path_factory.mktemp("bam") / "test.bam")
+    filename, genotypes, barcode2donor_ids, barcode2donor_names = generate_bam_file(
+        filename,
+        n_genotypes=12,
+        doublets_fraction=0.2,
+        mutation_prob=0.01,
+        n_barcodes=600,
+        n_reads_per_barcode=80,
+    )
+    barcode_handler = BarcodeHandler(list(barcode2donor_names))
+    calls = count_snps(
+        filename,
+        chromosome2positions=genotypes.get_chromosome2positions(),
+        barcode_handler=barcode_handler,
+        joblib_n_jobs=4,
+        joblib_verbosity=0,
+    )
+    return filename, genotypes, barcode2donor_names, barcode_handler, calls
+
+
+def test_demultiplex_start_from_genotypes(synthetic_data):
+    """Quality across different amounts of prior genotype information."""
+    _filename, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+
+    noise_percent2loss = {}
+    for noise_percent in [0.0, 0.9, 1.0]:
+        ng = genotypes.clone()
+        # erase a fraction of SNPs from the genotype prior
+        snp_ids = ng.get_snp_ids_for_variants()
+        snp_mask = np.random.random(snp_ids.max() + 1) < noise_percent
+        ng.variant_betas[snp_mask[snp_ids], :] = 0
+
+        _logits, barcode2donor_probs = Demultiplexer.predict_posteriors(
+            calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0
+        )
+        loss_no_learning = compute_loss(barcode2correct_donor, barcode2donor_probs)
+
+        _learnt, barcode2donor_probs = Demultiplexer.learn_genotypes(
+            calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0
+        )
+        loss_learning = compute_loss(barcode2correct_donor, barcode2donor_probs)
+        noise_percent2loss[noise_percent] = {
+            "no learning": loss_no_learning,
+            "learning": loss_learning,
+        }
+    print(pd.DataFrame(noise_percent2loss))
+
+    for label in noise_percent2loss[1.0]:
+        assert noise_percent2loss[1.0][label] > noise_percent2loss[0.0][label]
+    # with full genotypes, predictions should be confidently right
+    assert noise_percent2loss[0.0]["no learning"] < 0.5
+    # at 90% degradation, EM learning should substantially beat no-learning
+    assert noise_percent2loss[0.9]["learning"] < noise_percent2loss[0.9]["no learning"]
+
+
+def test_demultiplex_start_from_assignment(synthetic_data):
+    """Label a fraction of barcodes; genotypes must be learnt from scratch."""
+    _filename, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+    empty_genotypes = genotypes.clone()
+    empty_genotypes.variant_betas[:] = 0
+
+    # dry run provides a correctly-shaped dataframe for the prior logits
+    _lg, barcode2donor_probs = Demultiplexer.learn_genotypes(
+        calls, empty_genotypes, barcode_handler=barcode_handler
+    )
+
+    labelling_p = np.random.random(size=len(barcode2correct_donor))
+    barcode2donor_logits: pd.DataFrame = barcode2donor_probs * 0
+
+    labeled_fraction2loss = {}
+    for labeled_fraction in (0.05, 0.2, 0.5):
+        for (barcode, correct_donor_names), p_label in zip(
+            barcode2correct_donor.items(), labelling_p
+        ):
+            if len(correct_donor_names) == 1 and p_label < labeled_fraction:
+                [correct_donor] = correct_donor_names
+                barcode2donor_logits.loc[barcode, str(correct_donor)] += 100.0
+
+        _lg, barcode2donor_probs = Demultiplexer.learn_genotypes(
+            calls,
+            empty_genotypes,
+            barcode_handler=barcode_handler,
+            barcode_prior_logits=barcode2donor_logits.values,
+        )
+        loss = compute_loss(barcode2correct_donor, barcode2donor_probs)
+        print(f"labeled fraction of barcodes: {labeled_fraction:<5}  loss={loss:8.4f}")
+        labeled_fraction2loss[labeled_fraction] = loss
+
+    for labeled_fraction, loss in labeled_fraction2loss.items():
+        if labeled_fraction > 0.15 and loss > 0.1:
+            raise RuntimeError(f"Error is too high {labeled_fraction} {loss}")
+
+
+def test_genotypes_export_and_loading(synthetic_data):
+    _f, genotypes, *_ = synthetic_data
+    with tempfile.TemporaryDirectory() as dir:
+        filename = f"{dir}/genotypes.parquet"
+        genotypes.save_betas(filename)
+        genotypes2 = ProbabilisticGenotypes(
+            genotype_names=genotypes.genotype_names,
+            default_prior=genotypes.default_prior,
+        )
+        genotypes2.add_prior_betas(filename)
+
+        assert genotypes.genotype_names == genotypes2.genotype_names
+        assert genotypes.default_prior == genotypes2.default_prior
+        assert set(genotypes.var2varid) == set(genotypes2.var2varid)
+        # betas must match variant-for-variant regardless of insertion order
+        for variant in genotypes.var2varid:
+            assert np.allclose(
+                genotypes.variant_betas[genotypes.var2varid[variant]],
+                genotypes2.variant_betas[genotypes2.var2varid[variant]],
+            )
+
+
+def test_aggregate_on_snps_path(synthetic_data):
+    """The alternative per-SNP aggregation path should also demultiplex well."""
+    _f, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+    try:
+        Demultiplexer.aggregate_on_snps = True
+        _logits, probs = Demultiplexer.predict_posteriors(
+            calls, genotypes, barcode_handler=barcode_handler, doublet_prior=0.0
+        )
+    finally:
+        Demultiplexer.aggregate_on_snps = False
+    loss = compute_loss(barcode2correct_donor, probs)
+    print("aggregate_on_snps loss:", loss)
+    assert loss < 1.0
+    assert np.allclose(probs.sum(axis=1), 1, atol=1e-3)
