@@ -36,7 +36,7 @@ from .genotypes import ProbabilisticGenotypes
 
 @partial(
     jax.jit,
-    static_argnames=("n_snps", "n_barcodes", "p_genotype_clip", "call_chunk", "use_pallas"),
+    static_argnames=("n_snps", "n_barcodes", "p_genotype_clip", "call_chunk"),
 )
 def _logits_forward(
     betas,
@@ -51,16 +51,44 @@ def _logits_forward(
     n_barcodes: int,
     p_genotype_clip: float,
     call_chunk: int,
-    use_pallas: bool,
 ):
     genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
-    if use_pallas:
-        from ..ops.pallas_likelihood import barcode_logits_pallas
-
-        return barcode_logits_pallas(genotype_prob, mixing, penalties, vid, cb, q, n_barcodes)
     return L.barcode_logits(
         genotype_prob, mixing, penalties, vid, cb, q, n_barcodes, call_chunk=call_chunk
     )
+
+
+@partial(jax.jit, static_argnames=("n_snps", "p_genotype_clip"))
+def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float):
+    return L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+
+
+class _PallasLogits:
+    """Reusable Pallas forward: host-tiled call layout built once per dataset."""
+
+    def __init__(self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls):
+        from ..ops.tiling import tile_barcode_calls
+
+        cb = barcode_calls["compressed_cb"].astype(np.int32)
+        order = np.argsort(cb, kind="stable")
+        self.tiled = tile_barcode_calls(
+            cb[order],
+            barcode_calls["variant_id"].astype(np.int32)[order],
+            barcode_calls["p_base_wrong"].astype(np.float32)[order],
+            n_barcodes,
+            tile_barcodes=tile_barcodes,
+            chunk_calls=chunk_calls,
+        )
+        self.mixing = mixing
+        self.penalties = penalties
+
+    def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip):
+        from ..ops.pallas_likelihood import barcode_logits_tiled
+
+        genotype_prob = _genotype_probs(
+            betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip
+        )
+        return barcode_logits_tiled(genotype_prob, self.mixing, self.penalties, self.tiled)
 
 
 @partial(
@@ -99,6 +127,8 @@ class Demultiplexer:
     # device knobs (framework-specific): calls per scan chunk, Pallas kernel toggle
     call_chunk = L.DEFAULT_CALL_CHUNK
     use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
+    pallas_tile_barcodes = 32  # barcode rows per logits tile held in VMEM
+    pallas_chunk_calls = 512  # calls per kernel grid step
 
     # -- public API --------------------------------------------------------
     @staticmethod
@@ -180,6 +210,13 @@ class Demultiplexer:
         vid_b, cb_b, q_b = jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
         vid_v, cb_v, q_v = jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
 
+        pallas_forward = None
+        if Demultiplexer._resolve_use_pallas() and not Demultiplexer.aggregate_on_snps:
+            pallas_forward = _PallasLogits(
+                barcode_calls, n_barcodes, mixing, penalties,
+                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+            )
+
         genotype_addition = np.zeros_like(prior_betas)
 
         for _iteration in range(n_iterations):
@@ -193,6 +230,13 @@ class Demultiplexer:
                 barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
                     genotype_prob, mixing, penalties, molecule_calls, n_barcodes
                 )
+            elif pallas_forward is not None:
+                barcode_posterior_logits = np.asarray(
+                    pallas_forward(
+                        jnp.asarray(prior_betas + genotype_addition),
+                        variant2snp_dev, n_snps, p_genotype_clip,
+                    )
+                )
             else:
                 barcode_posterior_logits = np.asarray(
                     _logits_forward(
@@ -202,7 +246,6 @@ class Demultiplexer:
                         n_snps=n_snps, n_barcodes=n_barcodes,
                         p_genotype_clip=p_genotype_clip,
                         call_chunk=Demultiplexer.call_chunk,
-                        use_pallas=Demultiplexer._resolve_use_pallas(),
                     )
                 )
             if _iteration == 0 and barcode_prior_logits is not None:
@@ -270,6 +313,16 @@ class Demultiplexer:
             barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
                 genotype_prob, mixing, penalties, molecule_calls, n_barcodes
             )
+        elif Demultiplexer._resolve_use_pallas():
+            pallas_forward = _PallasLogits(
+                barcode_calls, n_barcodes, mixing, penalties,
+                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+            )
+            barcode_posterior_logits = np.asarray(
+                pallas_forward(
+                    jnp.asarray(prior_betas), jnp.asarray(variant2snp), n_snps, p_genotype_clip
+                )
+            )
         else:
             device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
             barcode_posterior_logits = np.asarray(
@@ -285,7 +338,6 @@ class Demultiplexer:
                     n_barcodes=n_barcodes,
                     p_genotype_clip=p_genotype_clip,
                     call_chunk=Demultiplexer.call_chunk,
-                    use_pallas=Demultiplexer._resolve_use_pallas(),
                 )
             )
 

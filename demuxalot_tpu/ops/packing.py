@@ -231,23 +231,31 @@ class DeviceCalls:
     both the log-likelihood (log(p·0 + 1) = 0) and the M-step sufficient
     statistics ((post·0)^k = 0) — no masks required on device.
 
-    When ``n_shards > 1`` the arrays are laid out ``[n_shards, per_shard]``:
-    the barcode order is sharded contiguously by barcode range (shard s owns
-    barcodes [s·B/n, (s+1)·B/n)), the variant order is sharded evenly with
-    every shard's M-step partial psum-reduced.
+    Sharding layout: barcodes are partitioned into ``n_shards`` contiguous
+    ranges (shard s owns barcodes [s·Bp, (s+1)·Bp)); every call lives on the
+    shard owning its barcode, so the E-step segment-sum and the M-step both
+    read only shard-local posteriors — the only collective per EM iteration
+    is one psum of the [n_variants, n_donors] beta-addition partials. Arrays
+    are flat ``[n_shards * per_shard_calls]``, ready for a
+    ``PartitionSpec('barcodes')`` placement; ``cb_*`` hold LOCAL indices.
     """
 
-    # sorted by barcode (E-step / logits order)
-    cb_b: np.ndarray  # int32, local barcode index within shard
-    vid_b: np.ndarray  # int32
-    q_b: np.ndarray  # float32
-    # sorted by variant (M-step order); cb_v is the GLOBAL barcode index
-    cb_v: np.ndarray  # int32
-    vid_v: np.ndarray  # int32
-    q_v: np.ndarray  # float32
-    n_barcodes: int
+    # sorted by barcode within each shard (E-step / logits order)
+    cb_b: np.ndarray  # int32 [S*N], local barcode index within shard
+    vid_b: np.ndarray  # int32 [S*N]
+    q_b: np.ndarray  # float32 [S*N]
+    # sorted by variant within each shard (M-step order)
+    cb_v: np.ndarray  # int32 [S*N], local barcode index within shard
+    vid_v: np.ndarray  # int32 [S*N]
+    q_v: np.ndarray  # float32 [S*N]
+    n_barcodes: int  # true (unpadded) barcode count
     n_barcodes_per_shard: int
+    per_shard_calls: int
     n_shards: int
+
+    @property
+    def n_barcodes_padded(self) -> int:
+        return self.n_barcodes_per_shard * self.n_shards
 
 
 def device_pack_barcode_calls(
@@ -264,7 +272,6 @@ def device_pack_barcode_calls(
     n_barcodes_padded = _round_up(max(n_barcodes, n_shards), n_shards)
     per_shard_b = n_barcodes_padded // n_shards
 
-    # --- barcode order, sharded by barcode range --------------------------
     order_b = np.argsort(cb, kind="stable")
     cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]
     shard_of_call = cb_sorted // per_shard_b
@@ -275,37 +282,29 @@ def device_pack_barcode_calls(
     cb_b = np.zeros((n_shards, max_len), dtype=np.int32)
     vid_b = np.zeros((n_shards, max_len), dtype=np.int32)
     q_b = np.ones((n_shards, max_len), dtype=np.float32)
+    cb_v = np.zeros((n_shards, max_len), dtype=np.int32)
+    vid_v = np.zeros((n_shards, max_len), dtype=np.int32)
+    q_v = np.ones((n_shards, max_len), dtype=np.float32)
     for s in range(n_shards):
         lo, hi = boundaries[s], boundaries[s + 1]
         n = hi - lo
-        cb_b[s, :n] = cb_sorted[lo:hi] - s * per_shard_b  # local index
-        vid_b[s, :n] = vid_sorted[lo:hi]
-        q_b[s, :n] = q_sorted[lo:hi]
-
-    # --- variant order, sharded evenly ------------------------------------
-    order_v = np.argsort(vid, kind="stable")
-    n_calls = len(vid)
-    per_shard_v = _round_up(max(1, -(-n_calls // n_shards)), pad_multiple)
-    cb_v = np.zeros((n_shards, per_shard_v), dtype=np.int32)
-    vid_v = np.zeros((n_shards, per_shard_v), dtype=np.int32)
-    q_v = np.ones((n_shards, per_shard_v), dtype=np.float32)
-    flat_cb_v, flat_vid_v, flat_q_v = cb[order_v], vid[order_v], q[order_v]
-    for s in range(n_shards):
-        lo = min(s * per_shard_v, n_calls)
-        hi = min((s + 1) * per_shard_v, n_calls)
-        n = hi - lo
-        cb_v[s, :n] = flat_cb_v[lo:hi]
-        vid_v[s, :n] = flat_vid_v[lo:hi]
-        q_v[s, :n] = flat_q_v[lo:hi]
-
-    if n_shards == 1:
-        cb_b, vid_b, q_b = cb_b[0], vid_b[0], q_b[0]
-        cb_v, vid_v, q_v = cb_v[0], vid_v[0], q_v[0]
+        local_cb = cb_sorted[lo:hi] - s * per_shard_b
+        local_vid = vid_sorted[lo:hi]
+        local_q = q_sorted[lo:hi]
+        cb_b[s, :n] = local_cb
+        vid_b[s, :n] = local_vid
+        q_b[s, :n] = local_q
+        # same shard's calls re-sorted by variant for the M-step
+        vorder = np.argsort(local_vid, kind="stable")
+        cb_v[s, :n] = local_cb[vorder]
+        vid_v[s, :n] = local_vid[vorder]
+        q_v[s, :n] = local_q[vorder]
 
     return DeviceCalls(
-        cb_b=cb_b, vid_b=vid_b, q_b=q_b,
-        cb_v=cb_v, vid_v=vid_v, q_v=q_v,
+        cb_b=cb_b.reshape(-1), vid_b=vid_b.reshape(-1), q_b=q_b.reshape(-1),
+        cb_v=cb_v.reshape(-1), vid_v=vid_v.reshape(-1), q_v=q_v.reshape(-1),
         n_barcodes=n_barcodes,
         n_barcodes_per_shard=per_shard_b,
+        per_shard_calls=max_len,
         n_shards=n_shards,
     )

@@ -1,0 +1,105 @@
+"""Pallas likelihood kernel vs the XLA path / numpy oracle (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from demuxalot_tpu.ops import likelihood as L
+from demuxalot_tpu.ops.pallas_likelihood import barcode_logits_tiled
+from demuxalot_tpu.ops.tiling import tile_barcode_calls
+from oracle import oracle_barcode_logits, oracle_probs_from_betas
+
+
+def _problem(seed=0, n_snps=100, n_donors=8, n_barcodes=100, n_calls=6000, doublet_prior=0.35):
+    rng = np.random.RandomState(seed)
+    n_variants = n_snps * 2
+    variant2snp = np.repeat(np.arange(n_snps, dtype=np.int32), 2)
+    betas = (rng.rand(n_variants, n_donors) * 50).astype(np.float32)
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    cb = np.sort(rng.randint(0, n_barcodes, n_calls)).astype(np.int32)
+    q = (rng.rand(n_calls) * 0.5).astype(np.float32)
+    names = [f"Donor{i:02}" for i in range(n_donors)]
+    gprob = oracle_probs_from_betas(variant2snp, betas, 0.01)
+    mixing, _ = L.pseudogenotype_mixing(names, doublet_prior)
+    penalties = L.doublet_penalties(n_donors, doublet_prior)
+    ref_logits, _ = oracle_barcode_logits(names, gprob, vid, cb, q, n_barcodes, doublet_prior)
+    return gprob, mixing, penalties, vid, cb, q, n_barcodes, ref_logits
+
+
+def test_tiling_layout_roundtrip():
+    rng = np.random.RandomState(1)
+    n, B = 5000, 300
+    cb = np.sort(rng.randint(0, B, n)).astype(np.int32)
+    vid = rng.randint(0, 50, n).astype(np.int32)
+    q = rng.rand(n).astype(np.float32)
+    tiled = tile_barcode_calls(cb, vid, q, B, tile_barcodes=32, chunk_calls=128)
+    assert tiled.n_tiles == -(-B // 32)
+    # every real call appears exactly once with the right tile-local barcode
+    real = tiled.q.reshape(-1) < 1.0
+    got_global_cb = (
+        np.repeat(tiled.chunk2tile, tiled.chunk_calls) * tiled.tile_barcodes
+        + tiled.cb_local.reshape(-1)
+    )[real]
+    np.testing.assert_array_equal(np.sort(got_global_cb), np.sort(cb[q < 1.0]))
+    # padding rows are exact no-ops (q == 1)
+    n_real = int(real.sum())
+    assert n_real == int((q < 1.0).sum())
+
+
+@pytest.mark.parametrize("doublet_prior", [0.0, 0.35])
+def test_pallas_kernel_matches_oracle(doublet_prior):
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, ref_logits = _problem(
+        doublet_prior=doublet_prior
+    )
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    ours = np.asarray(
+        barcode_logits_tiled(jnp.asarray(gprob), mixing, penalties, tiled, interpret=True)
+    )
+    assert ours.shape == ref_logits.shape
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=5e-3)
+
+
+def test_pallas_kernel_empty_tiles_initialized():
+    # barcodes with no calls at all must still get penalty-initialized logits
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, ref_logits = _problem(
+        n_calls=50, n_barcodes=200
+    )
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=64)
+    ours = np.asarray(
+        barcode_logits_tiled(jnp.asarray(gprob), mixing, penalties, tiled, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=5e-3)
+    empty_barcodes = np.setdiff1d(np.arange(n_barcodes), cb)
+    assert len(empty_barcodes) > 0
+    np.testing.assert_allclose(ours[empty_barcodes], np.broadcast_to(penalties, (len(empty_barcodes), len(penalties))), atol=1e-6)
+
+
+def test_demultiplexer_pallas_path_matches_xla(tmp_path):
+    """Force the Pallas forward inside Demultiplexer and compare posteriors."""
+    import numpy as np
+    from demuxalot_tpu import BarcodeHandler, Demultiplexer
+    from demuxalot_tpu.sim import generate_bam_file
+    from demuxalot_tpu.frontend.snp_counter import count_snps
+
+    np.random.seed(3)
+    filename = str(tmp_path / "t.bam")
+    filename, genotypes, _ids, names = generate_bam_file(
+        filename, n_genotypes=4, n_barcodes=80, n_reads_per_barcode=30,
+        chromosome2length={"chr1": 600},
+    )
+    bh = BarcodeHandler(list(names))
+    calls = count_snps(
+        filename, genotypes.get_chromosome2positions(), bh,
+        joblib_n_jobs=None, joblib_verbosity=0,
+    )
+    try:
+        Demultiplexer.use_pallas = False
+        logits_x, probs_x = Demultiplexer.predict_posteriors(calls, genotypes, bh, doublet_prior=0.25)
+        lx, px = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+        Demultiplexer.use_pallas = True
+        logits_p, probs_p = Demultiplexer.predict_posteriors(calls, genotypes, bh, doublet_prior=0.25)
+        lp, pp = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+    finally:
+        Demultiplexer.use_pallas = None
+    np.testing.assert_allclose(logits_p.values, logits_x.values, rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(probs_p.values, probs_x.values, atol=1e-5)
+    np.testing.assert_allclose(lp.variant_betas, lx.variant_betas, rtol=1e-4, atol=1e-2)
