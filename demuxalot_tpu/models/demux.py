@@ -64,14 +64,15 @@ def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float):
 
 
 class _PallasLogits:
-    """Reusable Pallas forward: host-tiled call layout built once per dataset."""
+    """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
 
     def __init__(self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls):
+        from ..ops.pallas_likelihood import TiledDeviceCalls
         from ..ops.tiling import tile_barcode_calls
 
         cb = barcode_calls["compressed_cb"].astype(np.int32)
         order = np.argsort(cb, kind="stable")
-        self.tiled = tile_barcode_calls(
+        tiled = tile_barcode_calls(
             cb[order],
             barcode_calls["variant_id"].astype(np.int32)[order],
             barcode_calls["p_base_wrong"].astype(np.float32)[order],
@@ -79,16 +80,13 @@ class _PallasLogits:
             tile_barcodes=tile_barcodes,
             chunk_calls=chunk_calls,
         )
-        self.mixing = mixing
-        self.penalties = penalties
+        self.device = TiledDeviceCalls(mixing, penalties, tiled)
 
     def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip):
-        from ..ops.pallas_likelihood import barcode_logits_tiled
-
         genotype_prob = _genotype_probs(
             betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip
         )
-        return barcode_logits_tiled(genotype_prob, self.mixing, self.penalties, self.tiled)
+        return self.device.logits(genotype_prob)
 
 
 @partial(

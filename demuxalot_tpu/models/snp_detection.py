@@ -259,7 +259,7 @@ def _export_snps_to_beta(selected_snps, prior_filename):
             df["POS"].append(position)
             df["BASE"].append(base)
 
-    df = pd.DataFrame(df)
     # empty-column dataframe with the (CHROM, POS, BASE) index — positions only
+    df = pd.DataFrame(df, columns=["CHROM", "POS", "BASE"])
     df = df.set_index(["CHROM", "POS", "BASE"])
     df.to_parquet(prior_filename)

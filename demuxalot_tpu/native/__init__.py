@@ -1,0 +1,63 @@
+"""Native (C++) components: build-on-demand via the system toolchain.
+
+The shared library is compiled from scanner.cpp on first use and cached next
+to the source. Absence of a working toolchain degrades gracefully — callers
+fall back to the pure-Python paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "scanner.cpp"
+_LIB = _DIR / "libdemuxscan.so"
+
+_lib_handle = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-lz", "-o", str(_LIB) + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    Path(str(_LIB) + ".tmp").replace(_LIB)
+
+
+def load_library() -> ctypes.CDLL:
+    """Compile (if needed) and load the native scanner library."""
+    global _lib_handle
+    if _lib_handle is not None:
+        return _lib_handle
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_LIB))
+
+    lib.scan_region.restype = ctypes.c_void_p
+    lib.scan_region.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+    ]
+    lib.scan_n_molecules.restype = ctypes.c_int64
+    lib.scan_n_molecules.argtypes = [ctypes.c_void_p]
+    lib.scan_n_calls.restype = ctypes.c_int64
+    lib.scan_n_calls.argtypes = [ctypes.c_void_p]
+    lib.scan_fill.restype = None
+    lib.scan_fill.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.scan_free.restype = None
+    lib.scan_free.argtypes = [ctypes.c_void_p]
+
+    _lib_handle = lib
+    return lib

@@ -152,7 +152,11 @@ def barcode_logits(
 
 def _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes):
     gathered = genotype_prob[variant_id]  # [c, donors]
-    p = jnp.dot(gathered, mixing, preferred_element_type=jnp.float32)  # [c, pg]
+    # full f32: bf16 MXU rounding of probabilities visibly shifts the logits
+    p = jnp.dot(
+        gathered, mixing, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [c, pg]
     vals = jnp.log(p * (1.0 - q)[:, None] + jnp.clip(q, min=1e-4)[:, None])
     return jax.ops.segment_sum(vals, cb, num_segments=n_barcodes, indices_are_sorted=True)
 

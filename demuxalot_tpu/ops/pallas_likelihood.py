@@ -3,18 +3,24 @@
 Replaces the XLA chain gather → matmul → log → segment-sum, which round-trips
 an [n_calls, n_pseudogenotypes] tensor through HBM (the dominant cost at
 scale: ~2·N·PG·4 bytes per E-step). The kernel streams call chunks through
-VMEM and keeps each barcode tile's logits block resident until finished:
+VMEM with double-buffered DMA and keeps each barcode tile's logits resident:
 
-    per chunk c (grid step):
-      P    = G[c] @ mixing            # [TC, PG]  doublet expansion, MXU
-      vals = log(P·(1−q) + max(q,1e-4))           # VPU
-      out[tile(c)] += onehot(cb_local)ᵀ @ vals    # [TB, PG] scatter-matmul, MXU
+    per grid step (one *super-tile* of TB·SPS barcodes):
+      out = penalties
+      for each call chunk of the super-tile (inner fori_loop, DMA'd):
+        P    = Gᵀ[chunk] · mixing                  # [TC, PG]  doublet expansion, MXU
+        vals = log(P·(1−q) + max(q,1e-4))          # VPU
+        out[subtile·TB : +TB] += onehot(cb_local)ᵀ · vals   # scatter-matmul, MXU
 
-Calls are pre-sorted by barcode and padded per tile (ops/tiling.py), so a
-tile's chunks are consecutive grid steps and the output block stays in VMEM
-(standard Pallas revisiting reduction). Chunk→tile ownership is a
-scalar-prefetch array feeding the output index_map. Padding calls carry
-q = 1 → log(1) = 0, exactly zero contribution.
+Calls are pre-sorted by barcode and padded per TB-barcode sub-tile
+(ops/tiling.py); sub-tiles are grouped into super-tiles so the launch grid
+stays small (one grid step per super-tile — important because this
+environment's remote Mosaic compile cost grows with grid size). Chunk
+bounds and chunk→sub-tile offsets arrive via scalar prefetch. Padding calls
+carry q = 1 → log(1) = 0, an exact no-op.
+
+Matmuls run at Precision.HIGHEST: default bf16 MXU rounding visibly
+perturbs the accumulated logits.
 
 Reference hot loop being replaced: demuxalot/demux.py:256-263.
 """
@@ -38,60 +44,98 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _likelihood_kernel(
-    chunk2tile_ref,  # SMEM scalar prefetch [n_chunks]
-    gt_ref,  # VMEM [D, TC] gathered genotype probs for this chunk (call-major lanes)
-    cbl_ref,  # VMEM [1, TC] local barcode index in tile
-    q_ref,  # VMEM [1, TC]
+    bounds_ref,  # SMEM scalar prefetch [n_super + 1]: chunk ranges per super-tile
+    suboff_ref,  # SMEM scalar prefetch [n_chunks]: sub-tile index within super-tile
+    gt_hbm,  # ANY [D, n_chunks*TC] gathered genotype probs (call-major lanes)
+    cbl_hbm,  # ANY [1, n_chunks*TC] local barcode index within sub-tile
+    q_hbm,  # ANY [1, n_chunks*TC]
     mix_ref,  # VMEM [D, PGp]
     pen_ref,  # VMEM [1, PGp]
-    out_ref,  # VMEM [TB, PGp] — revisited across a tile's chunks
+    out_ref,  # VMEM [TBS, PGp] — this super-tile's logits
+    gt_buf,  # VMEM scratch [2, D, TC]
+    cbl_buf,  # VMEM scratch [2, 1, TC]
+    q_buf,  # VMEM scratch [2, 1, TC]
+    gt_sem,  # DMA sems [2]
+    cbl_sem,
+    q_sem,
     *,
     tb: int,
     tc: int,
 ):
-    c = pl.program_id(0)
-    tile = chunk2tile_ref[c]
-    prev_tile = chunk2tile_ref[jnp.maximum(c - 1, 0)]
-    is_first_chunk_of_tile = jnp.logical_or(c == 0, tile != prev_tile)
+    s = pl.program_id(0)
+    lo = bounds_ref[s]
+    hi = bounds_ref[s + 1]
+    n = hi - lo
 
-    @pl.when(is_first_chunk_of_tile)
-    def _init():
-        out_ref[:] = jnp.broadcast_to(pen_ref[0, :], (tb, out_ref.shape[1]))
+    def dmas(slot, ci):
+        base = (lo + ci) * tc
+        return (
+            pltpu.make_async_copy(gt_hbm.at[:, pl.ds(base, tc)], gt_buf.at[slot], gt_sem.at[slot]),
+            pltpu.make_async_copy(cbl_hbm.at[:, pl.ds(base, tc)], cbl_buf.at[slot], cbl_sem.at[slot]),
+            pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
+        )
 
-    # doublet expansion on the MXU: [TC, D] · [D, PGp] with the call axis on
-    # lanes in both operands (contract dim 0 of each)
-    p = jax.lax.dot_general(
-        gt_ref[:], mix_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TC, PGp]
-    q = q_ref[0, :]
-    vals = jnp.log(p * (1.0 - q)[:, None] + jnp.maximum(q, 1e-4)[:, None])
+    out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
 
-    cbl = cbl_ref[0, :]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
-    onehot = (row_ids == cbl[None, :]).astype(jnp.float32)  # [TB, TC]
-    out_ref[:] += jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+    for d in dmas(0, 0):
+        d.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        next_slot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n)
+        def _prefetch():
+            for d in dmas(next_slot, ci + 1):
+                d.start()
+
+        for d in dmas(slot, ci):
+            d.wait()
+
+        # doublet expansion on the MXU: contract the donor axis of both
+        # operands ([TC, D] · [D, PGp] with calls on lanes)
+        p = jax.lax.dot_general(
+            gt_buf[slot], mix_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TC, PGp]
+        q = q_buf[slot][0, :]
+        vals = jnp.log(p * (1.0 - q)[:, None] + jnp.maximum(q, 1e-4)[:, None])
+
+        cbl = cbl_buf[slot][0, :]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
+        onehot = (row_ids == cbl[None, :]).astype(jnp.float32)  # [TB, TC]
+        contribution = jnp.dot(
+            onehot, vals, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
+        out_ref[pl.ds(off, tb), :] += contribution
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_barcodes", "n_tiles", "tb", "tc", "n_chunks", "interpret"),
+    static_argnames=("n_super", "tbs", "tb", "tc", "interpret"),
 )
 def _tiled_logits(
     genotype_prob,  # f32 [V, D]
     mixing_p,  # f32 [D, PGp] (lane-padded)
     penalties_p,  # f32 [1, PGp]
     vid,  # i32 [n_chunks * TC]
-    cb_local,  # i32 [n_chunks, TC]
-    q,  # f32 [n_chunks, TC]
-    chunk2tile,  # i32 [n_chunks]
+    cb_local,  # i32 [1, n_chunks * TC]
+    q,  # f32 [1, n_chunks * TC]
+    chunk_bounds,  # i32 [n_super + 1]
+    chunk_suboff,  # i32 [n_chunks]
     *,
-    n_barcodes: int,
-    n_tiles: int,
+    n_super: int,
+    tbs: int,  # barcodes per super-tile (TB * subtiles_per_super)
     tb: int,
     tc: int,
-    n_chunks: int,
     interpret: bool = False,
 ):
     d = genotype_prob.shape[1]
@@ -100,32 +144,115 @@ def _tiled_logits(
     gathered_t = genotype_prob[vid].T  # [D, n_chunks*TC]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        num_scalar_prefetch=2,
+        grid=(n_super,),
         in_specs=[
-            pl.BlockSpec((d, tc), lambda c, s: (0, c)),
-            pl.BlockSpec((1, tc), lambda c, s: (c, 0)),
-            pl.BlockSpec((1, tc), lambda c, s: (c, 0)),
-            pl.BlockSpec((d, pgp), lambda c, s: (0, 0)),
-            pl.BlockSpec((1, pgp), lambda c, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((d, pgp), lambda s, *_: (0, 0)),
+            pl.BlockSpec((1, pgp), lambda s, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tb, pgp), lambda c, s: (s[c], 0)),
+        out_specs=pl.BlockSpec((tbs, pgp), lambda s, *_: (s, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, tc), jnp.float32),
+            pltpu.VMEM((2, 1, tc), jnp.int32),
+            pltpu.VMEM((2, 1, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
     kernel = functools.partial(_likelihood_kernel, tb=tb, tc=tc)
+    n_chunks = chunk_suboff.shape[0]
     flops_per_chunk = 2 * tc * d * pgp + 2 * tb * tc * pgp
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tb, pgp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_super * tbs, pgp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=n_chunks * flops_per_chunk,
-            bytes_accessed=gathered_t.size * 4 + n_tiles * tb * pgp * 4,
+            bytes_accessed=gathered_t.size * 4 + n_super * tbs * pgp * 4,
             transcendentals=n_chunks * tc * pgp,
         ),
         interpret=interpret,
-    )(chunk2tile, gathered_t, cb_local, q, mixing_p, penalties_p)
+    )(chunk_bounds, chunk_suboff, gathered_t, cb_local, q, mixing_p, penalties_p)
     return out
+
+
+class TiledDeviceCalls:
+    """Device-resident tiled layout: upload once, reuse across EM iterations.
+
+    ``subtiles_per_super`` controls the launch grid: one grid step covers
+    TB·SPS barcodes, chosen so the grid stays at a few hundred steps.
+    """
+
+    def __init__(
+        self,
+        mixing: np.ndarray,
+        penalties: np.ndarray,
+        tiled: TiledCalls,
+        subtiles_per_super: int | None = None,
+    ):
+        pg = mixing.shape[1]
+        pgp = _round_up(pg, LANE)
+        mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
+        mixing_p[:, :pg] = mixing
+        penalties_p = np.zeros((1, pgp), dtype=np.float32)
+        penalties_p[0, :pg] = penalties
+
+        if subtiles_per_super is None:
+            # keep the grid small-ish and the out block under ~2.7 MB
+            max_rows = max(tiled.tile_barcodes, (2_700_000 // 4) // pgp)
+            subtiles_per_super = max(1, max_rows // tiled.tile_barcodes)
+            subtiles_per_super = min(subtiles_per_super, tiled.n_tiles)
+        self.subtiles_per_super = subtiles_per_super
+        n_super = -(-tiled.n_tiles // subtiles_per_super)
+
+        # chunk ranges per super-tile + each chunk's sub-tile offset inside it
+        chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
+        tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+        bounds = tile_starts[:: subtiles_per_super].tolist()
+        if bounds[-1] != tiled.n_chunks:
+            bounds.append(tiled.n_chunks)
+        chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)
+
+        self.n_pseudogenotypes = pg
+        self.mixing_p = jnp.asarray(mixing_p)
+        self.penalties_p = jnp.asarray(penalties_p)
+        self.vid = jnp.asarray(tiled.vid)
+        self.cb_local = jnp.asarray(tiled.cb_local)
+        self.q = jnp.asarray(tiled.q)
+        self.chunk_bounds = jnp.asarray(np.asarray(bounds, dtype=np.int32))
+        self.chunk_suboff = jnp.asarray(chunk_suboff)
+        self.n_barcodes = tiled.n_barcodes
+        self.n_super = n_super
+        self.tbs = tiled.tile_barcodes * subtiles_per_super
+        self.tile_barcodes = tiled.tile_barcodes
+        self.chunk_calls = tiled.chunk_calls
+        self.n_chunks = tiled.n_chunks
+
+    def logits(self, genotype_prob, interpret: bool = False):
+        """Fused-kernel logits [n_barcodes, n_pseudogenotypes]."""
+        # Mosaic kernels only compile for TPU; elsewhere run the interpreter
+        interpret = interpret or jax.default_backend() != "tpu"
+        out = _tiled_logits(
+            genotype_prob,
+            self.mixing_p,
+            self.penalties_p,
+            self.vid,
+            self.cb_local,
+            self.q,
+            self.chunk_bounds,
+            self.chunk_suboff,
+            n_super=self.n_super,
+            tbs=self.tbs,
+            tb=self.tile_barcodes,
+            tc=self.chunk_calls,
+            interpret=interpret,
+        )
+        return out[: self.n_barcodes, : self.n_pseudogenotypes]
 
 
 def barcode_logits_tiled(
@@ -135,42 +262,15 @@ def barcode_logits_tiled(
     tiled: TiledCalls,
     interpret: bool = False,
 ):
-    """Run the fused kernel over a host-tiled call layout.
-
-    Returns logits [n_barcodes, n_pseudogenotypes] (lane padding stripped).
-    """
-    # Mosaic kernels only compile for TPU; elsewhere run the interpreter
-    interpret = interpret or jax.default_backend() != "tpu"
-    pg = mixing.shape[1]
-    pgp = _round_up(pg, LANE)
-    mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
-    mixing_p[:, :pg] = mixing
-    penalties_p = np.zeros((1, pgp), dtype=np.float32)
-    penalties_p[0, :pg] = penalties
-
-    out = _tiled_logits(
-        genotype_prob,
-        jnp.asarray(mixing_p),
-        jnp.asarray(penalties_p),
-        jnp.asarray(tiled.vid),
-        jnp.asarray(tiled.cb_local),
-        jnp.asarray(tiled.q),
-        jnp.asarray(tiled.chunk2tile),
-        n_barcodes=tiled.n_barcodes,
-        n_tiles=tiled.n_tiles,
-        tb=tiled.tile_barcodes,
-        tc=tiled.chunk_calls,
-        n_chunks=tiled.n_chunks,
-        interpret=interpret,
-    )
-    return out[: tiled.n_barcodes, :pg]
+    """One-shot convenience wrapper around :class:`TiledDeviceCalls`."""
+    return TiledDeviceCalls(mixing, penalties, tiled).logits(genotype_prob, interpret=interpret)
 
 
 def barcode_logits_pallas(genotype_prob, mixing, penalties, variant_id, cb, q, n_barcodes):
     """Drop-in XLA-path fallback signature (flat sorted arrays).
 
-    Prefer ``barcode_logits_tiled`` with a host-precomputed TiledCalls — this
-    wrapper exists so code paths that only have flat arrays keep working.
+    Prefer ``TiledDeviceCalls`` with a host-precomputed layout — this wrapper
+    exists so code paths that only have flat arrays keep working.
     """
     from . import likelihood as L
 

@@ -1,0 +1,88 @@
+"""Native C++ scanner vs the Python scanner: exact output parity."""
+import functools
+import shutil
+
+import numpy as np
+import pytest
+
+from demuxalot_tpu import BarcodeHandler
+from demuxalot_tpu.frontend.snp_counter import count_snps
+from demuxalot_tpu.sim import generate_bam_file
+
+gxx_available = shutil.which("g++") is not None
+
+
+def _assert_calls_equal(a, b):
+    assert a.n_molecules == b.n_molecules
+    assert a.n_snp_calls == b.n_snp_calls
+    for field in ("compressed_cb", "compressed_ub"):
+        np.testing.assert_array_equal(a.molecules[field], b.molecules[field])
+    np.testing.assert_allclose(
+        a.molecules["p_group_misaligned"], b.molecules["p_group_misaligned"], rtol=1e-6
+    )
+    for field in ("molecule_index", "snp_position", "base_index"):
+        np.testing.assert_array_equal(a.snp_calls[field], b.snp_calls[field])
+    np.testing.assert_allclose(a.snp_calls["p_base_wrong"], b.snp_calls["p_base_wrong"], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def bam_problem(tmp_path_factory):
+    np.random.seed(21)
+    filename = str(tmp_path_factory.mktemp("bam") / "n.bam")
+    filename, genotypes, _ids, names = generate_bam_file(
+        filename, n_genotypes=5, n_barcodes=150, n_reads_per_barcode=40,
+        chromosome2length={"chr1": 900, "chr2": 700},
+    )
+    return filename, genotypes, BarcodeHandler(list(names))
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_native_matches_python_exactly(bam_problem):
+    filename, genotypes, bh = bam_problem
+    c2p = genotypes.get_chromosome2positions()
+    python_calls = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0, native=False)
+    native_calls = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0, native=True)
+    assert set(python_calls) == set(native_calls)
+    for chrom in python_calls:
+        _assert_calls_equal(native_calls[chrom], python_calls[chrom])
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_native_multithreaded_matches(bam_problem):
+    filename, genotypes, bh = bam_problem
+    c2p = genotypes.get_chromosome2positions()
+    one = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0, native=True)
+    many = count_snps(filename, c2p, bh, joblib_n_jobs=4, joblib_verbosity=0, native=True)
+    for chrom in one:
+        _assert_calls_equal(one[chrom], many[chrom])
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_native_custom_umi_tag_via_partial(bam_problem):
+    """functools.partial over the standard filter stays on the native path."""
+    from demuxalot_tpu.frontend.cellranger import parse_read
+
+    filename, genotypes, bh = bam_problem
+    c2p = genotypes.get_chromosome2positions()
+    custom = functools.partial(parse_read, umi_tag="UB", mapq_threshold=10)
+    a = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0,
+                   parse_read=custom, native=True)
+    b = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0,
+                   parse_read=custom, native=False)
+    for chrom in a:
+        _assert_calls_equal(a[chrom], b[chrom])
+
+
+def test_custom_callable_falls_back(bam_problem):
+    """An arbitrary parse_read callable must silently use the Python scanner."""
+    from demuxalot_tpu.frontend.cellranger import parse_read
+
+    filename, genotypes, bh = bam_problem
+    c2p = genotypes.get_chromosome2positions()
+    custom = lambda read: parse_read(read)
+    calls = count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0,
+                       parse_read=custom)
+    assert sum(c.n_snp_calls for c in calls.values()) > 0
+    with pytest.raises(RuntimeError):
+        count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0,
+                   parse_read=custom, native=True)
