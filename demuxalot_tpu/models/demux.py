@@ -209,10 +209,20 @@ class Demultiplexer:
         vid_v, cb_v, q_v = jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
 
         pallas_forward = None
+        pallas_mstep = None
         if Demultiplexer._resolve_use_pallas() and not Demultiplexer.aggregate_on_snps:
+            from ..ops.pallas_mstep import TiledMstepCalls
+
             pallas_forward = _PallasLogits(
                 barcode_calls, n_barcodes, mixing, penalties,
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+            )
+            vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
+            pallas_mstep = TiledMstepCalls(
+                barcode_calls["variant_id"].astype(np.int32)[vorder],
+                barcode_calls["compressed_cb"].astype(np.int32)[vorder],
+                barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
+                n_variants,
             )
 
         genotype_addition = np.zeros_like(prior_betas)
@@ -268,15 +278,24 @@ class Demultiplexer:
             # yielding here provides aligned posteriors for genotypes and barcodes
             yield barcode_posterior_probs_df, debug_information
 
-            genotype_addition = np.asarray(
-                _mstep(
-                    jnp.asarray(barcode_posterior_probs),
-                    vid_v, cb_v, q_v,
-                    n_variants=n_variants, n_genotypes=n_genotypes,
-                    contribution_power=float(Demultiplexer.contribution_power),
-                    call_chunk=Demultiplexer.call_chunk,
+            if pallas_mstep is not None:
+                genotype_addition = np.asarray(
+                    pallas_mstep.addition(
+                        jnp.asarray(barcode_posterior_probs),
+                        n_genotypes=n_genotypes,
+                        contribution_power=float(Demultiplexer.contribution_power),
+                    )
                 )
-            )
+            else:
+                genotype_addition = np.asarray(
+                    _mstep(
+                        jnp.asarray(barcode_posterior_probs),
+                        vid_v, cb_v, q_v,
+                        n_variants=n_variants, n_genotypes=n_genotypes,
+                        contribution_power=float(Demultiplexer.contribution_power),
+                        call_chunk=Demultiplexer.call_chunk,
+                    )
+                )
 
     @staticmethod
     def predict_posteriors(

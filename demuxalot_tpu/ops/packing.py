@@ -263,14 +263,17 @@ def device_pack_barcode_calls(
     n_barcodes: int,
     n_shards: int = 1,
     pad_multiple: int = 1024,
+    barcodes_per_shard: Optional[int] = None,
 ) -> DeviceCalls:
     """Lay out collapsed barcode calls for the device kernels."""
     vid = barcode_calls["variant_id"].astype(np.int32)
     cb = barcode_calls["compressed_cb"].astype(np.int32)
     q = barcode_calls["p_base_wrong"].astype(np.float32)
 
-    n_barcodes_padded = _round_up(max(n_barcodes, n_shards), n_shards)
-    per_shard_b = n_barcodes_padded // n_shards
+    if barcodes_per_shard is None:
+        barcodes_per_shard = _round_up(max(n_barcodes, n_shards), n_shards) // n_shards
+    per_shard_b = barcodes_per_shard
+    assert per_shard_b * n_shards >= n_barcodes
 
     order_b = np.argsort(cb, kind="stable")
     cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]

@@ -77,8 +77,10 @@ def _likelihood_kernel(
 
     out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
 
-    for d in dmas(0, 0):
-        d.start()
+    @pl.when(n > 0)
+    def _warmup():
+        for d in dmas(0, 0):
+            d.start()
 
     def body(ci, _):
         slot = jax.lax.rem(ci, 2)
@@ -118,11 +120,7 @@ def _likelihood_kernel(
     jax.lax.fori_loop(0, n, body, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_super", "tbs", "tb", "tc", "interpret"),
-)
-def _tiled_logits(
+def tiled_logits_impl(
     genotype_prob,  # f32 [V, D]
     mixing_p,  # f32 [D, PGp] (lane-padded)
     penalties_p,  # f32 [1, PGp]
@@ -138,6 +136,7 @@ def _tiled_logits(
     tc: int,
     interpret: bool = False,
 ):
+    """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
     d = genotype_prob.shape[1]
     pgp = mixing_p.shape[1]
     # XLA gather feeds the kernel; transposed so the big call axis is on lanes
@@ -179,6 +178,11 @@ def _tiled_logits(
         interpret=interpret,
     )(chunk_bounds, chunk_suboff, gathered_t, cb_local, q, mixing_p, penalties_p)
     return out
+
+
+_tiled_logits = functools.partial(
+    jax.jit, static_argnames=("n_super", "tbs", "tb", "tc", "interpret")
+)(tiled_logits_impl)
 
 
 class TiledDeviceCalls:

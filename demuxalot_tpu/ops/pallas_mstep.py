@@ -1,0 +1,281 @@
+"""Fused Pallas TPU kernel for the EM M-step sufficient statistics.
+
+Computes ``addition[v, g] = Σ_{calls c with variant v} (post[cb_c, g]·(1−q_c))^p``
+(singlet posterior columns only; reference hot loop demuxalot/demux.py:113-118)
+without the XLA gather→power→scatter chain and its [n_calls, n_donors] HBM
+round-trips.
+
+Mirror of the likelihood kernel, one simplification: the segment axis
+(variants) is tiled at TV = one tile per grid step, so no within-tile offset
+bookkeeping is needed — each chunk's scatter-matmul lands on the whole
+resident output block:
+
+    per grid step (one tile of TV variants):
+      out[D, TV] = 0
+      for each call chunk of the tile (inner fori_loop, double-buffered DMA):
+        w   = (postᵀ[chunk]·(1−q))^p          # [D, TC], VPU
+        out += w · onehot(v_local)ᵀ           # [D, TV]  scatter-matmul, MXU
+
+Output is produced donor-major [D, n_variants] and transposed once by XLA.
+Calls arrive sorted by variant and padded per TV-variant tile
+(ops/tiling.py layout, segment axis = variants); padding rows carry q = 1 →
+weight 0, an exact no-op. Kernel grid = n_variants / TV stays small.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _mstep_kernel(
+    bounds_ref,  # SMEM scalar prefetch [n_tiles + 1]: chunk ranges per tile
+    wt_hbm,  # ANY [D, n_chunks*TC] gathered singlet posteriors (call-major lanes)
+    vl_hbm,  # ANY [1, n_chunks*TC] variant index within tile
+    q_hbm,  # ANY [1, n_chunks*TC]
+    out_ref,  # VMEM [D, TV] — this tile's addition block (donor-major)
+    wt_buf,  # VMEM scratch [2, D, TC]
+    vl_buf,  # VMEM scratch [2, 1, TC]
+    q_buf,  # VMEM scratch [2, 1, TC]
+    wt_sem,  # DMA sems [2]
+    vl_sem,
+    q_sem,
+    *,
+    tv: int,
+    tc: int,
+    power: float,
+):
+    t = pl.program_id(0)
+    lo = bounds_ref[t]
+    hi = bounds_ref[t + 1]
+    n = hi - lo
+
+    def dmas(slot, ci):
+        base = (lo + ci) * tc
+        return (
+            pltpu.make_async_copy(wt_hbm.at[:, pl.ds(base, tc)], wt_buf.at[slot], wt_sem.at[slot]),
+            pltpu.make_async_copy(vl_hbm.at[:, pl.ds(base, tc)], vl_buf.at[slot], vl_sem.at[slot]),
+            pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
+        )
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(n > 0)
+    def _warmup():
+        for d in dmas(0, 0):
+            d.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        next_slot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n)
+        def _prefetch():
+            for d in dmas(next_slot, ci + 1):
+                d.start()
+
+        for d in dmas(slot, ci):
+            d.wait()
+
+        q = q_buf[slot][0, :]
+        w = wt_buf[slot] * (1.0 - q)[None, :]
+        # padding rows (q == 1) must stay exactly zero for any power
+        w = jnp.where(q[None, :] >= 1.0, 0.0, w**power)  # [D, TC]
+
+        vl = vl_buf[slot][0, :]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, tc), 0)
+        onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, TC]
+        out_ref[:] += jax.lax.dot_general(
+            w, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def tiled_mstep_impl(
+    posterior,  # f32 [n_barcodes(+pad), n_pseudogenotypes]
+    cb_global,  # i32 [n_chunks * TC] barcode per call (variant-sorted layout)
+    vl,  # i32 [1, n_chunks * TC] variant index within tile
+    q,  # f32 [1, n_chunks * TC]
+    chunk_bounds,  # i32 [n_tiles + 1]
+    *,
+    n_variants: int,
+    n_genotypes: int,
+    tv: int,
+    tc: int,
+    contribution_power: float,
+    interpret: bool = False,
+):
+    """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
+    n_tiles = chunk_bounds.shape[0] - 1
+    # slice the singlet columns BEFORE gathering: XLA does not fuse a column
+    # slice into a row gather, and gathering full [N, n_pg] rows first is
+    # ~1000x slower on TPU (measured)
+    wt = posterior[:, :n_genotypes][cb_global].T  # [D, n_chunks*TC]
+    d = n_genotypes
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((d, tv), lambda t, *_: (0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, tc), jnp.float32),
+            pltpu.VMEM((2, 1, tc), jnp.int32),
+            pltpu.VMEM((2, 1, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_mstep_kernel, tv=tv, tc=tc, power=contribution_power)
+    n_chunks = q.shape[1] // tc
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, n_tiles * tv), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_chunks * 2 * d * tc * tv,
+            bytes_accessed=wt.size * 4 + n_tiles * d * tv * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_bounds, wt, vl, q)
+    return out[:, :n_variants].T  # [n_variants, D]
+
+
+_tiled_mstep = functools.partial(
+    jax.jit,
+    static_argnames=("n_variants", "n_genotypes", "tv", "tc", "contribution_power", "interpret"),
+)(tiled_mstep_impl)
+
+
+class ShardedMstepLayout:
+    """Per-shard M-step layouts with identical static dims (stacked on axis 0).
+
+    Each shard tiles its own calls over the (global) variant axis; barcode
+    indices are shard-LOCAL so the kernel reads only the local posterior
+    block inside shard_map. Chunk counts are padded to the max across shards
+    (padding attaches to the last tile, q = 1 rows are no-ops).
+    """
+
+    def __init__(
+        self,
+        cb_local: np.ndarray,  # i32 [n_calls] shard-local barcode per call
+        vid: np.ndarray,  # i32 [n_calls]
+        q: np.ndarray,  # f32 [n_calls]
+        shard_of_call: np.ndarray,  # i32 [n_calls]
+        n_shards: int,
+        n_variants: int,
+        tile_variants: int = 512,
+        chunk_calls: int = 512,
+    ):
+        per_shard = []
+        for s in range(n_shards):
+            sel = shard_of_call == s
+            order = np.argsort(vid[sel], kind="stable")
+            per_shard.append(
+                TiledMstepCalls(
+                    vid[sel][order], cb_local[sel][order], q[sel][order],
+                    n_variants, tile_variants=tile_variants, chunk_calls=chunk_calls,
+                )
+            )
+
+        n_chunks = max(t.n_chunks for t in per_shard)
+        width = n_chunks * chunk_calls
+        n_tiles = len(np.asarray(per_shard[0].chunk_bounds)) - 1
+        self.cb_global = np.zeros((n_shards, width), np.int32)
+        self.vl = np.zeros((n_shards, 1, width), np.int32)
+        self.q = np.ones((n_shards, 1, width), np.float32)
+        self.chunk_bounds = np.zeros((n_shards, n_tiles + 1), np.int32)
+        for s, t in enumerate(per_shard):
+            w = t.n_chunks * chunk_calls
+            self.cb_global[s, :w] = np.asarray(t.cb_global)
+            self.vl[s, 0, :w] = np.asarray(t.vl)[0]
+            self.q[s, 0, :w] = np.asarray(t.q)[0]
+            bounds = np.asarray(t.chunk_bounds).copy()
+            bounds[-1] = n_chunks  # padding chunks attach to the last tile
+            self.chunk_bounds[s] = bounds
+
+        self.n_variants = n_variants
+        self.tile_variants = tile_variants
+        self.chunk_calls = chunk_calls
+        self.n_chunks = n_chunks
+
+
+class TiledMstepCalls:
+    """Host layout for the M-step kernel: calls tiled on the variant axis."""
+
+    def __init__(
+        self,
+        variant_sorted_vid: np.ndarray,
+        variant_sorted_cb: np.ndarray,
+        variant_sorted_q: np.ndarray,
+        n_variants: int,
+        tile_variants: int = 512,
+        chunk_calls: int = 512,
+    ):
+        from .tiling import tile_barcode_calls
+
+        # reuse the segment-tiling machinery with variants as the segment axis;
+        # the "vid" payload slot carries the global barcode of each call
+        tiled = tile_barcode_calls(
+            variant_sorted_vid,
+            variant_sorted_cb,
+            variant_sorted_q,
+            n_variants,
+            tile_barcodes=tile_variants,
+            chunk_calls=chunk_calls,
+        )
+        chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
+        bounds = np.concatenate([[0], np.cumsum(chunks_per_tile)]).astype(np.int32)
+
+        # host copies; uploaded lazily (and only once) on first use
+        self.cb_global = tiled.vid
+        self.vl = tiled.cb_local
+        self.q = tiled.q
+        self.chunk_bounds = bounds
+        self._device_arrays = None
+        self.n_variants = n_variants
+        self.tile_variants = tile_variants
+        self.chunk_calls = chunk_calls
+        self.n_chunks = tiled.n_chunks
+
+    def _device(self):
+        if self._device_arrays is None:
+            self._device_arrays = tuple(
+                jnp.asarray(x) for x in (self.cb_global, self.vl, self.q, self.chunk_bounds)
+            )
+        return self._device_arrays
+
+    def addition(self, posterior, n_genotypes: int, contribution_power: float, interpret: bool = False):
+        interpret = interpret or jax.default_backend() != "tpu"
+        cb_global, vl, q, chunk_bounds = self._device()
+        return _tiled_mstep(
+            posterior,
+            cb_global,
+            vl,
+            q,
+            chunk_bounds,
+            n_variants=self.n_variants,
+            n_genotypes=n_genotypes,
+            tv=self.tile_variants,
+            tc=self.chunk_calls,
+            contribution_power=contribution_power,
+            interpret=interpret,
+        )

@@ -75,3 +75,108 @@ def tile_barcode_calls(
         tile_barcodes=TB,
         chunk_calls=TC,
     )
+
+
+@dataclass
+class ShardedTiledCalls:
+    """Per-shard tiled layouts with identical static dims (stacked on axis 0).
+
+    Shard s owns barcodes [s·Bp, (s+1)·Bp); its calls are tiled like
+    :func:`tile_barcode_calls` with chunk counts padded to the max across
+    shards (padding chunks attach to the last super-tile and carry q=1, an
+    exact no-op), so every shard runs the same kernel shape under shard_map.
+    """
+
+    vid: np.ndarray  # i32 [S, n_chunks * TC]
+    cb_local: np.ndarray  # i32 [S, 1, n_chunks * TC]
+    q: np.ndarray  # f32 [S, 1, n_chunks * TC]
+    chunk_bounds: np.ndarray  # i32 [S, n_super + 1]
+    chunk_suboff: np.ndarray  # i32 [S, n_chunks]
+    n_barcodes: int
+    n_barcodes_per_shard: int
+    n_shards: int
+    n_super: int
+    tbs: int
+    tile_barcodes: int
+    chunk_calls: int
+    n_chunks: int
+
+
+def tile_barcode_calls_sharded(
+    cb_sorted: np.ndarray,
+    vid_sorted: np.ndarray,
+    q_sorted: np.ndarray,
+    n_barcodes: int,
+    n_shards: int,
+    tile_barcodes: int = 32,
+    chunk_calls: int = 512,
+    subtiles_per_super: int = 0,
+    max_super_rows_bytes: int = 2_700_000,
+    pgp: int = 640,
+    barcodes_per_shard: int = 0,
+) -> ShardedTiledCalls:
+    """Shard barcode-sorted calls by barcode range, tiling each shard."""
+    TB, TC = tile_barcodes, chunk_calls
+    if barcodes_per_shard <= 0:
+        barcodes_per_shard = -(-max(n_barcodes, n_shards) // (n_shards * TB)) * TB
+    per_shard_b = barcodes_per_shard
+    assert per_shard_b % TB == 0, "barcodes_per_shard must be a multiple of tile_barcodes"
+    n_tiles = per_shard_b // TB
+
+    if subtiles_per_super <= 0:
+        max_rows = max(TB, (max_super_rows_bytes // 4) // pgp)
+        subtiles_per_super = min(max(1, max_rows // TB), n_tiles)
+    n_super = -(-n_tiles // subtiles_per_super)
+    tbs = TB * subtiles_per_super
+
+    shard_of_call = cb_sorted // per_shard_b
+    shard_bounds = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
+
+    per_shard = []
+    for s in range(n_shards):
+        lo, hi = shard_bounds[s], shard_bounds[s + 1]
+        local = tile_barcode_calls(
+            cb_sorted[lo:hi] - s * per_shard_b,
+            vid_sorted[lo:hi],
+            q_sorted[lo:hi],
+            per_shard_b,
+            tile_barcodes=TB,
+            chunk_calls=TC,
+        )
+        per_shard.append(local)
+
+    n_chunks = max(t.n_chunks for t in per_shard)
+    vid = np.zeros((n_shards, n_chunks * TC), np.int32)
+    cb_local = np.zeros((n_shards, 1, n_chunks * TC), np.int32)
+    q = np.ones((n_shards, 1, n_chunks * TC), np.float32)
+    chunk_bounds = np.zeros((n_shards, n_super + 1), np.int32)
+    chunk_suboff = np.zeros((n_shards, n_chunks), np.int32)
+
+    for s, local in enumerate(per_shard):
+        m = local.n_chunks
+        vid[s, : m * TC] = local.vid
+        cb_local[s, 0, : m * TC] = local.cb_local[0]
+        q[s, 0, : m * TC] = local.q[0]
+        chunks_per_tile = np.bincount(local.chunk2tile, minlength=n_tiles)
+        tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+        bounds = tile_starts[::subtiles_per_super].tolist()
+        if len(bounds) < n_super + 1 or bounds[-1] != m:
+            bounds = (bounds + [m] * (n_super + 1))[: n_super + 1]
+        # padding chunks attach to the last super-tile (q=1 rows, no-ops)
+        bounds[-1] = n_chunks
+        chunk_bounds[s] = bounds
+        chunk_suboff[s, :m] = local.chunk2tile % subtiles_per_super
+        # padded chunks keep suboff 0 (their calls contribute nothing)
+
+    return ShardedTiledCalls(
+        vid=vid, cb_local=cb_local, q=q,
+        chunk_bounds=chunk_bounds, chunk_suboff=chunk_suboff,
+        n_barcodes=n_barcodes,
+        n_barcodes_per_shard=per_shard_b,
+        n_shards=n_shards,
+        n_super=n_super,
+        tbs=tbs,
+        tile_barcodes=TB,
+        chunk_calls=TC,
+        n_chunks=n_chunks,
+    )

@@ -44,6 +44,36 @@ def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk):
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, shd, shd, shd),
         out_specs=(PSpec(BARCODE_AXIS, None), PSpec(BARCODE_AXIS, None)),
+        check_vma=False,  # chunked-scan carries mix varying/replicated values
+    )
+
+
+def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
+    """E-step with the fused Pallas kernel running per shard."""
+    from ..ops.pallas_likelihood import tiled_logits_impl
+
+    rep = PSpec()
+    shd = PSpec(BARCODE_AXIS)
+    st = sharded_tiled
+    interpret = jax.default_backend() != "tpu"
+
+    def estep(betas, variant2snp, mixing_p, penalties_p, vid, cb_local, q, bounds, suboff):
+        genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+        out = tiled_logits_impl(
+            genotype_prob, mixing_p, penalties_p,
+            vid[0], cb_local[0], q[0], bounds[0], suboff[0],
+            n_super=st.n_super, tbs=st.tbs, tb=st.tile_barcodes, tc=st.chunk_calls,
+            interpret=interpret,
+        )
+        logits = out[: st.n_barcodes_per_shard, :pg]
+        return logits, jax.nn.softmax(logits, axis=-1)
+
+    return shard_map(
+        estep,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shd, shd, shd, shd, shd),
+        out_specs=(PSpec(BARCODE_AXIS, None), PSpec(BARCODE_AXIS, None)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
 
 
@@ -63,6 +93,34 @@ def _build_mstep(mesh, n_variants, n_genotypes, contribution_power, call_chunk):
         mesh=mesh,
         in_specs=(PSpec(BARCODE_AXIS, None), shd, shd, shd),
         out_specs=rep,
+        check_vma=False,  # chunked-scan carries mix varying/replicated values
+    )
+
+
+def _build_mstep_pallas(mesh, layout, n_variants, n_genotypes, contribution_power):
+    """M-step with the fused Pallas kernel running per shard, psum-merged."""
+    from ..ops.pallas_mstep import tiled_mstep_impl
+
+    rep = PSpec()
+    shd = PSpec(BARCODE_AXIS)
+    interpret = jax.default_backend() != "tpu"
+
+    def mstep(posterior, cb_global, vl, q, bounds):
+        partial_addition = tiled_mstep_impl(
+            posterior, cb_global[0], vl[0], q[0], bounds[0],
+            n_variants=n_variants, n_genotypes=n_genotypes,
+            tv=layout.tile_variants, tc=layout.chunk_calls,
+            contribution_power=contribution_power,
+            interpret=interpret,
+        )
+        return jax.lax.psum(partial_addition, BARCODE_AXIS)
+
+    return shard_map(
+        mstep,
+        mesh=mesh,
+        in_specs=(PSpec(BARCODE_AXIS, None), shd, shd, shd, shd),
+        out_specs=rep,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
 
 
@@ -71,6 +129,9 @@ class ShardedDemultiplexer:
 
     contribution_power = 2.0
     call_chunk = L.DEFAULT_CALL_CHUNK
+    use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
+    pallas_tile_barcodes = 32
+    pallas_chunk_calls = 512
 
     def __init__(self, mesh: Optional[Mesh] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -79,10 +140,21 @@ class ShardedDemultiplexer:
     def n_shards(self) -> int:
         return self.mesh.devices.size
 
+    def _resolve_use_pallas(self) -> bool:
+        flag = self.use_pallas
+        if flag is None:
+            return jax.default_backend() == "tpu"
+        return bool(flag)
+
     # -- data placement ----------------------------------------------------
-    def _shard_inputs(self, barcode_calls, n_barcodes):
+    def _barcodes_per_shard(self, n_barcodes: int) -> int:
+        tb = self.pallas_tile_barcodes
+        return -(-max(n_barcodes, self.n_shards) // (self.n_shards * tb)) * tb
+
+    def _shard_inputs(self, barcode_calls, n_barcodes, mixing=None, penalties=None, n_variants=None):
+        per_shard = self._barcodes_per_shard(n_barcodes)
         device = P.device_pack_barcode_calls(
-            barcode_calls, n_barcodes, n_shards=self.n_shards
+            barcode_calls, n_barcodes, n_shards=self.n_shards, barcodes_per_shard=per_shard
         )
         shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
         put = lambda x: jax.device_put(x, shd)
@@ -90,11 +162,93 @@ class ShardedDemultiplexer:
             vid_b=put(device.vid_b), cb_b=put(device.cb_b), q_b=put(device.q_b),
             vid_v=put(device.vid_v), cb_v=put(device.cb_v), q_v=put(device.q_v),
         )
-        return device, arrays
+
+        tiled = None
+        if self._resolve_use_pallas() and mixing is not None:
+            from ..ops.pallas_likelihood import LANE, _round_up
+            from ..ops.tiling import tile_barcode_calls_sharded
+
+            cb = barcode_calls["compressed_cb"].astype(np.int32)
+            order = np.argsort(cb, kind="stable")
+            pg = mixing.shape[1]
+            pgp = _round_up(pg, LANE)
+            tiled = tile_barcode_calls_sharded(
+                cb[order],
+                barcode_calls["variant_id"].astype(np.int32)[order],
+                barcode_calls["p_base_wrong"].astype(np.float32)[order],
+                n_barcodes,
+                n_shards=self.n_shards,
+                tile_barcodes=self.pallas_tile_barcodes,
+                chunk_calls=self.pallas_chunk_calls,
+                pgp=pgp,
+                barcodes_per_shard=per_shard,
+            )
+            mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
+            mixing_p[:, :pg] = mixing
+            penalties_p = np.zeros((1, pgp), dtype=np.float32)
+            penalties_p[0, :pg] = penalties
+            arrays.update(
+                pallas_vid=put(tiled.vid),
+                pallas_cbl=put(tiled.cb_local),
+                pallas_q=put(tiled.q),
+                pallas_bounds=put(tiled.chunk_bounds),
+                pallas_suboff=put(tiled.chunk_suboff),
+            )
+            rep = jax.sharding.NamedSharding(self.mesh, PSpec())
+            arrays["pallas_mixing_p"] = jax.device_put(mixing_p, rep)
+            arrays["pallas_penalties_p"] = jax.device_put(penalties_p, rep)
+
+        if self._resolve_use_pallas() and n_variants is not None:
+            # M-step kernel layout (variant-tiled per shard, local barcodes)
+            from ..ops.pallas_mstep import ShardedMstepLayout
+
+            cb = barcode_calls["compressed_cb"].astype(np.int32)
+            shard_of_call = cb // per_shard
+            mlayout = ShardedMstepLayout(
+                cb_local=(cb - shard_of_call * per_shard).astype(np.int32),
+                vid=barcode_calls["variant_id"].astype(np.int32),
+                q=barcode_calls["p_base_wrong"].astype(np.float32),
+                shard_of_call=shard_of_call,
+                n_shards=self.n_shards,
+                n_variants=n_variants,
+            )
+            arrays.update(
+                mstep_cb=put(mlayout.cb_global),
+                mstep_vl=put(mlayout.vl),
+                mstep_q=put(mlayout.q),
+                mstep_bounds=put(mlayout.chunk_bounds),
+            )
+            arrays["mstep_layout"] = mlayout
+
+        return device, arrays, tiled
 
     def _replicate(self, *xs):
         rep = jax.sharding.NamedSharding(self.mesh, PSpec())
         return [jax.device_put(np.asarray(x), rep) for x in xs]
+
+    def _make_estep(self, device, arrays, tiled, n_snps, p_genotype_clip, pg, mix_r=None, pen_r=None):
+        """Build the jitted E-step and its trailing argument list.
+
+        The returned callable takes (betas, variant2snp, *args).
+        """
+        if tiled is not None:
+            estep = jax.jit(
+                _build_estep_pallas(self.mesh, n_snps, p_genotype_clip, tiled, pg)
+            )
+            args = (
+                arrays["pallas_mixing_p"], arrays["pallas_penalties_p"],
+                arrays["pallas_vid"], arrays["pallas_cbl"], arrays["pallas_q"],
+                arrays["pallas_bounds"], arrays["pallas_suboff"],
+            )
+        else:
+            estep = jax.jit(
+                _build_estep(
+                    self.mesh, n_snps, device.n_barcodes_per_shard,
+                    p_genotype_clip, self.call_chunk,
+                )
+            )
+            args = (mix_r, pen_r, arrays["vid_b"], arrays["cb_b"], arrays["q_b"])
+        return estep, args
 
     # -- public API --------------------------------------------------------
     def predict_posteriors(
@@ -113,13 +267,13 @@ class ShardedDemultiplexer:
         )
         n_snps = int(variant2snp.max()) + 1 if len(variant2snp) else 0
         n_barcodes = barcode_handler.n_barcodes
-        device, arrays = self._shard_inputs(barcode_calls, n_barcodes)
+        device, arrays, tiled = self._shard_inputs(barcode_calls, n_barcodes, mixing, penalties)
         betas_r, v2s_r, mix_r, pen_r = self._replicate(prior_betas, variant2snp, mixing, penalties)
 
-        estep = jax.jit(
-            _build_estep(self.mesh, n_snps, device.n_barcodes_per_shard, p_genotype_clip, self.call_chunk)
+        estep, estep_args = self._make_estep(
+            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r
         )
-        logits, probs = estep(betas_r, v2s_r, mix_r, pen_r, arrays["vid_b"], arrays["cb_b"], arrays["q_b"])
+        logits, probs = estep(betas_r, v2s_r, *estep_args)
         logits = np.asarray(logits)[:n_barcodes]
         probs = np.asarray(probs)[:n_barcodes]
 
@@ -151,15 +305,31 @@ class ShardedDemultiplexer:
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
 
-        device, arrays = self._shard_inputs(barcode_calls, n_barcodes)
+        device, arrays, tiled = self._shard_inputs(
+            barcode_calls, n_barcodes, mixing, penalties, n_variants=n_variants
+        )
         betas_r, v2s_r, mix_r, pen_r = self._replicate(prior_betas, variant2snp, mixing, penalties)
 
-        estep = jax.jit(
-            _build_estep(self.mesh, n_snps, device.n_barcodes_per_shard, p_genotype_clip, self.call_chunk)
+        estep, estep_args = self._make_estep(
+            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r
         )
-        mstep = jax.jit(
-            _build_mstep(self.mesh, n_variants, n_genotypes, float(self.contribution_power), self.call_chunk)
-        )
+        if "mstep_layout" in arrays:
+            mstep = jax.jit(
+                _build_mstep_pallas(
+                    self.mesh, arrays["mstep_layout"], n_variants, n_genotypes,
+                    float(self.contribution_power),
+                )
+            )
+            mstep_args = (
+                arrays["mstep_cb"], arrays["mstep_vl"], arrays["mstep_q"], arrays["mstep_bounds"],
+            )
+        else:
+            mstep = jax.jit(
+                _build_mstep(
+                    self.mesh, n_variants, n_genotypes, float(self.contribution_power), self.call_chunk
+                )
+            )
+            mstep_args = (arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
 
         prior_sharding = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS, None))
         if barcode_prior_logits is not None:
@@ -172,10 +342,7 @@ class ShardedDemultiplexer:
         addition_r = self._replicate(genotype_addition)[0]
 
         for iteration in range(n_iterations):
-            logits_dev, probs_dev = estep(
-                betas_r + addition_r, v2s_r, mix_r, pen_r,
-                arrays["vid_b"], arrays["cb_b"], arrays["q_b"],
-            )
+            logits_dev, probs_dev = estep(betas_r + addition_r, v2s_r, *estep_args)
             if iteration == 0 and barcode_prior_logits is not None:
                 logits_dev = logits_dev + prior_dev
                 probs_dev = jax.nn.softmax(logits_dev, axis=-1)
@@ -191,7 +358,7 @@ class ShardedDemultiplexer:
             }
             yield probs_df, debug_information
 
-            addition_r = mstep(probs_dev, arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
+            addition_r = mstep(probs_dev, *mstep_args)
 
     def learn_genotypes(
         self,

@@ -103,3 +103,29 @@ def test_demultiplexer_pallas_path_matches_xla(tmp_path):
     np.testing.assert_allclose(logits_p.values, logits_x.values, rtol=1e-4, atol=5e-3)
     np.testing.assert_allclose(probs_p.values, probs_x.values, atol=1e-5)
     np.testing.assert_allclose(lp.variant_betas, lx.variant_betas, rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_mstep_matches_oracle():
+    from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
+    from oracle import oracle_mstep
+
+    rng = np.random.RandomState(13)
+    n_variants, n_donors, n_barcodes, n_calls = 300, 6, 150, 20000
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    cb = rng.randint(0, n_barcodes, n_calls).astype(np.int32)
+    q = (rng.rand(n_calls) * 0.7).astype(np.float32)
+    n_pg = n_donors + n_donors * (n_donors - 1) // 2
+    post = rng.rand(n_barcodes, n_pg).astype(np.float32)
+    post /= post.sum(axis=1, keepdims=True)
+
+    order = np.argsort(vid, kind="stable")
+    layout = TiledMstepCalls(
+        vid[order], cb[order], q[order], n_variants, tile_variants=64, chunk_calls=128
+    )
+    for power in (2.0, 1.0):
+        ours = np.asarray(
+            layout.addition(jnp.asarray(post), n_genotypes=n_donors,
+                            contribution_power=power, interpret=True)
+        )
+        ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, power)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

@@ -87,3 +87,39 @@ def test_sharded_em_with_prior_logits(small_problem):
     )
     np.testing.assert_allclose(probs8.values, probs1.values, atol=1e-4)
     np.testing.assert_allclose(learnt8.variant_betas, learnt1.variant_betas, rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_pallas_estep_matches(small_problem):
+    """Force the per-shard Pallas kernel (interpret on CPU) across 8 devices."""
+    genotypes, barcode_handler, calls = small_problem
+    logits1, probs1 = Demultiplexer.predict_posteriors(
+        calls, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    sharded = ShardedDemultiplexer(make_mesh())
+    try:
+        sharded.use_pallas = True
+        logits8, probs8 = sharded.predict_posteriors(
+            calls, genotypes, barcode_handler, doublet_prior=0.35
+        )
+        learnt8, probsL8 = sharded.learn_genotypes(calls, genotypes, barcode_handler, n_iterations=2)
+    finally:
+        sharded.use_pallas = None
+    np.testing.assert_allclose(logits8.values, logits1.values, rtol=1e-4, atol=5e-3)
+    assert (probs1.idxmax(axis=1) == probs8.idxmax(axis=1)).all()
+
+    learnt1, probsL1 = Demultiplexer.learn_genotypes(calls, genotypes, barcode_handler, n_iterations=2)
+    np.testing.assert_allclose(learnt8.variant_betas, learnt1.variant_betas, rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_scan_path(small_problem):
+    """Force the chunked-scan code path (n_calls > call_chunk) under shard_map."""
+    genotypes, barcode_handler, calls = small_problem
+    learnt1, probs1 = Demultiplexer.learn_genotypes(calls, genotypes, barcode_handler, n_iterations=2)
+    sharded = ShardedDemultiplexer(make_mesh())
+    try:
+        sharded.call_chunk = 256  # far below the call count
+        learnt8, probs8 = sharded.learn_genotypes(calls, genotypes, barcode_handler, n_iterations=2)
+    finally:
+        sharded.call_chunk = type(sharded).call_chunk
+    np.testing.assert_allclose(probs8.values, probs1.values, atol=1e-4)
+    np.testing.assert_allclose(learnt8.variant_betas, learnt1.variant_betas, rtol=1e-4, atol=1e-2)
