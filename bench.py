@@ -107,6 +107,7 @@ def main():
 
     # --- Pallas path (TPU only) -------------------------------------------
     pallas_time = None
+    em_iter_time = None
     if backend == "tpu":
         try:
             tiled = tile_barcode_calls(cb[order], vid[order], q[order], N_BARCODES)
@@ -114,6 +115,23 @@ def main():
             pallas_time = measure(lambda: dev.logits(gp_dev))
         except Exception as e:
             print(f"# pallas path failed: {e}", file=sys.stderr)
+
+        try:
+            from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
+
+            vorder = np.argsort(vid, kind="stable")
+            mlayout = TiledMstepCalls(
+                vid[vorder], cb[vorder], q[vorder], betas.shape[0]
+            )
+
+            def em_iteration():
+                logits = dev.logits(gp_dev)
+                probs = jax.nn.softmax(logits, axis=-1)
+                return mlayout.addition(probs, N_DONORS, 2.0)
+
+            em_iter_time = measure(em_iteration)
+        except Exception as e:
+            print(f"# em path failed: {e}", file=sys.stderr)
 
     best_time = min(t for t in (xla_time, pallas_time) if t is not None)
     device_rate = evals / best_time
@@ -140,6 +158,8 @@ def main():
             "n_snps": N_SNPS,
             "xla_time_s": round(xla_time, 4),
             "pallas_time_s": round(pallas_time, 4) if pallas_time else None,
+            "em_iteration_s": round(em_iter_time, 4) if em_iter_time else None,
+            "em_barcodes_per_s": round(N_BARCODES / em_iter_time, 1) if em_iter_time else None,
             "baseline_numpy_evals_per_s": round(baseline_rate, 1),
         },
     }

@@ -257,6 +257,16 @@ int32_t umi_hash(const std::string& s) {
   return (int32_t)r;
 }
 
+// qual -> 0.1^(0.1*min(qual,40)), precomputed with the identical pow call so
+// results are bit-equal to the direct computation
+struct QualTable {
+  double factor[256];
+  QualTable() {
+    for (int q = 0; q < 256; q++) factor[q] = std::pow(0.1, 0.1 * std::min(q, 40));
+  }
+};
+const QualTable kQualTable;
+
 // consensus-call one molecule; matches compress_molecule_reads_to_snips
 void consensus_and_emit(int32_t cb, int32_t ub, MoleculeGroup& group,
                         const SnpLookup& lookup, ScanResult& out) {
@@ -266,6 +276,19 @@ void consensus_and_emit(int32_t cb, int32_t ub, MoleculeGroup& group,
     span_end = std::max(span_end, r.end);
   }
   if (!lookup.any_in(span_start, span_end + 1)) return;
+
+  // fast path: one read per molecule (the common case) — every covered
+  // position yields exactly one candidate base, no conflict handling needed
+  if (group.reads.size() == 1) {
+    auto& r = group.reads[0];
+    if (r.snps.empty()) return;
+    int32_t mol_index = (int32_t)out.molecules.size();
+    out.molecules.push_back({cb, ub, (float)r.p_misaligned});
+    for (auto& s : r.snps) {
+      out.calls.push_back({mol_index, s[0], (uint8_t)s[1], (float)kQualTable.factor[s[2] & 0xff]});
+    }
+    return;
+  }
 
   double p_group_misaligned = 1.0;
   // duplicate skip by exact (start, end, AS) triple
@@ -286,7 +309,7 @@ void consensus_and_emit(int32_t cb, int32_t ub, MoleculeGroup& group,
     for (auto& s : r.snps) {
       auto& bases = pos2bases[s[0]];
       if (bases.empty()) positions_order.push_back(s[0]);
-      double factor = std::pow(0.1, 0.1 * std::min(s[2], 40));
+      double factor = kQualTable.factor[s[2] & 0xff];
       bool found = false;
       for (auto& bp : bases) {
         if (bp.first == s[1]) {
@@ -300,26 +323,27 @@ void consensus_and_emit(int32_t cb, int32_t ub, MoleculeGroup& group,
   }
 
   // emit consensus calls
-  std::vector<std::array<double, 3>> emitted;  // pos, base, p_wrong
+  int32_t mol_index = -1;
   for (int32_t pos : positions_order) {
     auto& bases = pos2bases[pos];
     if (bases.size() > 1) {
       double best = bases[0].second;
       for (auto& bp : bases) best = std::min(best, bp.second);
-      std::vector<std::pair<int, double>> kept;
+      size_t kept = 0;
+      int keep_base = 0;
+      double keep_p = 0;
       for (auto& bp : bases)
-        if (bp.second <= best * 1000.0) kept.push_back(bp);
-      bases.swap(kept);
+        if (bp.second <= best * 1000.0) { kept++; keep_base = bp.first; keep_p = bp.second; }
+      if (kept != 1) continue;
+      bases.resize(1);
+      bases[0] = {keep_base, keep_p};
     }
     if (bases.size() != 1) continue;
-    emitted.push_back({(double)pos, (double)bases[0].first, bases[0].second});
-  }
-  if (emitted.empty()) return;
-
-  int32_t mol_index = (int32_t)out.molecules.size();
-  out.molecules.push_back({cb, ub, (float)p_group_misaligned});
-  for (auto& e : emitted) {
-    out.calls.push_back({mol_index, (int32_t)e[0], (uint8_t)(int)e[1], (float)e[2]});
+    if (mol_index < 0) {
+      mol_index = (int32_t)out.molecules.size();
+      out.molecules.push_back({cb, ub, (float)p_group_misaligned});
+    }
+    out.calls.push_back({mol_index, pos, (uint8_t)bases[0].first, (float)bases[0].second});
   }
 }
 
