@@ -248,8 +248,9 @@ class ProbabilisticGenotypes:
         ]
         variantsA, variantsB = np.asarray(variants).T
 
-        logrratio = logrratio.values.clip(-10, 0)
-        b_allele_freq = b_allele_freq.values
+        # copy=True: pandas 3 returns read-only views from .values
+        logrratio = logrratio.to_numpy(copy=True).clip(-10, 0)
+        b_allele_freq = b_allele_freq.to_numpy(copy=True)
 
         undefined = ~(np.isfinite(logrratio) & np.isfinite(b_allele_freq))
         logrratio[undefined] = -20

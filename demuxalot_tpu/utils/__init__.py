@@ -9,12 +9,14 @@ from .encoding import (
 )
 from .files import as_str, download_file
 from .lookup import FeatureLookup
+from .profiling import Roofline, device_trace
 from .summary import compute_qualities, _compute_qualities, summarize_counted_SNPs
 from .timing import Timer
 
 __all__ = [
     "BarcodeHandler",
     "FeatureLookup",
+    "Roofline",
     "Timer",
     "as_str",
     "base_lookup",
@@ -22,6 +24,7 @@ __all__ = [
     "compress_bases_vectorized",
     "compute_qualities",
     "decompress_base",
+    "device_trace",
     "download_file",
     "fast_np_add_at_1d",
     "hash_string",
