@@ -4,7 +4,9 @@ from .snp_counter import (
     consensus_call_molecule,
     count_call_variants_for_chromosome,
     count_snps,
+    load_snp_counts,
     prepare_counting_tasks,
+    save_snp_counts,
 )
 
 __all__ = [
@@ -13,5 +15,7 @@ __all__ = [
     "consensus_call_molecule",
     "count_call_variants_for_chromosome",
     "count_snps",
+    "load_snp_counts",
+    "save_snp_counts",
     "prepare_counting_tasks",
 ]

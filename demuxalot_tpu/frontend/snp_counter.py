@@ -139,6 +139,20 @@ class CompressedSNPCalls:
         self._call_rows = []
         self._finalized = True
 
+    def save(self, path) -> None:
+        """Serialize to .npz (counting is expensive; results are reusable)."""
+        self.minimize_memory_footprint()
+        np.savez_compressed(path, molecules=self.molecules, snp_calls=self.snp_calls)
+
+    @staticmethod
+    def load(path) -> "CompressedSNPCalls":
+        data = np.load(path)
+        result = CompressedSNPCalls()
+        result.molecules = data["molecules"].view(MOLECULE_DTYPE).reshape(-1)
+        result.snp_calls = data["snp_calls"].view(SNP_CALL_DTYPE).reshape(-1)
+        result._finalized = True
+        return result
+
     @staticmethod
     def concatenate(snp_calls_list: List["CompressedSNPCalls"]) -> "CompressedSNPCalls":
         """Merge call sets from the same chromosome, re-basing molecule indices."""
@@ -284,6 +298,24 @@ def count_call_variants_for_chromosome(
     _flush_molecule_groups(np.inf, cbub2position_and_reads, compressed_snp_calls, snp_lookup)
     compressed_snp_calls.minimize_memory_footprint()
     return chromosome, compressed_snp_calls
+
+
+def save_snp_counts(chromosome2calls: Dict[str, CompressedSNPCalls], directory) -> None:
+    """Persist a count_snps result, one .npz per chromosome."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    for chromosome, calls in chromosome2calls.items():
+        calls.save(directory / f"{chromosome}.calls.npz")
+
+
+def load_snp_counts(directory) -> Dict[str, CompressedSNPCalls]:
+    """Load a directory written by :func:`save_snp_counts`."""
+    directory = Path(directory)
+    result = {}
+    for path in sorted(directory.glob("*.calls.npz")):
+        chromosome = path.name[: -len(".calls.npz")]
+        result[chromosome] = CompressedSNPCalls.load(path)
+    return result
 
 
 def count_snps(

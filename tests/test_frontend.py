@@ -144,3 +144,19 @@ def test_diagnostics_helpers(tmp_path):
     metrics = compute_qualities(probs, {"b1": ["D1"], "b2": ["D2"], "b3": ["D1", "D2"]})
     assert metrics["accuracy"] == 1.0
     assert metrics["logloss"] > 0
+
+
+def test_snp_counts_serialization(tmp_path):
+    from demuxalot_tpu.frontend.snp_counter import load_snp_counts, save_snp_counts
+
+    bam = str(tmp_path / "s.bam")
+    _write_bam(bam, [_read(i % 100, "A" * 50, cb="BC0-1", ub=f"UMI{i:07}999") for i in range(30)])
+    handler = BarcodeHandler(["BC0-1"])
+    calls = count_snps(bam, {"chr1": np.array([10, 60])}, handler,
+                       joblib_n_jobs=None, joblib_verbosity=0)
+    save_snp_counts(calls, tmp_path / "counts")
+    back = load_snp_counts(tmp_path / "counts")
+    assert set(back) == set(calls)
+    for chrom in calls:
+        np.testing.assert_array_equal(back[chrom].molecules, calls[chrom].molecules)
+        np.testing.assert_array_equal(back[chrom].snp_calls, calls[chrom].snp_calls)
