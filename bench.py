@@ -23,10 +23,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-N_DONORS = 32
-N_SNPS = 65_536
-N_BARCODES = 65_536
-CALLS_PER_BARCODE = 64  # ~4.2M calls
+import os
+
+N_DONORS = int(os.environ.get("DEMUX_BENCH_DONORS", 32))
+N_SNPS = int(os.environ.get("DEMUX_BENCH_SNPS", 65_536))
+N_BARCODES = int(os.environ.get("DEMUX_BENCH_BARCODES", 65_536))
+CALLS_PER_BARCODE = int(os.environ.get("DEMUX_BENCH_CALLS_PER_BARCODE", 64))  # ~4.2M calls
 DOUBLET_PRIOR = 0.35
 N_TIMING_ITERS = 5
 

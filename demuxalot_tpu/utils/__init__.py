@@ -13,6 +13,14 @@ from .profiling import Roofline, device_trace
 from .summary import compute_qualities, _compute_qualities, summarize_counted_SNPs
 from .timing import Timer
 
+
+def read_vcf_to_header_and_pandas(vcf_filename):
+    """Parity re-export; implementation lives in demuxalot_tpu.bamio.vcf."""
+    from ..bamio.vcf import read_vcf_to_header_and_pandas as _impl
+
+    return _impl(vcf_filename)
+
+
 __all__ = [
     "BarcodeHandler",
     "FeatureLookup",
@@ -28,5 +36,6 @@ __all__ = [
     "download_file",
     "fast_np_add_at_1d",
     "hash_string",
+    "read_vcf_to_header_and_pandas",
     "summarize_counted_SNPs",
 ]
