@@ -238,8 +238,7 @@ def _encode_tags(tags) -> bytes:
     for tag, value in tags:
         out.extend(tag.encode("ascii"))
         if isinstance(value, str):
-            if len(value) == 1 and tag in ():  # never auto-choose 'A'
-                pass
+            # strings always encode as 'Z'; single chars are never auto-'A'
             out.append(ord("Z"))
             out.extend(value.encode("ascii"))
             out.append(0)

@@ -71,17 +71,21 @@ def decompress_block(data: bytes, offset: int) -> Tuple[bytes, int]:
 class BgzfReader:
     """Random-access reader over a BGZF file.
 
-    Exposes both sequential ``read`` and virtual-offset ``seek`` (as needed by
-    BAI-driven region fetches). The whole compressed file is mapped into
-    memory (compressed BAMs are the on-disk format; decompression happens
-    per-block, cached).
+    Exposes both sequential ``read`` and virtual-offset ``seek`` (as needed
+    by BAI-driven region fetches). Blocks are read from disk and decompressed
+    on demand (a region-shard worker touching one genomic slice never pays
+    for the rest of a multi-GB BAM); decompressed blocks are cached.
     """
 
     def __init__(self, path_or_data: Union[str, Path, bytes]):
+        import io
+
         if isinstance(path_or_data, (str, Path)):
-            self._data = Path(path_or_data).read_bytes()
+            self._fh: BinaryIO = open(path_or_data, "rb")
         else:
-            self._data = bytes(path_or_data)
+            self._fh = io.BytesIO(bytes(path_or_data))
+        self._fh.seek(0, 2)
+        self._size = self._fh.tell()
         self._block_cache: dict = {}
         self._coffset = 0  # compressed offset of current block
         self._payload = b""
@@ -92,15 +96,47 @@ class BgzfReader:
             raise ValueError(f"not a BGZF file: {e}") from e
 
     # -- block management -------------------------------------------------
+    def _read_block_at(self, coffset: int) -> Tuple[bytes, int]:
+        """Read + decompress the block starting at ``coffset`` from disk."""
+        fh = self._fh
+        fh.seek(coffset)
+        head = fh.read(18)
+        if len(head) < 18:
+            raise EOFError("truncated BGZF block header")
+        id1, id2, cm, flg, _mtime, _xfl, _os, xlen = _HEADER.unpack_from(head, 0)
+        if id1 != 0x1F or id2 != 0x8B or cm != 8 or not (flg & 4):
+            raise ValueError("not a BGZF block (bad gzip header)")
+        extra = head[12:18]
+        if xlen > 6:
+            extra += fh.read(xlen - 6)
+        bsize = None
+        pos = 0
+        while pos + 4 <= len(extra):
+            si1, si2, slen = struct.unpack_from("<BBH", extra, pos)
+            if si1 == 66 and si2 == 67 and slen == 2:
+                (bsize_m1,) = struct.unpack_from("<H", extra, pos + 4)
+                bsize = bsize_m1 + 1
+            pos += 4 + slen
+        if bsize is None:
+            raise ValueError("gzip block without BGZF BC subfield")
+        cdata_len = bsize - 12 - xlen - 8
+        cdata = fh.read(cdata_len)
+        trailer = fh.read(8)
+        payload = zlib.decompress(cdata, wbits=-15)
+        (isize,) = struct.unpack_from("<I", trailer, 4)
+        if len(payload) != isize:
+            raise ValueError(f"BGZF ISIZE mismatch: {len(payload)} != {isize}")
+        return payload, bsize
+
     def _load_block(self, coffset: int) -> None:
-        if coffset >= len(self._data):
+        if coffset >= self._size:
             self._coffset = coffset
             self._payload = b""
             self._uoffset = 0
             return
         cached = self._block_cache.get(coffset)
         if cached is None:
-            payload, bsize = decompress_block(self._data, coffset)
+            payload, bsize = self._read_block_at(coffset)
             if len(self._block_cache) > 64:
                 self._block_cache.clear()
             self._block_cache[coffset] = (payload, bsize)
@@ -129,12 +165,12 @@ class BgzfReader:
             avail = len(self._payload) - self._uoffset
             if avail == 0:
                 next_off = self._coffset + getattr(self, "_bsize", 0)
-                if next_off >= len(self._data) or next_off == self._coffset:
+                if next_off >= self._size or next_off == self._coffset:
                     break
                 self._load_block(next_off)
                 if len(self._payload) == 0:  # EOF marker block
                     next_off = self._coffset + self._bsize
-                    if next_off >= len(self._data):
+                    if next_off >= self._size:
                         break
                     continue
                 continue
@@ -148,10 +184,8 @@ class BgzfReader:
         """Decompress the entire file (fast path for full streaming)."""
         chunks = []
         offset = 0
-        data = self._data
-        n = len(data)
-        while offset < n:
-            payload, bsize = decompress_block(data, offset)
+        while offset < self._size:
+            payload, bsize = self._read_block_at(offset)
             chunks.append(payload)
             offset += bsize
         return b"".join(chunks)

@@ -22,10 +22,20 @@ def try_count_snps_native(
 ):
     """Return per-chromosome CompressedSNPCalls via the C++ scanner, or None.
 
-    Falls back (returns None) when the native library is not built, when the
-    input is a multi-BAM dict, or when a custom ``parse_read`` callable is in
-    use (the native path only encodes the standard tag-based filter).
+    Falls back (returns None) when the native library is not built, when a
+    custom ``parse_read`` callable is in use (the native path only encodes
+    the standard tag-based filter), or when barcode identity includes the RG
+    tag on a single merged BAM (the C++ scanner does not read RG; multi-BAM
+    dict inputs are fine because the task planner hands each file a plain
+    string-keyed whitelist).
     """
+    if barcode_handler.use_rg and not isinstance(bamfile_location, dict):
+        if required:
+            raise RuntimeError(
+                "native=True cannot scan a single merged BAM with RG-based "
+                "barcode identities; pass a {rg: path} dict or use native=False"
+            )
+        return None
     try:
         from ..native import scanner  # noqa: F401
     except Exception:

@@ -200,13 +200,7 @@ class Demultiplexer:
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
 
-        device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-        prior_betas_dev = jnp.asarray(prior_betas)
         variant2snp_dev = jnp.asarray(variant2snp)
-        mixing_dev = jnp.asarray(mixing)
-        penalties_dev = jnp.asarray(penalties)
-        vid_b, cb_b, q_b = jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
-        vid_v, cb_v, q_v = jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
 
         pallas_forward = None
         pallas_mstep = None
@@ -223,6 +217,17 @@ class Demultiplexer:
                 barcode_calls["compressed_cb"].astype(np.int32)[vorder],
                 barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
                 n_variants,
+            )
+        else:
+            # flat dual-sort layout feeds the XLA segment-sum paths
+            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+            mixing_dev = jnp.asarray(mixing)
+            penalties_dev = jnp.asarray(penalties)
+            vid_b, cb_b, q_b = (
+                jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
+            )
+            vid_v, cb_v, q_v = (
+                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
             )
 
         genotype_addition = np.zeros_like(prior_betas)

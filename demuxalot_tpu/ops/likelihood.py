@@ -78,7 +78,8 @@ def pseudogenotype_mixing(
                     col[j] = 0.5
                     pair_cols.append(col)
                     names.append(f"{g1}+{g2}")
-        columns.append(np.stack(pair_cols, axis=1))
+        if pair_cols:  # a single donor has no doublet columns
+            columns.append(np.stack(pair_cols, axis=1))
     return np.concatenate(columns, axis=1), names
 
 

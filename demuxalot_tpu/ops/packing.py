@@ -264,8 +264,14 @@ def device_pack_barcode_calls(
     n_shards: int = 1,
     pad_multiple: int = 1024,
     barcodes_per_shard: Optional[int] = None,
+    build_arrays: bool = True,
 ) -> DeviceCalls:
-    """Lay out collapsed barcode calls for the device kernels."""
+    """Lay out collapsed barcode calls for the device kernels.
+
+    ``build_arrays=False`` returns only the sharding metadata (callers on
+    the Pallas path need the per-shard barcode geometry but not the flat
+    XLA layout, which would be dead weight in HBM).
+    """
     vid = barcode_calls["variant_id"].astype(np.int32)
     cb = barcode_calls["compressed_cb"].astype(np.int32)
     q = barcode_calls["p_base_wrong"].astype(np.float32)
@@ -274,6 +280,18 @@ def device_pack_barcode_calls(
         barcodes_per_shard = _round_up(max(n_barcodes, n_shards), n_shards) // n_shards
     per_shard_b = barcodes_per_shard
     assert per_shard_b * n_shards >= n_barcodes
+
+    if not build_arrays:
+        empty_i = np.empty(0, np.int32)
+        empty_f = np.empty(0, np.float32)
+        return DeviceCalls(
+            cb_b=empty_i, vid_b=empty_i, q_b=empty_f,
+            cb_v=empty_i, vid_v=empty_i, q_v=empty_f,
+            n_barcodes=n_barcodes,
+            n_barcodes_per_shard=per_shard_b,
+            per_shard_calls=0,
+            n_shards=n_shards,
+        )
 
     order_b = np.argsort(cb, kind="stable")
     cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]

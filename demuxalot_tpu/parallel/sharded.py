@@ -153,18 +153,23 @@ class ShardedDemultiplexer:
 
     def _shard_inputs(self, barcode_calls, n_barcodes, mixing=None, penalties=None, n_variants=None):
         per_shard = self._barcodes_per_shard(n_barcodes)
+        use_pallas = self._resolve_use_pallas() and mixing is not None
         device = P.device_pack_barcode_calls(
-            barcode_calls, n_barcodes, n_shards=self.n_shards, barcodes_per_shard=per_shard
+            barcode_calls, n_barcodes, n_shards=self.n_shards, barcodes_per_shard=per_shard,
+            build_arrays=not use_pallas,
         )
         shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
         put = lambda x: jax.device_put(x, shd)
-        arrays = dict(
-            vid_b=put(device.vid_b), cb_b=put(device.cb_b), q_b=put(device.q_b),
-            vid_v=put(device.vid_v), cb_v=put(device.cb_v), q_v=put(device.q_v),
-        )
+        arrays = {}
+        if not use_pallas:
+            # flat dual-sort layout feeds the XLA segment-sum paths
+            arrays.update(
+                vid_b=put(device.vid_b), cb_b=put(device.cb_b), q_b=put(device.q_b),
+                vid_v=put(device.vid_v), cb_v=put(device.cb_v), q_v=put(device.q_v),
+            )
 
         tiled = None
-        if self._resolve_use_pallas() and mixing is not None:
+        if use_pallas:
             from ..ops.pallas_likelihood import LANE, _round_up
             from ..ops.tiling import tile_barcode_calls_sharded
 

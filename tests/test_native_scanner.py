@@ -86,3 +86,37 @@ def test_custom_callable_falls_back(bam_problem):
     with pytest.raises(RuntimeError):
         count_snps(filename, c2p, bh, joblib_n_jobs=None, joblib_verbosity=0,
                    parse_read=custom, native=True)
+
+
+def test_rg_single_bam_falls_back_to_python(tmp_path):
+    """Single merged BAM + RG-based identities must not use the C++ scanner."""
+    from demuxalot_tpu.bamio import BamWriter, index_bam, sort_bam
+    from demuxalot_tpu.bamio.bam import AlignedRead
+
+    bam = str(tmp_path / "m.bam")
+    with BamWriter(bam, {"HD": {"VN": "1.0"}, "SQ": [dict(LN=300, SN="chr1")]}) as w:
+        for i in range(30):
+            a = AlignedRead()
+            a.query_name = f"r{i}"; a.flag = 0; a.reference_id = 0
+            a.reference_start = i; a.mapping_quality = 60
+            a.query_sequence = "A" * 50; a.cigar = ((0, 50),)
+            a.query_qualities = [30] * 50
+            a.tags = (("NH", 1), ("AS", 48), ("CB", "X-1"), ("UB", f"UMI{i:05}AA7"), ("RG", "L1"))
+            w.write(a)
+    sort_bam(bam, bam); index_bam(bam)
+
+    handler = BarcodeHandler(["X-1"], RG_tags=["L1"])
+    calls = count_snps(bam, {"chr1": np.array([10])}, handler,
+                       joblib_n_jobs=None, joblib_verbosity=0)  # native=None auto
+    assert calls["chr1"].n_snp_calls > 0, "RG path must fall back to the Python scanner"
+    with pytest.raises(RuntimeError):
+        count_snps(bam, {"chr1": np.array([10])}, handler,
+                   joblib_n_jobs=None, joblib_verbosity=0, native=True)
+
+
+def test_single_donor_doublet_prior_no_crash():
+    from demuxalot_tpu.ops import likelihood as L
+
+    mixing, names = L.pseudogenotype_mixing(["OnlyDonor"], doublet_prior=0.35)
+    assert names == ["OnlyDonor"]
+    assert mixing.shape == (1, 1)
