@@ -41,3 +41,34 @@ def init_distributed(**kwargs) -> None:
     multi-host pod slice; single-host usage needs nothing.
     """
     jax.distributed.initialize(**kwargs)
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-host) sharding.
+
+    Single-process meshes use a plain device_put; on multi-host meshes each
+    process contributes the shards it can address (every process must hold
+    the same logical array — host-local loading of only-your-shard data can
+    pass a callback-compatible view instead).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def to_host(x):
+    """Fetch a device array to host numpy, multi-host safe.
+
+    Replicated or sharded global arrays on non-addressable meshes are
+    reassembled via allgather across processes.
+    """
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -24,7 +24,7 @@ from jax import shard_map
 
 from ..ops import likelihood as L
 from ..ops import packing as P
-from .mesh import BARCODE_AXIS, make_mesh
+from .mesh import BARCODE_AXIS, make_mesh, put_global, to_host
 
 
 def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk):
@@ -159,7 +159,7 @@ class ShardedDemultiplexer:
             build_arrays=not use_pallas,
         )
         shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
-        put = lambda x: jax.device_put(x, shd)
+        put = lambda x: put_global(x, shd)
         arrays = {}
         if not use_pallas:
             # flat dual-sort layout feeds the XLA segment-sum paths
@@ -200,8 +200,8 @@ class ShardedDemultiplexer:
                 pallas_suboff=put(tiled.chunk_suboff),
             )
             rep = jax.sharding.NamedSharding(self.mesh, PSpec())
-            arrays["pallas_mixing_p"] = jax.device_put(mixing_p, rep)
-            arrays["pallas_penalties_p"] = jax.device_put(penalties_p, rep)
+            arrays["pallas_mixing_p"] = put_global(mixing_p, rep)
+            arrays["pallas_penalties_p"] = put_global(penalties_p, rep)
 
         if self._resolve_use_pallas() and n_variants is not None:
             # M-step kernel layout (variant-tiled per shard, local barcodes)
@@ -229,7 +229,7 @@ class ShardedDemultiplexer:
 
     def _replicate(self, *xs):
         rep = jax.sharding.NamedSharding(self.mesh, PSpec())
-        return [jax.device_put(np.asarray(x), rep) for x in xs]
+        return [put_global(np.asarray(x), rep) for x in xs]
 
     def _make_estep(self, device, arrays, tiled, n_snps, p_genotype_clip, pg, mix_r=None, pen_r=None):
         """Build the jitted E-step and its trailing argument list.
@@ -279,8 +279,8 @@ class ShardedDemultiplexer:
             device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r
         )
         logits, probs = estep(betas_r, v2s_r, *estep_args)
-        logits = np.asarray(logits)[:n_barcodes]
-        probs = np.asarray(probs)[:n_barcodes]
+        logits = to_host(logits)[:n_barcodes]
+        probs = to_host(probs)[:n_barcodes]
 
         logits_df = pd.DataFrame(logits, index=list(barcode_handler.ordered_barcodes), columns=column_names)
         logits_df.index.name = "BARCODE"
@@ -341,7 +341,7 @@ class ShardedDemultiplexer:
             n_padded = device.n_barcodes_padded
             padded_prior = np.zeros((n_padded, len(penalties)), dtype=np.float32)
             padded_prior[:n_barcodes] = barcode_prior_logits
-            prior_dev = jax.device_put(padded_prior, prior_sharding)
+            prior_dev = put_global(padded_prior, prior_sharding)
 
         genotype_addition = np.zeros_like(prior_betas)
         addition_r = self._replicate(genotype_addition)[0]
@@ -352,14 +352,14 @@ class ShardedDemultiplexer:
                 logits_dev = logits_dev + prior_dev
                 probs_dev = jax.nn.softmax(logits_dev, axis=-1)
 
-            probs_np = np.asarray(probs_dev)[:n_barcodes]
+            probs_np = to_host(probs_dev)[:n_barcodes]
             probs_df = pd.DataFrame(
                 probs_np, index=barcode_handler.ordered_barcodes, columns=column_names
             )
             debug_information = {
-                "barcode_logits": np.asarray(logits_dev)[:n_barcodes],
+                "barcode_logits": to_host(logits_dev)[:n_barcodes],
                 "genotype_prior": prior_betas,
-                "genotype_addition": np.asarray(addition_r),
+                "genotype_addition": to_host(addition_r),
             }
             yield probs_df, debug_information
 
