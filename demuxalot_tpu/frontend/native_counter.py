@@ -12,6 +12,22 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def try_count_coverage_native(bamfile_path, chromosome, start, stop, parse_read,
+                              quality_threshold: int = 15):
+    """Native pileup counting, or None for fallback (see native.scanner)."""
+    try:
+        from ..native import scanner
+    except Exception:
+        return None
+    try:
+        return scanner.try_count_coverage_native(
+            bamfile_path, chromosome, start, stop, parse_read,
+            quality_threshold=quality_threshold,
+        )
+    except Exception:
+        return None
+
+
 def try_count_snps_native(
     bamfile_location,
     chromosome2positions: Dict[str, np.ndarray],

@@ -45,9 +45,16 @@ def detect_snps_for_chromosome(
 ):
     """Scan one genomic fragment for donor-discriminative positions."""
     # stage 1: straightforward pileup counting to find SNP candidates
+    # (C++ pileup when the standard tag filter is in use; Python otherwise)
+    from ..frontend.native_counter import try_count_coverage_native
+
     coverage = 0
     bamfiles = [bamfile_path] if isinstance(bamfile_path, (str, Path)) else list(bamfile_path.values())
     for filename in bamfiles:
+        native = try_count_coverage_native(as_str(filename), chromosome, start, stop, parse_read)
+        if native is not None:
+            coverage = coverage + np.asarray(native, dtype="int32")
+            continue
         with BamReader(as_str(filename)) as bamfile:
             coverage = coverage + np.asarray(
                 bamfile.count_coverage(

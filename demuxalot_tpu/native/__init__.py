@@ -59,5 +59,15 @@ def load_library() -> ctypes.CDLL:
     lib.scan_free.restype = None
     lib.scan_free.argtypes = [ctypes.c_void_p]
 
+    lib.count_coverage.restype = ctypes.c_int
+    lib.count_coverage.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     _lib_handle = lib
     return lib

@@ -516,6 +516,95 @@ done:
   return scanner;
 }
 
+// Per-position A/C/G/T coverage over [region_start, region_stop) — the
+// pileup stage of SNP discovery (pysam count_coverage work-alike: reads
+// must pass the tag filter, bases below quality_threshold are skipped).
+// counts: int64[4 * (region_stop - region_start)], row-major by base.
+int count_coverage(
+    const char* bam_path,
+    const uint64_t* chunk_vbeg, const uint64_t* chunk_vend, int n_chunks,
+    int32_t ref_id, int32_t region_start, int32_t region_stop,
+    const char* umi_tag, const char* nh_tag, const char* as_tag,
+    int score_diff_max, int mapq_threshold, int quality_threshold,
+    int64_t* counts) {
+  BgzfStream bgzf;
+  if (!bgzf.open(bam_path)) return -1;
+  const char* cb_tag = "CB";  // unused for filtering here; parse_tags needs one
+  int32_t length = region_stop - region_start;
+
+  std::vector<uint8_t> rec;
+  for (int c = 0; c < n_chunks; c++) {
+    bgzf.seek_virtual(chunk_vbeg[c]);
+    while (bgzf.virtual_offset() < chunk_vend[c]) {
+      uint32_t block_size;
+      if (!bgzf.read((uint8_t*)&block_size, 4)) return 0;
+      rec.resize(block_size);
+      if (!bgzf.read(rec.data(), block_size)) return 0;
+
+      int32_t r_ref, r_pos;
+      memcpy(&r_ref, rec.data(), 4);
+      memcpy(&r_pos, rec.data() + 4, 4);
+      if (r_ref != ref_id) {
+        if (r_ref > ref_id || r_ref == -1) goto next_chunk;
+        continue;
+      }
+      if (r_pos >= region_stop) goto next_chunk;
+
+      {
+        uint8_t l_read_name = rec[8];
+        uint8_t mapq = rec[9];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, rec.data() + 12, 2);
+        uint16_t flag;
+        memcpy(&flag, rec.data() + 14, 2);
+        uint32_t l_seq;
+        memcpy(&l_seq, rec.data() + 16, 4);
+        if (flag & 0x4) continue;
+
+        const uint8_t* cigar = rec.data() + 32 + l_read_name;
+        const uint8_t* seq4 = cigar + 4 * n_cigar;
+        const uint8_t* qual = seq4 + (l_seq + 1) / 2;
+        const uint8_t* tags = qual + l_seq;
+        const uint8_t* rec_end = rec.data() + block_size;
+
+        TagValues tv;
+        if (!parse_tags(tags, rec_end, cb_tag, umi_tag, nh_tag, as_tag, tv)) continue;
+        if (!tv.has_as || tv.as_score <= (int64_t)l_seq - score_diff_max) continue;
+        if (!tv.has_nh || tv.nh > 1) continue;
+        if (!tv.has_umi) continue;
+        if (mapq < mapq_threshold) continue;
+
+        int32_t read_pos = 0, ref_pos = r_pos;
+        for (int i = 0; i < n_cigar; i++) {
+          uint32_t v;
+          memcpy(&v, cigar + 4 * i, 4);
+          uint32_t op = v & 0xf, len = v >> 4;
+          if (op == 0 || op == 7 || op == 8) {
+            int32_t lo = std::max(ref_pos, region_start);
+            int32_t hi = std::min(ref_pos + (int32_t)len, region_stop);
+            for (int32_t rp = lo; rp < hi; rp++) {
+              int32_t qp = read_pos + (rp - ref_pos);
+              if (qual[qp] < quality_threshold) continue;
+              uint8_t b4 = seq4[qp >> 1];
+              uint8_t code = (qp & 1) ? (b4 & 0xf) : (b4 >> 4);
+              int bi = base_index_of(code);
+              if (bi < 4) counts[(int64_t)bi * length + (rp - region_start)] += 1;
+            }
+            ref_pos += len;
+            read_pos += len;
+          } else if (op == 2 || op == 3) {
+            ref_pos += len;
+          } else if (op == 1 || op == 4) {
+            read_pos += len;
+          }
+        }
+      }
+    }
+  next_chunk:;
+  }
+  return 0;
+}
+
 int64_t scan_n_molecules(void* h) { return ((Scanner*)h)->result.molecules.size(); }
 int64_t scan_n_calls(void* h) { return ((Scanner*)h)->result.calls.size(); }
 

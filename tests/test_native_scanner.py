@@ -120,3 +120,24 @@ def test_single_donor_doublet_prior_no_crash():
     mixing, names = L.pseudogenotype_mixing(["OnlyDonor"], doublet_prior=0.35)
     assert names == ["OnlyDonor"]
     assert mixing.shape == (1, 1)
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_native_count_coverage_matches_python(bam_problem):
+    from demuxalot_tpu.bamio import BamReader
+    from demuxalot_tpu.frontend.cellranger import parse_read
+    from demuxalot_tpu.native.scanner import try_count_coverage_native
+
+    filename, _genotypes, _bh = bam_problem
+    for chrom, beg, end in [("chr1", 0, 900), ("chr1", 100, 400), ("chr2", 0, 700)]:
+        native = try_count_coverage_native(filename, chrom, beg, end, parse_read)
+        assert native is not None
+        reader = BamReader(filename)
+        python = reader.count_coverage(
+            chrom, beg, end, read_callback=lambda r: parse_read(r) is not None
+        )
+        for n, p in zip(native, python):
+            np.testing.assert_array_equal(n, p)
+
+    # custom callable -> fallback requested
+    assert try_count_coverage_native(filename, "chr1", 0, 100, lambda r: None) is None
