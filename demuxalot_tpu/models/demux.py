@@ -230,76 +230,73 @@ class Demultiplexer:
                 jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
             )
 
-        genotype_addition = np.zeros_like(prior_betas)
+        prior_betas_dev = jnp.asarray(prior_betas)
+        prior_logits_dev = (
+            jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
+        )
+        genotype_addition_dev = jnp.zeros_like(prior_betas_dev)
 
         for _iteration in range(n_iterations):
+            is_last = _iteration == n_iterations - 1
             if Demultiplexer.aggregate_on_snps:
                 genotype_prob = np.asarray(
                     L.probs_from_betas(
-                        jnp.asarray(prior_betas + genotype_addition),
+                        prior_betas_dev + genotype_addition_dev,
                         variant2snp_dev, n_snps, p_genotype_clip,
                     )
                 )
-                barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
-                    genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+                logits_dev = jnp.asarray(
+                    Demultiplexer._compute_logits_aggregating_on_snps(
+                        genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+                    )
                 )
             elif pallas_forward is not None:
-                barcode_posterior_logits = np.asarray(
-                    pallas_forward(
-                        jnp.asarray(prior_betas + genotype_addition),
-                        variant2snp_dev, n_snps, p_genotype_clip,
-                    )
+                logits_dev = pallas_forward(
+                    prior_betas_dev + genotype_addition_dev,
+                    variant2snp_dev, n_snps, p_genotype_clip,
                 )
             else:
-                barcode_posterior_logits = np.asarray(
-                    _logits_forward(
-                        jnp.asarray(prior_betas + genotype_addition),
-                        variant2snp_dev, mixing_dev, penalties_dev,
-                        vid_b, cb_b, q_b,
-                        n_snps=n_snps, n_barcodes=n_barcodes,
-                        p_genotype_clip=p_genotype_clip,
-                        call_chunk=Demultiplexer.call_chunk,
-                    )
+                logits_dev = _logits_forward(
+                    prior_betas_dev + genotype_addition_dev,
+                    variant2snp_dev, mixing_dev, penalties_dev,
+                    vid_b, cb_b, q_b,
+                    n_snps=n_snps, n_barcodes=n_barcodes,
+                    p_genotype_clip=p_genotype_clip,
+                    call_chunk=Demultiplexer.call_chunk,
                 )
-            if _iteration == 0 and barcode_prior_logits is not None:
-                assert barcode_prior_logits.shape == barcode_posterior_logits.shape, (
-                    "mismatching priors passed"
-                )
-                barcode_posterior_logits = barcode_posterior_logits + barcode_prior_logits
+            if _iteration == 0 and prior_logits_dev is not None:
+                assert prior_logits_dev.shape == logits_dev.shape, "mismatching priors passed"
+                logits_dev = logits_dev + prior_logits_dev
 
-            barcode_posterior_probs = np.asarray(
-                jax.nn.softmax(jnp.asarray(barcode_posterior_logits), axis=-1)
-            )
+            probs_dev = jax.nn.softmax(logits_dev, axis=-1)
             barcode_posterior_probs_df = pd.DataFrame(
-                data=barcode_posterior_probs,
+                data=np.asarray(probs_dev),
                 index=barcode_handler.ordered_barcodes,
                 columns=column_names,
             )
             debug_information = {
-                "barcode_logits": barcode_posterior_logits,
+                "barcode_logits": np.asarray(logits_dev),
                 "genotype_prior": prior_betas,
-                "genotype_addition": genotype_addition,
+                "genotype_addition": np.asarray(genotype_addition_dev),
             }
             # yielding here provides aligned posteriors for genotypes and barcodes
             yield barcode_posterior_probs_df, debug_information
+            if is_last:
+                continue
 
             if pallas_mstep is not None:
-                genotype_addition = np.asarray(
-                    pallas_mstep.addition(
-                        jnp.asarray(barcode_posterior_probs),
-                        n_genotypes=n_genotypes,
-                        contribution_power=float(Demultiplexer.contribution_power),
-                    )
+                genotype_addition_dev = pallas_mstep.addition(
+                    probs_dev,
+                    n_genotypes=n_genotypes,
+                    contribution_power=float(Demultiplexer.contribution_power),
                 )
             else:
-                genotype_addition = np.asarray(
-                    _mstep(
-                        jnp.asarray(barcode_posterior_probs),
-                        vid_v, cb_v, q_v,
-                        n_variants=n_variants, n_genotypes=n_genotypes,
-                        contribution_power=float(Demultiplexer.contribution_power),
-                        call_chunk=Demultiplexer.call_chunk,
-                    )
+                genotype_addition_dev = _mstep(
+                    probs_dev,
+                    vid_v, cb_v, q_v,
+                    n_variants=n_variants, n_genotypes=n_genotypes,
+                    contribution_power=float(Demultiplexer.contribution_power),
+                    call_chunk=Demultiplexer.call_chunk,
                 )
 
     @staticmethod

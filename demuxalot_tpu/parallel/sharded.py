@@ -297,8 +297,15 @@ class ShardedDemultiplexer:
         p_genotype_clip: float = 0.01,
         doublet_prior: float = 0.0,
         barcode_prior_logits: Optional[np.ndarray] = None,
+        materialize_every_iteration: bool = True,
     ):
-        """Sharded EM generator; yields (probs_df, debug_info) per iteration."""
+        """Sharded EM generator; yields (probs_df, debug_info) per iteration.
+
+        ``materialize_every_iteration=False`` keeps intermediate posteriors
+        on device and yields ``(None, None)`` for all but the final
+        iteration — the fast path for callers that only need the result
+        (device->host transfer of posteriors can dominate EM wall-clock).
+        """
         assert 0 <= doublet_prior < 1
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
@@ -352,18 +359,22 @@ class ShardedDemultiplexer:
                 logits_dev = logits_dev + prior_dev
                 probs_dev = jax.nn.softmax(logits_dev, axis=-1)
 
-            probs_np = to_host(probs_dev)[:n_barcodes]
-            probs_df = pd.DataFrame(
-                probs_np, index=barcode_handler.ordered_barcodes, columns=column_names
-            )
-            debug_information = {
-                "barcode_logits": to_host(logits_dev)[:n_barcodes],
-                "genotype_prior": prior_betas,
-                "genotype_addition": to_host(addition_r),
-            }
-            yield probs_df, debug_information
+            if materialize_every_iteration or iteration == n_iterations - 1:
+                probs_np = to_host(probs_dev)[:n_barcodes]
+                probs_df = pd.DataFrame(
+                    probs_np, index=barcode_handler.ordered_barcodes, columns=column_names
+                )
+                debug_information = {
+                    "barcode_logits": to_host(logits_dev)[:n_barcodes],
+                    "genotype_prior": prior_betas,
+                    "genotype_addition": to_host(addition_r),
+                }
+                yield probs_df, debug_information
+            else:
+                yield None, None
 
-            addition_r = mstep(probs_dev, *mstep_args)
+            if iteration != n_iterations - 1:
+                addition_r = mstep(probs_dev, *mstep_args)
 
     def learn_genotypes(
         self,
@@ -379,6 +390,7 @@ class ShardedDemultiplexer:
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             n_iterations=n_iterations, p_genotype_clip=p_genotype_clip,
             doublet_prior=doublet_prior, barcode_prior_logits=barcode_prior_logits,
+            materialize_every_iteration=False,
         )
         last_probs, debug = last
         learnt = genotypes._with_betas(genotypes.get_betas() + debug["genotype_addition"])
