@@ -141,6 +141,13 @@ def tiled_logits_impl(
     pgp = mixing_p.shape[1]
     # XLA gather feeds the kernel; transposed so the big call axis is on lanes
     gathered_t = genotype_prob[vid].T  # [D, n_chunks*TC]
+    # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
+    # with zero rows (zero prob x zero mixing row contributes nothing)
+    d_pad = _round_up(d, 8)
+    if d_pad != d:
+        gathered_t = jnp.pad(gathered_t, ((0, d_pad - d), (0, 0)))
+        mixing_p = jnp.pad(mixing_p, ((0, d_pad - d), (0, 0)))
+    d = d_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

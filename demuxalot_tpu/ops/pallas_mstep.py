@@ -122,7 +122,11 @@ def tiled_mstep_impl(
     # slice into a row gather, and gathering full [N, n_pg] rows first is
     # ~1000x slower on TPU (measured)
     wt = posterior[:, :n_genotypes][cb_global].T  # [D, n_chunks*TC]
-    d = n_genotypes
+    # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
+    # (zero posterior rows produce zero contributions)
+    d = -(-n_genotypes // 8) * 8
+    if d != n_genotypes:
+        wt = jnp.pad(wt, ((0, d - n_genotypes), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -156,7 +160,7 @@ def tiled_mstep_impl(
         ),
         interpret=interpret,
     )(chunk_bounds, wt, vl, q)
-    return out[:, :n_variants].T  # [n_variants, D]
+    return out[:n_genotypes, :n_variants].T  # [n_variants, D]
 
 
 _tiled_mstep = functools.partial(
