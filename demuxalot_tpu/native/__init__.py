@@ -18,12 +18,15 @@ _lib_handle = None
 
 
 def _build() -> None:
+    import os
+
+    tmp = f"{_LIB}.{os.getpid()}.tmp"  # unique per process: parallel workers may race
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-lz", "-o", str(_LIB) + ".tmp",
+        str(_SRC), "-lz", "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    Path(str(_LIB) + ".tmp").replace(_LIB)
+    Path(tmp).replace(_LIB)  # atomic on POSIX
 
 
 def load_library() -> ctypes.CDLL:
