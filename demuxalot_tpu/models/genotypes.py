@@ -298,13 +298,15 @@ class ProbabilisticGenotypes:
                 self.var2varid[variant] = self.n_variants
             variant_indices.append(self.var2varid[variant])
 
+        variant_indices = np.asarray(variant_indices, dtype=np.int64)
         for donor_id, donor in enumerate(self.genotype_names):
             if donor in prior_knowledge.columns:
-                np.add.at(
-                    self.variant_betas[:, donor_id],
+                # bincount scatter-add; ufunc.at is pathologically slow here
+                self.variant_betas[: len(self.variant_betas), donor_id] += np.bincount(
                     variant_indices,
-                    prior_knowledge[donor],
-                )
+                    weights=prior_knowledge[donor].to_numpy(dtype=np.float64),
+                    minlength=len(self.variant_betas),
+                ).astype(self.variant_betas.dtype)
 
     # -- queries -----------------------------------------------------------
     def get_chromosome2positions(self) -> Dict[str, np.ndarray]:

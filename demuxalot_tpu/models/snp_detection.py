@@ -131,22 +131,55 @@ def _count_snp_stats_for_donors(
     donor2dindex,
     max_contribution_to_base_count_from_barcode=3.0,
 ):
-    """Per-position per-donor base counts, capping any one barcode's vote."""
+    """Per-position per-donor base counts, capping any one barcode's vote.
+
+    Vectorized: confident calls are grouped by (barcode, position, base),
+    each group's count clipped at the cap, then summed per (position, donor,
+    base) — same result as the reference's Counter loops
+    (demuxalot/snp_detection.py:105-125) at numpy speed.
+    """
     compressed_snp_calls.minimize_memory_footprint()
     calls = compressed_snp_calls.snp_calls
-    barcode_snp2counts = Counter()
-    for mindex, reference_position, base_index, _p_base_wrong in calls[calls["p_base_wrong"] < 0.01]:
-        cb_compressed = compressed_snp_calls.molecules[mindex]["compressed_cb"]
-        barcode = barcode_handler.ordered_barcodes[cb_compressed]
-        barcode_snp2counts[barcode, reference_position, base_index] += 1
-
+    confident = calls[calls["p_base_wrong"] < 0.01]
     position2donor2base2count = defaultdict(lambda: np.zeros([len(donor2dindex), 4], dtype="int32"))
-    for (barcode, reference_position, base_index), count in barcode_snp2counts.items():
-        donor = barcode2donor.get(barcode, None)
-        if donor is None:
-            continue
-        contribution = min(max_contribution_to_base_count_from_barcode, count)
-        position2donor2base2count[reference_position][donor2dindex[donor], base_index] += contribution
+    if len(confident) == 0:
+        return position2donor2base2count
+
+    # barcode index -> donor index (-1 = unassigned)
+    cb2dindex = np.full(barcode_handler.n_barcodes, -1, dtype=np.int64)
+    for barcode, donor in barcode2donor.items():
+        index = barcode_handler.barcode2index.get(barcode)
+        if index is not None:
+            cb2dindex[index] = donor2dindex[donor]
+
+    cb = compressed_snp_calls.molecules["compressed_cb"][confident["molecule_index"]].astype(np.int64)
+    pos = confident["snp_position"].astype(np.int64)
+    base = confident["base_index"].astype(np.int64)
+
+    # count calls per (barcode, position, base)
+    key = (cb * (pos.max() + 1) + pos) * 4 + base
+    order = np.argsort(key, kind="stable")
+    sorted_keys = key[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    )
+    counts = np.diff(np.append(starts, len(sorted_keys))).astype(np.float64)
+    contribution = np.minimum(counts, max_contribution_to_base_count_from_barcode)
+
+    first = order[starts]
+    donor_idx = cb2dindex[cb[first]]
+    keep = donor_idx >= 0
+    g_pos, g_base, g_donor = pos[first][keep], base[first][keep], donor_idx[keep]
+    g_contribution = contribution[keep].astype(np.int32)
+
+    porder = np.argsort(g_pos, kind="stable")
+    sp = g_pos[porder]
+    pstarts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+    for i, lo in enumerate(pstarts):
+        hi = pstarts[i + 1] if i + 1 < len(pstarts) else len(sp)
+        rows = porder[lo:hi]
+        table = position2donor2base2count[int(sp[lo])]
+        np.add.at(table, (g_donor[rows], g_base[rows]), g_contribution[rows])
     return position2donor2base2count
 
 
