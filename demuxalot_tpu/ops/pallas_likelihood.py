@@ -37,10 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .tiling import TiledCalls
 
 LANE = 128
+# soft cap on call chunks handled by one grid step; keeps per-step work and
+# launch grids balanced (large grids once wedged this environment's remote
+# Mosaic compile service)
+MAX_CHUNKS_PER_SUPER = 160
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def padded_pg(pg: int) -> int:
+    """Lane-pad the pseudo-genotype axis to whole 128-lane tiles."""
+    return _round_up(pg, LANE)
 
 
 def _likelihood_kernel(
@@ -139,8 +148,9 @@ def tiled_logits_impl(
     """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
     d = genotype_prob.shape[1]
     pgp = mixing_p.shape[1]
-    # XLA gather feeds the kernel; transposed so the big call axis is on lanes
-    gathered_t = genotype_prob[vid].T  # [D, n_chunks*TC]
+    # XLA gather feeds the kernel with the big call axis on lanes
+    # (column-gather form: equivalent to `gp[vid].T`, fuses better)
+    gathered_t = genotype_prob.T[:, vid]  # [D, n_chunks*TC]
     # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
     # with zero rows (zero prob x zero mixing row contributes nothing)
     d_pad = _round_up(d, 8)
@@ -207,16 +217,21 @@ class TiledDeviceCalls:
         subtiles_per_super: int | None = None,
     ):
         pg = mixing.shape[1]
-        pgp = _round_up(pg, LANE)
+        pgp = padded_pg(pg)
         mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
         mixing_p[:, :pg] = mixing
         penalties_p = np.zeros((1, pgp), dtype=np.float32)
         penalties_p[0, :pg] = penalties
 
         if subtiles_per_super is None:
-            # keep the grid small-ish and the out block under ~2.7 MB
+            # two constraints: the out block stays under ~2.7 MB of VMEM, and
+            # each grid step covers at most ~MAX_CHUNKS_PER_SUPER chunks
             max_rows = max(tiled.tile_barcodes, (2_700_000 // 4) // pgp)
             subtiles_per_super = max(1, max_rows // tiled.tile_barcodes)
+            n_super_min = -(-tiled.n_chunks // MAX_CHUNKS_PER_SUPER)
+            subtiles_per_super = min(
+                subtiles_per_super, max(1, tiled.n_tiles // max(1, n_super_min))
+            )
             subtiles_per_super = min(subtiles_per_super, tiled.n_tiles)
         self.subtiles_per_super = subtiles_per_super
         n_super = -(-tiled.n_tiles // subtiles_per_super)

@@ -118,10 +118,9 @@ def tiled_mstep_impl(
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
     n_tiles = chunk_bounds.shape[0] - 1
-    # slice the singlet columns BEFORE gathering: XLA does not fuse a column
-    # slice into a row gather, and gathering full [N, n_pg] rows first is
-    # ~1000x slower on TPU (measured)
-    wt = posterior[:, :n_genotypes][cb_global].T  # [D, n_chunks*TC]
+    # slice the singlet columns BEFORE gathering: XLA does not fuse the
+    # slice into the gather, and full-row gathering measured ~1000x slower
+    wt = posterior[:, :n_genotypes].T[:, cb_global]  # [D, n_chunks*TC]
     # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
     # (zero posterior rows produce zero contributions)
     d = -(-n_genotypes // 8) * 8
@@ -186,9 +185,18 @@ class ShardedMstepLayout:
         shard_of_call: np.ndarray,  # i32 [n_calls]
         n_shards: int,
         n_variants: int,
-        tile_variants: int = 512,
+        tile_variants: int = 0,
         chunk_calls: int = 512,
     ):
+        if tile_variants <= 0:
+            from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
+
+            n_calls_max = max(
+                int(np.sum(shard_of_call == s)) for s in range(n_shards)
+            ) if len(shard_of_call) else 1
+            n_chunks_est = max(1, -(-n_calls_max // chunk_calls))
+            n_tiles_target = max(1, -(-n_chunks_est // MAX_CHUNKS_PER_SUPER))
+            tile_variants = max(128, min(512, (n_variants // n_tiles_target) // 128 * 128))
         per_shard = []
         for s in range(n_shards):
             sel = shard_of_call == s
@@ -231,10 +239,17 @@ class TiledMstepCalls:
         variant_sorted_cb: np.ndarray,
         variant_sorted_q: np.ndarray,
         n_variants: int,
-        tile_variants: int = 512,
+        tile_variants: int = 0,
         chunk_calls: int = 512,
     ):
+        from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
         from .tiling import tile_barcode_calls
+
+        if tile_variants <= 0:
+            # size variant tiles so no grid step spans too many chunks
+            n_chunks_est = max(1, -(-len(variant_sorted_vid) // chunk_calls))
+            n_tiles_target = max(1, -(-n_chunks_est // MAX_CHUNKS_PER_SUPER))
+            tile_variants = max(128, min(512, (n_variants // n_tiles_target) // 128 * 128))
 
         # reuse the segment-tiling machinery with variants as the segment axis;
         # the "vid" payload slot carries the global barcode of each call

@@ -123,12 +123,6 @@ def tile_barcode_calls_sharded(
     assert per_shard_b % TB == 0, "barcodes_per_shard must be a multiple of tile_barcodes"
     n_tiles = per_shard_b // TB
 
-    if subtiles_per_super <= 0:
-        max_rows = max(TB, (max_super_rows_bytes // 4) // pgp)
-        subtiles_per_super = min(max(1, max_rows // TB), n_tiles)
-    n_super = -(-n_tiles // subtiles_per_super)
-    tbs = TB * subtiles_per_super
-
     shard_of_call = cb_sorted // per_shard_b
     shard_bounds = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
 
@@ -146,6 +140,18 @@ def tile_barcode_calls_sharded(
         per_shard.append(local)
 
     n_chunks = max(t.n_chunks for t in per_shard)
+
+    if subtiles_per_super <= 0:
+        from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
+
+        max_rows = max(TB, (max_super_rows_bytes // 4) // pgp)
+        subtiles_per_super = min(max(1, max_rows // TB), n_tiles)
+        n_super_min = -(-n_chunks // MAX_CHUNKS_PER_SUPER)
+        subtiles_per_super = min(
+            subtiles_per_super, max(1, n_tiles // max(1, n_super_min))
+        )
+    n_super = -(-n_tiles // subtiles_per_super)
+    tbs = TB * subtiles_per_super
     vid = np.zeros((n_shards, n_chunks * TC), np.int32)
     cb_local = np.zeros((n_shards, 1, n_chunks * TC), np.int32)
     q = np.ones((n_shards, 1, n_chunks * TC), np.float32)

@@ -170,13 +170,13 @@ class ShardedDemultiplexer:
 
         tiled = None
         if use_pallas:
-            from ..ops.pallas_likelihood import LANE, _round_up
+            from ..ops.pallas_likelihood import padded_pg
             from ..ops.tiling import tile_barcode_calls_sharded
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             order = np.argsort(cb, kind="stable")
             pg = mixing.shape[1]
-            pgp = _round_up(pg, LANE)
+            pgp = padded_pg(pg)
             tiled = tile_barcode_calls_sharded(
                 cb[order],
                 barcode_calls["variant_id"].astype(np.int32)[order],
