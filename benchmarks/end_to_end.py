@@ -16,11 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-_requested = os.environ.get("JAX_PLATFORMS", "")
-if _requested and _requested != "axon":
-    import jax
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
 
-    jax.config.update("jax_platforms", _requested)
+honor_jax_platforms_env()
 
 
 def main():
@@ -75,10 +73,13 @@ def main():
         )
         stages["predict_posteriors_s"] = round(time.perf_counter() - t0, 2)
 
+        # accuracy against ground truth: any truly-contributing donor named
         assignments = probs.idxmax(axis=1)
-        singlet_acc = float(
-            np.mean([a.split("+")[0].startswith("Donor") for a in assignments])
-        )
+        correct = [
+            any(d in names[barcode] for d in assigned.split("+"))
+            for barcode, assigned in assignments.items()
+        ]
+        accuracy = float(np.mean(correct))
 
     import jax
 
@@ -89,6 +90,7 @@ def main():
         "n_donors": n_donors,
         "n_reads": n_reads,
         "n_calls": n_calls,
+        "assignment_accuracy": round(accuracy, 4),
         **stages,
     }))
 

@@ -20,12 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-# this machine's jax build ignores the JAX_PLATFORMS env var; honor it here
-_requested = os.environ.get("JAX_PLATFORMS", "")
-if _requested and _requested != "axon":
-    import jax
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
 
-    jax.config.update("jax_platforms", _requested)
+honor_jax_platforms_env()
 
 BARCODES_PER_SHARD = 8192
 N_DONORS = 16

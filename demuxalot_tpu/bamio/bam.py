@@ -409,7 +409,7 @@ class BamReader:
         return out
 
     def close(self):
-        pass
+        self._bgzf.close()
 
     def __enter__(self):
         return self

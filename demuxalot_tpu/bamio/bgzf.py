@@ -148,6 +148,17 @@ class BgzfReader:
         self._uoffset = 0
 
     # -- public API -------------------------------------------------------
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     @property
     def virtual_offset(self) -> int:
         return (self._coffset << 16) | self._uoffset

@@ -53,10 +53,14 @@ def try_count_snps_native(
             )
         return None
     try:
-        from ..native import scanner  # noqa: F401
-    except Exception:
+        from ..native import load_library, scanner
+
+        load_library()  # builds on demand; may fail without a toolchain
+    except Exception as e:
         if required:
-            raise RuntimeError("native=True requested but the C++ scanner is not built")
+            raise RuntimeError(
+                f"native=True requested but the C++ scanner is unavailable: {e}"
+            )
         return None
     return scanner.count_snps_native(
         bamfile_location, chromosome2positions, barcode_handler, parse_read, n_jobs,

@@ -67,9 +67,13 @@ struct BgzfStream {
     uint16_t xlen = header[10] | (header[11] << 8);
     // scan extra subfields for BC (BSIZE)
     std::vector<uint8_t> extra(xlen);
-    memcpy(extra.data(), header + 12, 6);
+    size_t from_header = std::min<size_t>(xlen, 6);
+    memcpy(extra.data(), header + 12, from_header);
     if (xlen > 6) {
       if (fread(extra.data() + 6, 1, xlen - 6, fp) != (size_t)(xlen - 6)) return false;
+    } else if (xlen < 6) {
+      // consumed more header bytes than the extra field holds: rewind
+      fseek(fp, (long)(coffset + 12 + xlen), SEEK_SET);
     }
     uint32_t bsize = 0;
     for (size_t p = 0; p + 4 <= extra.size();) {
@@ -195,7 +199,8 @@ struct TagValues {
   int64_t nh = 0, as_score = 0;
 };
 
-// parse the tag block; returns false on malformed data
+// parse the tag block; returns false on malformed data (all fixed-width
+// reads are bounds-checked so corrupt records cannot overread the buffer)
 bool parse_tags(const uint8_t* p, const uint8_t* end, const char* cb_tag,
                 const char* umi_tag, const char* nh_tag, const char* as_tag,
                 TagValues& out) {
@@ -206,28 +211,31 @@ bool parse_tags(const uint8_t* p, const uint8_t* end, const char* cb_tag,
     const char* sval = nullptr;
     size_t slen = 0;
     switch (typ) {
-      case 'A': ival = *p; p += 1; break;
-      case 'c': ival = *(int8_t*)p; p += 1; break;
-      case 'C': ival = *(uint8_t*)p; p += 1; break;
-      case 's': { int16_t v; memcpy(&v, p, 2); ival = v; p += 2; break; }
-      case 'S': { uint16_t v; memcpy(&v, p, 2); ival = v; p += 2; break; }
-      case 'i': { int32_t v; memcpy(&v, p, 4); ival = v; p += 4; break; }
-      case 'I': { uint32_t v; memcpy(&v, p, 4); ival = v; p += 4; break; }
-      case 'f': p += 4; break;
+      case 'A': if (p + 1 > end) return false; ival = *p; p += 1; break;
+      case 'c': if (p + 1 > end) return false; ival = *(int8_t*)p; p += 1; break;
+      case 'C': if (p + 1 > end) return false; ival = *(uint8_t*)p; p += 1; break;
+      case 's': { if (p + 2 > end) return false; int16_t v; memcpy(&v, p, 2); ival = v; p += 2; break; }
+      case 'S': { if (p + 2 > end) return false; uint16_t v; memcpy(&v, p, 2); ival = v; p += 2; break; }
+      case 'i': { if (p + 4 > end) return false; int32_t v; memcpy(&v, p, 4); ival = v; p += 4; break; }
+      case 'I': { if (p + 4 > end) return false; uint32_t v; memcpy(&v, p, 4); ival = v; p += 4; break; }
+      case 'f': if (p + 4 > end) return false; p += 4; break;
       case 'Z': case 'H': {
         sval = (const char*)p;
         while (p < end && *p) p++;
+        if (p >= end) return false;  // missing NUL terminator
         slen = (const uint8_t*)p - (const uint8_t*)sval;
         p += 1;
         break;
       }
       case 'B': {
+        if (p + 5 > end) return false;
         char sub = (char)*p;
         p += 1;
         uint32_t count;
         memcpy(&count, p, 4);
         p += 4;
         size_t esize = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        if ((uint64_t)(end - p) < (uint64_t)esize * count) return false;
         p += esize * count;
         break;
       }

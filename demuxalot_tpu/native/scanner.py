@@ -64,9 +64,14 @@ def _extract_parse_params(parse_read) -> Optional[dict]:
 
 
 def _barcode_array(barcode_handler):
-    """Whitelist as a char** indexed by the handler's dense indices."""
+    """Whitelist as a char** indexed by the handler's dense indices.
+
+    Placeholder slots (dummy int keys from filter_to_rg_value) use "\\x01":
+    non-empty and impossible as a Z-tag value (the spec allows printable
+    chars + space only), so an empty CB tag can never match them.
+    """
     n = barcode_handler.n_barcodes
-    arr = [b"\x00"] * n  # impossible barcode placeholder
+    arr = [b"\x01"] * n
     for key, index in barcode_handler.barcode2index.items():
         if isinstance(key, str):
             arr[index] = key.encode("ascii")
@@ -169,10 +174,10 @@ def try_count_coverage_native(bamfile_path, chromosome, start, stop, parse_read,
         return None
 
     bamfile_path = str(bamfile_path)
-    reader = BamReader(bamfile_path)
-    index = reader._load_index()
-    ref_id = reader.header.ref2id[chromosome]
-    ref_len = reader.header.lengths[ref_id]
+    with BamReader(bamfile_path) as reader:
+        index = reader._load_index()
+        ref_id = reader.header.ref2id[chromosome]
+        ref_len = reader.header.lengths[ref_id]
     beg = 0 if start is None else max(0, int(start))
     end = ref_len if stop is None else min(ref_len, int(stop))
     length = max(0, end - beg)

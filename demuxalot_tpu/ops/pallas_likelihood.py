@@ -224,15 +224,11 @@ class TiledDeviceCalls:
         penalties_p[0, :pg] = penalties
 
         if subtiles_per_super is None:
-            # two constraints: the out block stays under ~2.7 MB of VMEM, and
-            # each grid step covers at most ~MAX_CHUNKS_PER_SUPER chunks
-            max_rows = max(tiled.tile_barcodes, (2_700_000 // 4) // pgp)
-            subtiles_per_super = max(1, max_rows // tiled.tile_barcodes)
-            n_super_min = -(-tiled.n_chunks // MAX_CHUNKS_PER_SUPER)
-            subtiles_per_super = min(
-                subtiles_per_super, max(1, tiled.n_tiles // max(1, n_super_min))
+            from .tiling import choose_subtiles_per_super
+
+            subtiles_per_super = choose_subtiles_per_super(
+                tiled.n_tiles, tiled.n_chunks, tiled.tile_barcodes, pgp
             )
-            subtiles_per_super = min(subtiles_per_super, tiled.n_tiles)
         self.subtiles_per_super = subtiles_per_super
         n_super = -(-tiled.n_tiles // subtiles_per_super)
 

@@ -77,6 +77,26 @@ def tile_barcode_calls(
     )
 
 
+def choose_subtiles_per_super(
+    n_tiles: int,
+    n_chunks: int,
+    tile_barcodes: int,
+    pgp: int,
+    max_super_rows_bytes: int = 2_700_000,
+) -> int:
+    """Super-tile grouping: VMEM row budget + balanced chunk spans per step.
+
+    Single source of truth for both the single-device and sharded layouts.
+    """
+    from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
+
+    max_rows = max(tile_barcodes, (max_super_rows_bytes // 4) // pgp)
+    sps = max(1, max_rows // tile_barcodes)
+    n_super_min = -(-n_chunks // MAX_CHUNKS_PER_SUPER)
+    sps = min(sps, max(1, n_tiles // max(1, n_super_min)))
+    return min(sps, n_tiles)
+
+
 @dataclass
 class ShardedTiledCalls:
     """Per-shard tiled layouts with identical static dims (stacked on axis 0).
@@ -142,13 +162,8 @@ def tile_barcode_calls_sharded(
     n_chunks = max(t.n_chunks for t in per_shard)
 
     if subtiles_per_super <= 0:
-        from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
-
-        max_rows = max(TB, (max_super_rows_bytes // 4) // pgp)
-        subtiles_per_super = min(max(1, max_rows // TB), n_tiles)
-        n_super_min = -(-n_chunks // MAX_CHUNKS_PER_SUPER)
-        subtiles_per_super = min(
-            subtiles_per_super, max(1, n_tiles // max(1, n_super_min))
+        subtiles_per_super = choose_subtiles_per_super(
+            n_tiles, n_chunks, TB, pgp, max_super_rows_bytes
         )
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super

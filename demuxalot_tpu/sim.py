@@ -140,6 +140,8 @@ def generate_bam_file(
         donor_ids = np.random.randint(0, n_genotypes, size=1 + doublet)
         donor_names = [f"Donor{donor_id + 1:02}" for donor_id in donor_ids]
         barcode = random_string(10) + "-1"
+        while barcode in barcode2donor_ids:  # collisions would corrupt ground truth
+            barcode = random_string(10) + "-1"
         barcode2donor_ids[barcode] = donor_ids
         barcode2donor_names[barcode] = donor_names
 
