@@ -1,42 +1,46 @@
-"""
-Simple demultiplexing with known genotypes using custom SAM tags.
+"""Demultiplexing with custom SAM tags (non-cellranger pipelines).
 
-Passing a functools.partial of the standard filter keeps the fast native
-scanner; an arbitrary lambda would transparently use the Python scanner.
+The read filter is a plugin: pass a ``functools.partial`` of the standard
+filter to change tag names or thresholds while KEEPING the fast C++ scanner
+(an arbitrary lambda also works, but routes counting through the Python
+scanner). BD Rhapsody users can import ``frontend.bd_rhapsody.parse_read``
+which presets the 'MA' UMI tag.
 """
 from functools import partial
 
-from demuxalot_tpu import Demultiplexer, BarcodeHandler, ProbabilisticGenotypes, count_snps
+from demuxalot_tpu import (
+    BarcodeHandler,
+    Demultiplexer,
+    ProbabilisticGenotypes,
+    count_snps,
+)
 from demuxalot_tpu.frontend.cellranger import parse_read
 
-genotypes = ProbabilisticGenotypes(genotype_names=['Donor01', 'Donor02', 'Donor03', 'Donor04'])
-genotypes.add_vcf('./example_data/test_genotypes.vcf')
-custom_celltag = "CB"
-custom_umitag = "UB"
+DATA = "./example_data"
+CELL_TAG = "CB"  # tag carrying the (corrected) cell barcode
+UMI_TAG = "UB"  # tag carrying the molecule barcode
 
-print(f'Loaded genotypes: {genotypes}')
+genotypes = ProbabilisticGenotypes(
+    genotype_names=["Donor01", "Donor02", "Donor03", "Donor04"]
+)
+genotypes.add_vcf(f"{DATA}/test_genotypes.vcf")
+barcode_handler = BarcodeHandler.from_file(f"{DATA}/test_barcodes.csv", tag=CELL_TAG)
 
-barcode_handler = BarcodeHandler.from_file('./example_data/test_barcodes.csv', tag=custom_celltag)
-print(f'Loaded barcodes: {barcode_handler}')
+# partial() keeps the native scanner; a lambda would fall back to Python
+custom_filter = partial(parse_read, umi_tag=UMI_TAG, mapq_threshold=20)
 
-parse_read_custom = partial(parse_read, umi_tag=custom_umitag)
 snps = count_snps(
-    bamfile_location='./example_data/test_bamfile.bam',
+    bamfile_location=f"{DATA}/test_bamfile.bam",
     chromosome2positions=genotypes.get_chromosome2positions(),
     barcode_handler=barcode_handler,
-    parse_read=parse_read_custom,
+    parse_read=custom_filter,
 )
+print({chrom: calls.n_snp_calls for chrom, calls in sorted(snps.items())})
 
-print('Collected SNPs: ')
-for chromosome, snps_in_chromosome in snps.items():
-    print(f'Chromosome {chromosome}, {snps_in_chromosome.n_snp_calls} calls in {snps_in_chromosome.n_molecules} mols')
-
-learnt_genotypes, posterior_probabilities = Demultiplexer.learn_genotypes(
+learnt_genotypes, posteriors = Demultiplexer.learn_genotypes(
     snps,
     genotypes=genotypes,
     barcode_handler=barcode_handler,
     doublet_prior=0.25,
 )
-
-print('Result:')
-print(posterior_probabilities.round(3))
+print(posteriors.idxmax(axis=1).value_counts())
