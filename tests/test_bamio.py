@@ -208,3 +208,43 @@ def test_parse_real_vcf():
     header, df = read_vcf_to_header_and_pandas(str(REFERENCE_EXAMPLE_DATA / "test_genotypes.vcf"))
     assert len(df) == len(records)
     assert df["POS"].iloc[0] == 0  # converted to 0-based
+
+
+def test_empty_bam_roundtrip(tmp_path):
+    """A BAM with zero records sorts, indexes, and fetches cleanly."""
+    path = str(tmp_path / "empty.bam")
+    with BamWriter(path, {"HD": {"VN": "1.0"}, "SQ": [dict(LN=100, SN="chr1")]}):
+        pass
+    sort_bam(path, path)
+    index_bam(path)
+    reader = BamReader(path)
+    assert list(reader) == []
+    assert list(reader.fetch("chr1", 0, 100)) == []
+    assert reader.get_index_statistics()[0].mapped == 0
+
+
+def test_reader_closes_file_descriptor(tmp_path):
+    import os
+
+    path = str(tmp_path / "fd.bam")
+    with BamWriter(path, {"HD": {"VN": "1.0"}, "SQ": [dict(LN=100, SN="chr1")]}) as w:
+        w.write(_make_read("r0", 0, 10, "A" * 20))
+    n_before = len(os.listdir("/proc/self/fd"))
+    for _ in range(50):
+        with BamReader(path) as r:
+            list(r)
+    n_after = len(os.listdir("/proc/self/fd"))
+    assert n_after <= n_before + 2, "file descriptors are leaking"
+
+
+def test_bamwriter_tag_types_roundtrip(tmp_path):
+    path = str(tmp_path / "tags.bam")
+    a = _make_read("r0", 0, 10, "ACGT")
+    a.tags = (("NH", 1), ("AS", 2), ("CB", "XYZ-1"), ("UB", "ACGT"),
+              ("XF", 1.5), ("XB", [1, 2, 3]))
+    with BamWriter(path, {"HD": {"VN": "1.0"}, "SQ": [dict(LN=100, SN="chr1")]}) as w:
+        w.write(a)
+    (back,) = list(BamReader(path))
+    assert back.get_tag("XF") == pytest.approx(1.5)
+    assert back.get_tag("XB") == [1, 2, 3]
+    assert back.get_tag("CB") == "XYZ-1"
