@@ -393,6 +393,68 @@ class Demultiplexer:
         return P.molecule_calls_to_barcode_calls(molecule_calls)
 
     @staticmethod
+    def _compute_probs_from_betas(variant_index2snp_index, variant_index2betas, p_genotype_clip):
+        """Per-donor variant probabilities (host numpy parity helper)."""
+        n_snps = int(np.max(variant_index2snp_index)) + 1 if len(variant_index2snp_index) else 0
+        return np.asarray(
+            L.probs_from_betas(
+                jnp.asarray(variant_index2betas),
+                jnp.asarray(np.asarray(variant_index2snp_index, dtype=np.int32)),
+                n_snps,
+                p_genotype_clip,
+            )
+        )
+
+    @staticmethod
+    def _iterate_genotypes_options(genotype_names, genotype_prob: np.ndarray, doublet_prior: float):
+        """Yield (pseudogenotype index, name, per-variant prob) incl. doublets."""
+        mixing, names = L.pseudogenotype_mixing(list(genotype_names), doublet_prior)
+        expanded = genotype_prob @ mixing
+        for pg_index, name in enumerate(names):
+            yield pg_index, name, expanded[:, pg_index]
+
+    @staticmethod
+    def compute_barcode_logits(
+        genotype_names, barcode_calls, molecule_calls, doublet_prior: float,
+        genotype_prob: np.ndarray, n_barcodes: int, n_genotypes: int,
+    ):
+        """(logits, column names); dispatches on ``aggregate_on_snps``."""
+        mixing, column_names = L.pseudogenotype_mixing(list(genotype_names), doublet_prior)
+        penalties = L.doublet_penalties(n_genotypes, doublet_prior)
+        if Demultiplexer.aggregate_on_snps:
+            logits = Demultiplexer._compute_logits_aggregating_on_snps(
+                np.asarray(genotype_prob), mixing, penalties, molecule_calls, n_barcodes
+            )
+            return logits, column_names
+        return Demultiplexer.compute_barcode_logits_using_barcode_calls(
+            genotype_names, barcode_calls, doublet_prior, genotype_prob, n_barcodes, n_genotypes
+        )
+
+    @staticmethod
+    def compute_barcode_logits_using_barcode_calls(
+        genotype_names, barcode_calls, doublet_prior: float, genotype_prob: np.ndarray,
+        n_barcodes: int, n_genotypes: int,
+    ):
+        """Dense log-likelihood accumulation over collapsed barcode calls."""
+        mixing, column_names = L.pseudogenotype_mixing(list(genotype_names), doublet_prior)
+        penalties = L.doublet_penalties(n_genotypes, doublet_prior)
+        cb = np.asarray(barcode_calls["compressed_cb"], dtype=np.int32)
+        order = np.argsort(cb, kind="stable")
+        logits = np.asarray(
+            L.barcode_logits(
+                jnp.asarray(np.asarray(genotype_prob, dtype=np.float32)),
+                jnp.asarray(mixing),
+                jnp.asarray(penalties),
+                jnp.asarray(np.asarray(barcode_calls["variant_id"], dtype=np.int32)[order]),
+                jnp.asarray(cb[order]),
+                jnp.asarray(np.asarray(barcode_calls["p_base_wrong"], dtype=np.float32)[order]),
+                n_barcodes,
+                call_chunk=Demultiplexer.call_chunk,
+            )
+        )
+        return logits, column_names
+
+    @staticmethod
     def _compute_logits_aggregating_on_snps(
         genotype_prob: np.ndarray,
         mixing: np.ndarray,

@@ -192,3 +192,34 @@ def test_device_pack_single_shard_roundtrip():
     orig = sorted(zip(rec["compressed_cb"], rec["variant_id"], rec["p_base_wrong"]))
     packed = sorted(zip(dc.cb_b[:n_real], dc.vid_b[:n_real], dc.q_b[:n_real]))
     assert orig == packed
+
+
+def test_demultiplexer_parity_helpers():
+    """Reference-named staticmethods produce oracle-identical results."""
+    from demuxalot_tpu import Demultiplexer
+    from demuxalot_tpu.ops import packing as P
+
+    names, variant2snp, betas, vid, cb, q, n_barcodes, n_snps = _random_problem(n_calls=8000)
+    gprob = Demultiplexer._compute_probs_from_betas(variant2snp, betas, 0.01)
+    np.testing.assert_allclose(gprob, oracle_probs_from_betas(variant2snp, betas, 0.01),
+                               rtol=1e-5, atol=1e-7)
+
+    from oracle import iterate_pseudogenotypes
+
+    got = list(Demultiplexer._iterate_genotypes_options(names, gprob, 0.35))
+    ref = list(iterate_pseudogenotypes(names, gprob, 0.35))
+    assert [(i, n) for i, n, _ in got] == [(i, n) for i, n, _ in ref]
+    for (_, _, a), (_, _, b) in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    rec = np.recarray(len(vid), dtype=P.BARCODE_CALLS_DTYPE)
+    rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
+    rec["snp_id"] = variant2snp[vid]
+    rec["barcode_variant_count"] = 1
+    rec["barcode_snp_count"] = 1
+    logits, cols = Demultiplexer.compute_barcode_logits_using_barcode_calls(
+        names, rec, 0.35, gprob, n_barcodes, len(names)
+    )
+    ref_logits, ref_cols = oracle_barcode_logits(names, gprob, vid, cb, q, n_barcodes, 0.35)
+    assert cols == ref_cols
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=5e-3)
