@@ -23,6 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import os
 
 N_DONORS = int(os.environ.get("DEMUX_BENCH_DONORS", 32))
