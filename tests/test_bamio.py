@@ -248,3 +248,27 @@ def test_bamwriter_tag_types_roundtrip(tmp_path):
     assert back.get_tag("XF") == pytest.approx(1.5)
     assert back.get_tag("XB") == [1, 2, 3]
     assert back.get_tag("CB") == "XYZ-1"
+
+
+@pytest.mark.skipif(not REFERENCE_EXAMPLE_DATA.exists(), reason="reference example data not present")
+def test_our_bai_matches_htslib_bai(tmp_path):
+    """Index the real htslib BAM ourselves; fetches must match htslib's index."""
+    import shutil
+
+    from demuxalot_tpu.bamio.bai import build_bai
+
+    src = REFERENCE_EXAMPLE_DATA / "test_bamfile.bam"
+    ours = tmp_path / "copy.bam"
+    shutil.copy(src, ours)
+    build_bai(ours)  # writes copy.bam.bai with OUR builder
+
+    htslib_reader = BamReader(str(src))     # uses htslib's .bai
+    our_reader = BamReader(str(ours))       # uses ours
+    for chrom, beg, end in [("chr1", 0, 1000), ("chr2", 100, 350), ("chr3", 777, 900)]:
+        a = [(r.query_name, r.reference_start) for r in htslib_reader.fetch(chrom, beg, end)]
+        b = [(r.query_name, r.reference_start) for r in our_reader.fetch(chrom, beg, end)]
+        assert a == b, f"fetch mismatch for {chrom}:{beg}-{end}"
+
+    ha = {s.contig: (s.mapped, s.unmapped) for s in htslib_reader.get_index_statistics()}
+    oa = {s.contig: (s.mapped, s.unmapped) for s in our_reader.get_index_statistics()}
+    assert ha == oa
