@@ -1,218 +1,346 @@
-"""Probabilistic genotype store: Dirichlet pseudo-counts ("betas") per variant.
+"""Genotype knowledge store backed by an array variant registry.
 
-Host-side knowledge base feeding the device compute: ``var2varid`` maps
-``(chrom, pos, base)`` to a dense variant row of ``variant_betas``
-(float32 ``[n_variants, n_donors]``). Information is always *added*, never
-overwritten; the parquet serialization is the checkpoint format and must stay
-schema-identical to the reference's (index CHROM/POS/BASE, columns = donors).
+``ProbabilisticGenotypes`` accumulates Dirichlet pseudo-counts ("betas")
+about which base each donor carries at each variant. A *variant* is one
+``(chromosome, position, base)`` triple; a *SNP* is the set of variants
+sharing ``(chromosome, position)``. Knowledge only ever accumulates —
+importers add pseudo-counts, they never overwrite — so priors from SNP
+arrays, WGS VCFs, and previously learnt betas can be layered freely.
 
-Behavioral parity with the reference store (demuxalot/genotypes.py:18-361),
-including the importer rules: VCF GT contributions split across called
-alleles, missing donors getting ``0.1 * mean``, assignment-dataframe and
-Illumina bead-array imports. Importers are vectorized with numpy where the
-reference looped in Python.
+Covers the reference store's behavior (demuxalot/genotypes.py:18-361):
+the same importer rules, the same parquet checkpoint schema (index
+CHROM/POS/BASE, columns = donor names — a hard format contract), the same
+clone/query surface. The implementation is this framework's own: variants
+live in parallel numpy columns (chromosome slot, position, base slot) with
+a packed-integer hash index, capacity grows geometrically, importers are
+vectorized, and serialization orders variants with one ``lexsort`` instead
+of sorting Python tuples.
 """
 from __future__ import annotations
 
-from collections import defaultdict, Counter
+from collections import Counter
 from copy import deepcopy
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence
 from warnings import warn
 
 import numpy as np
 import pandas as pd
 
+# packed registry key: (chrom_slot * POSITION_SPAN + position) * BASE_SPAN + base_slot,
+# evaluated in Python ints (no overflow); spans are generous upper bounds
+_POSITION_SPAN = 1 << 44
+_BASE_SPAN = 1 << 6
 
-def find_duplicates(iterable):
-    counts = Counter(list(iterable))
-    return [k for k, v in counts.items() if v != 1]
+_DIPLOID_CALL_WEIGHTS = {"0/0": (1.0, 0.0), "0/1": (0.5, 0.5), "1/1": (0.0, 1.0)}
 
 
 class ProbabilisticGenotypes:
+    """Per-donor beta weights over a growing registry of variants.
+
+    The donor set is fixed at construction (sorted, unique names). Betas are
+    stored in ``variant_betas`` (float32, one row per variant, possibly with
+    spare capacity rows at the end); ``n_variants`` rows are live. Row ids
+    are assigned on first registration and never move, so external arrays
+    indexed by variant id stay valid as more knowledge is added.
+    """
+
     def __init__(self, genotype_names: List[str], default_prior: float = 1.0):
-        """
-        Accumulated SNP knowledge for a fixed set of genotypes (donors).
-        Aggregates GSA/WGS/WES imports, prior guesses, and genotypes learnt
-        from RNAseq. Stored as betas — Dirichlet pseudo-counts per variant.
-        Genotype names are fixed at construction; more than two bases per
-        genomic position are supported.
-        """
-        self.var2varid: Dict[Tuple, int] = {}  # (chrom, pos, base) -> row in variant_betas
-        self.genotype_names: List[str] = list(genotype_names)
-        assert (np.sort(self.genotype_names) == self.genotype_names).all(), "please order genotype names"
-        assert len(set(genotype_names)) == len(genotype_names), f"Duplicates in genotypes: {genotype_names}"
-        self.variant_betas: np.ndarray = np.zeros([32768, self.n_genotypes], "float32")
-        self.default_prior: float = default_prior
+        names = list(genotype_names)
+        if names != sorted(names):
+            raise ValueError("genotype names must be passed in sorted order")
+        if len(set(names)) != len(names):
+            raise ValueError(f"genotype names contain duplicates: {names}")
+        self.genotype_names: List[str] = names
+        self.default_prior = default_prior
 
-    def __repr__(self):
-        chromosomes = {chromosome for chromosome, _, _ in self.var2varid}
-        return (
-            f'<Genotypes with {self.n_variants} variants on {len(chromosomes)} contigs ("chromosomes") '
-            f"and {self.n_genotypes} genotypes: \n{self.genotype_names}"
-        )
+        self._donor_slot: Dict[str, int] = {name: slot for slot, name in enumerate(names)}
+        # interning tables for chromosome names and base characters
+        self._chrom_names: List[str] = []
+        self._chrom_slots: Dict[str, int] = {}
+        self._base_chars: List[str] = []
+        self._base_slots: Dict[str, int] = {}
+        # packed key -> variant row
+        self._row_index: Dict[int, int] = {}
+        # parallel per-variant columns (capacity-sized, first _n_rows live)
+        self._n_rows = 0
+        self._col_chrom = np.zeros(0, dtype=np.int32)
+        self._col_pos = np.zeros(0, dtype=np.int64)
+        self._col_base = np.zeros(0, dtype=np.int16)
+        self.variant_betas = np.zeros((0, self.n_genotypes), dtype=np.float32)
+        self._tuple_index_cache = None
 
+    # ------------------------------------------------------------------
+    # registry
+    # ------------------------------------------------------------------
     @property
     def n_genotypes(self) -> int:
         return len(self.genotype_names)
 
     @property
     def n_variants(self) -> int:
-        return len(self.var2varid)
+        return self._n_rows
 
-    def get_betas(self) -> np.ndarray:
-        """Read-only view of the occupied rows."""
-        variants_view: np.ndarray = self.variant_betas[: self.n_variants]
-        variants_view.flags.writeable = False
-        return variants_view
+    def _intern(self, table: Dict[str, int], names: List[str], value: str) -> int:
+        slot = table.get(value)
+        if slot is None:
+            slot = len(names)
+            table[value] = slot
+            names.append(value)
+        return slot
 
-    def get_snp_ids_for_variants(self) -> np.ndarray:
-        """variant row -> snp id, where a snp is a unique (chrom, pos)."""
-        snp2id: Dict[Tuple, int] = {}
-        result = np.zeros(self.n_variants, dtype="int32") - 1
-        for (chrom, pos, _base), variant_id in self.var2varid.items():
-            snp = chrom, pos
-            if snp not in snp2id:
-                snp2id[snp] = len(snp2id)
-            result[variant_id] = snp2id[snp]
-        assert np.all(result >= 0)
-        assert np.all(result < self.n_variants)
-        return result
+    def _packed_key(self, chrom: str, pos: int, base: str) -> int:
+        chrom_slot = self._intern(self._chrom_slots, self._chrom_names, chrom)
+        base_slot = self._intern(self._base_slots, self._base_chars, base)
+        assert base_slot < _BASE_SPAN and pos < _POSITION_SPAN
+        return (chrom_slot * _POSITION_SPAN + int(pos)) * _BASE_SPAN + base_slot
 
-    def get_variant_id(self, chrom, pos, base) -> int:
-        variant = chrom, pos, base
-        if variant not in self.var2varid:
-            self.var2varid[variant] = self.n_variants
-            self.extend_variants(1)
-        return self.var2varid[variant]
+    def _ensure_capacity(self, n_rows_needed: int) -> None:
+        def grown(array: np.ndarray, capacity: int) -> np.ndarray:
+            if len(array) >= capacity:
+                return array
+            extra_shape = (capacity - len(array),) + array.shape[1:]
+            return np.concatenate([array, np.zeros(extra_shape, dtype=array.dtype)])
+
+        if n_rows_needed <= len(self.variant_betas) and n_rows_needed <= len(self._col_pos):
+            return
+        capacity = max(n_rows_needed, 2 * len(self.variant_betas), 1024)
+        self.variant_betas = grown(self.variant_betas, capacity)
+        self._col_chrom = grown(self._col_chrom, capacity)
+        self._col_pos = grown(self._col_pos, capacity)
+        self._col_base = grown(self._col_base, capacity)
+
+    def get_variant_id(self, chrom: str, pos: int, base: str) -> int:
+        """Row id of the variant, registering it (zero betas) if new."""
+        key = self._packed_key(chrom, pos, base)
+        row = self._row_index.get(key)
+        if row is None:
+            row = self._n_rows
+            self._ensure_capacity(row + 1)
+            self._row_index[key] = row
+            self._col_chrom[row] = self._chrom_slots[chrom]
+            self._col_pos[row] = int(pos)
+            self._col_base[row] = self._base_slots[base]
+            self._n_rows = row + 1
+            self._tuple_index_cache = None
+        return row
+
+    def _register_batch(self, chroms: Sequence, positions: Sequence, bases: Sequence) -> np.ndarray:
+        """Row ids for aligned (chrom, pos, base) columns, registering news."""
+        rows = np.empty(len(positions), dtype=np.int64)
+        self._ensure_capacity(self._n_rows + len(positions))  # upper bound, cheap
+        for i, (chrom, pos, base) in enumerate(zip(chroms, positions, bases)):
+            rows[i] = self.get_variant_id(chrom, pos, base)
+        return rows
 
     def extend_variants(self, n_samples: int = 1) -> None:
-        # pre-allocate space for new variants by doubling
-        while n_samples + self.n_variants > len(self.variant_betas):
-            self.variant_betas = np.concatenate([self.variant_betas, np.zeros_like(self.variant_betas)], axis=0)
+        """Reserve capacity for future registrations (compat convenience)."""
+        self._ensure_capacity(self._n_rows + n_samples)
 
-    def _check_imported_genotypes(self, imported_genotypes: List[str], allow_duplicates=False) -> Dict[str, int]:
-        duplicate_genotypes = find_duplicates(imported_genotypes)
-        if duplicate_genotypes:
-            if allow_duplicates:
-                warn(f"Duplicate genotypes found will be imported: {duplicate_genotypes}")
-            else:
-                raise RuntimeError(f"Duplicate genotypes found in imported data: {duplicate_genotypes}")
+    @property
+    def var2varid(self) -> Dict[tuple, int]:
+        """Mapping view ``(chrom, pos, base) -> variant row`` (cached)."""
+        if self._tuple_index_cache is None:
+            n = self._n_rows
+            self._tuple_index_cache = {
+                (self._chrom_names[c], int(p), self._base_chars[b]): row
+                for row, (c, p, b) in enumerate(
+                    zip(self._col_chrom[:n], self._col_pos[:n], self._col_base[:n])
+                )
+            }
+        return self._tuple_index_cache
 
-        imported = set(imported_genotypes)
-        existing = set(self.genotype_names)
+    def variant_columns(self):
+        """Raw registry columns: (chrom names list, chrom slots, positions, base chars list, base slots).
 
-        common_genotypes = set.intersection(imported, existing)
-        if not common_genotypes:
-            raise RuntimeError(f"No genotypes to import, expected {existing}, got {imported}")
+        Vectorized consumers (the packing layer) read these directly instead
+        of iterating a dict of tuples.
+        """
+        n = self._n_rows
+        return (
+            self._chrom_names,
+            self._col_chrom[:n],
+            self._col_pos[:n],
+            self._base_chars,
+            self._col_base[:n],
+        )
 
-        new_genotypes = set.difference(imported, existing)
-        if new_genotypes:
-            warn(f"Genotypes will not be imported: {new_genotypes}")
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def get_betas(self) -> np.ndarray:
+        """Live beta rows as a read-only view."""
+        view = self.variant_betas[: self._n_rows]
+        view.flags.writeable = False
+        return view
 
-        missed_genotypes = set.difference(existing, imported)
-        if missed_genotypes:
-            print(f"Some of genotypes are not provided during import: {missed_genotypes}")
+    def get_snp_ids_for_variants(self) -> np.ndarray:
+        """Variant row -> dense SNP id (variants sharing (chrom, pos))."""
+        n = self._n_rows
+        site_key = self._col_chrom[:n].astype(np.int64) * _POSITION_SPAN + self._col_pos[:n]
+        order = np.argsort(site_key, kind="stable")
+        ordered = site_key[order]
+        first_of_run = np.ones(n, dtype=bool)
+        first_of_run[1:] = ordered[1:] != ordered[:-1]
+        snp_of_ordered = np.cumsum(first_of_run) - 1
+        result = np.empty(n, dtype=np.int32)
+        result[order] = snp_of_ordered
+        return result
 
-        return {g: self.genotype_names.index(g) for g in list(common_genotypes)}
+    def get_chromosome2positions(self) -> Dict[str, np.ndarray]:
+        """Distinct SNP positions per chromosome (sorted int64 arrays)."""
+        n = self._n_rows
+        if n == 0:
+            warn("no variants registered yet — import a VCF or prior betas first")
+        return {
+            name: np.unique(self._col_pos[:n][self._col_chrom[:n] == slot])
+            for slot, name in enumerate(self._chrom_names)
+        }
 
-    # -- importers ---------------------------------------------------------
+    def get_snp_positions_set(self) -> set:
+        """Set of (chromosome, position) pairs carrying any variant."""
+        n = self._n_rows
+        chrom_of_row = np.asarray(self._chrom_names, dtype=object)[self._col_chrom[:n]]
+        return set(zip(chrom_of_row, (int(p) for p in self._col_pos[:n])))
+
+    def __repr__(self):
+        return (
+            f"ProbabilisticGenotypes({self.n_variants} variants over "
+            f"{len(self._chrom_names)} contigs; donors {self.genotype_names})"
+        )
+
+    # ------------------------------------------------------------------
+    # importers
+    # ------------------------------------------------------------------
+    def _resolve_import_donors(self, imported: List[str], allow_duplicates: bool = False) -> Dict[str, int]:
+        """Intersect imported donor names with ours; warn about the rest."""
+        repeated = [name for name, times in Counter(imported).items() if times > 1]
+        if repeated:
+            if not allow_duplicates:
+                raise RuntimeError(f"imported data repeats donor columns: {repeated}")
+            warn(f"repeated donor columns will each be imported: {repeated}")
+
+        known = {name: self._donor_slot[name] for name in imported if name in self._donor_slot}
+        if not known:
+            raise RuntimeError(
+                f"imported donors {sorted(set(imported))} have no overlap with {self.genotype_names}"
+            )
+        foreign = sorted(set(imported) - set(known))
+        if foreign:
+            warn(f"ignoring donors absent from this genotype set: {foreign}")
+        absent = sorted(set(self.genotype_names) - set(imported))
+        if absent:
+            print(f"import carries no information for donors: {absent}")
+        return known
+
+    # keep the reference's name for this hook as an alias (tests/users call it)
+    _check_imported_genotypes = _resolve_import_donors
+
     def add_vcf(self, vcf_file_name, prior_strength: float = 100.0) -> None:
-        """Import diploid GT calls from a VCF.
+        """Accumulate diploid GT calls from a VCF.
 
-        Rules (matching demuxalot/genotypes.py:112-168): SNV-only records with
-        unique A/C/G/T alleles; each diploid call contributes
-        ``prior_strength / len(GT)`` per called allele; at least two donors
-        must carry the SNP; donors without a call receive
-        ``0.1 * mean(provided)``.
+        Import rules (reference parity, demuxalot/genotypes.py:112-168):
+        only SNV records whose alleles are distinct single A/C/G/T bases
+        qualify; each donor's diploid call spreads ``prior_strength``
+        equally over its called alleles; a record needs calls from at least
+        two known donors to contribute weight (its variants are still
+        registered); donors without a call get a token 10% of the mean
+        provided contribution.
         """
         from ..bamio import VariantFile
 
-        n_skipped_snps = 0
-        donor2donor_id = None
-        n_snps_in_file = 0
-        n_original_variants = self.n_variants
-        for snp in VariantFile(vcf_file_name).fetch():
-            n_snps_in_file += 1
-            if any(len(option) != 1 for option in snp.alleles):
-                print("skipping non-snp, alleles = ", snp.alleles, snp.chrom, snp.pos)
+        n_records = 0
+        n_rejected = 0
+        rows_before = self._n_rows
+        donor_slots: Dict[str, int] = {}
+        pending_rows: List[np.ndarray] = []
+        pending_weights: List[np.ndarray] = []
+
+        for record in VariantFile(vcf_file_name).fetch():
+            n_records += 1
+            if any(len(allele) != 1 for allele in record.alleles):
+                print(f"ignoring non-SNV record at {record.chrom}:{record.pos} {record.alleles}")
+                continue
+            if not donor_slots:
+                donor_slots = self._resolve_import_donors(list(record.samples))
+            if len(set(record.alleles)) != len(record.alleles) or not all(
+                allele in "ACGT" for allele in record.alleles
+            ):
+                n_rejected += 1
                 continue
 
-            if donor2donor_id is None:
-                donor2donor_id = self._check_imported_genotypes(imported_genotypes=list(snp.samples))
-
-            snp_ids = []
-            alleles = snp.alleles
-            if len(set(alleles)) != len(alleles):
-                n_skipped_snps += 1
-                continue
-            if any(allele not in "ACGT" for allele in alleles):
-                n_skipped_snps += 1
-                continue
-
-            for allele in alleles:
-                # VCF positions are 1-based, internal storage is 0-based
-                snp_ids.append(self.get_variant_id(snp.chrom, snp.pos - 1, allele))
-
-            assert len(set(snp_ids)) == len(snp_ids), (snp_ids, snp.chrom, snp.pos, snp.alleles)
-
-            contribution = np.zeros([len(snp_ids), self.n_genotypes], dtype="float32")
-            for donor, donor_id in donor2donor_id.items():
-                called_values = snp.samples[donor]["GT"]
-                for call in called_values:
-                    if call is not None:
-                        # contribution is split between called values
-                        contribution[call, donor_id] += prior_strength / len(called_values)
-            not_provided = contribution.sum(axis=0) == 0
-            if np.sum(~not_provided) < 2:
-                # at least two genotypes should have the SNP
-                n_skipped_snps += 1
-                continue
-
-            confidence_for_skipped = 0.1
-            contribution[:, not_provided] = (
-                contribution[:, ~not_provided].mean(axis=1, keepdims=True) * confidence_for_skipped
+            # VCF is 1-based; the registry is 0-based
+            rows = np.array(
+                [self.get_variant_id(record.chrom, record.pos - 1, a) for a in record.alleles]
             )
-            self.variant_betas[snp_ids] += contribution
+            weights = np.zeros((len(rows), self.n_genotypes), dtype=np.float32)
+            for donor, slot in donor_slots.items():
+                diploid = record.samples[donor]["GT"]
+                for allele_index in diploid:
+                    if allele_index is not None:
+                        weights[allele_index, slot] += prior_strength / len(diploid)
 
-        if n_skipped_snps > 0:
-            print("skipped", n_skipped_snps, "SNVs")
-        print(f"Parsed {n_snps_in_file} SNPs, got {self.n_variants - n_original_variants} novel variants")
+            covered = weights.sum(axis=0) > 0
+            if covered.sum() < 2:
+                n_rejected += 1  # a single-donor SNP cannot discriminate
+                continue
+            weights[:, ~covered] = 0.1 * weights[:, covered].mean(axis=1, keepdims=True)
+            pending_rows.append(rows)
+            pending_weights.append(weights)
+
+        if pending_rows:
+            self._scatter_add(np.concatenate(pending_rows), np.concatenate(pending_weights))
+        if n_rejected:
+            print(f"rejected {n_rejected} records (duplicate/non-ACGT alleles or <2 donors)")
+        print(
+            f"read {n_records} VCF records -> {self._n_rows - rows_before} newly registered variants"
+        )
+
+    def _scatter_add(self, rows: np.ndarray, weights: np.ndarray) -> None:
+        """betas[rows] += weights with repeated rows accumulated."""
+        n = self._n_rows
+        for slot in range(self.n_genotypes):
+            self.variant_betas[:n, slot] += np.bincount(
+                rows, weights=weights[:, slot].astype(np.float64), minlength=n
+            ).astype(np.float32)
 
     def add_assignment_dataframe(self, assignment: pd.DataFrame, *, prior_strength: float = 100.0) -> None:
-        """Import a '0/0'/'0/1'/'1/1'/'./.' assignment table.
+        """Accumulate a '0/0'/'0/1'/'1/1' style assignment table.
 
-        ``assignment``: columns = donors; index frame has columns
-        CHROM / POS1BASED / REF / ALT (reference: demuxalot/genotypes.py:170-205).
+        ``assignment``: donor columns over a (CHROM, POS1BASED, REF, ALT)
+        index; './.' and missing entries carry no information.
         """
-        assignment = assignment.fillna("./.")
-        assignment.index = pd.MultiIndex.from_frame(
-            assignment.index.to_frame().loc[:, ["CHROM", "POS1BASED", "REF", "ALT"]]
+        table = assignment.fillna("./.")
+        site = table.index.to_frame().reset_index(drop=True)
+        donor_slots = self._resolve_import_donors(list(table.columns))
+
+        rows_before = self._n_rows
+        chroms = site["CHROM"].tolist()
+        positions = (site["POS1BASED"].to_numpy() - 1).tolist()
+        ref_rows = self._register_batch(chroms, positions, site["REF"].tolist())
+        alt_rows = self._register_batch(chroms, positions, site["ALT"].tolist())
+
+        for donor, slot in donor_slots.items():
+            calls = table[donor].to_numpy()
+            legal = np.isin(calls, list(_DIPLOID_CALL_WEIGHTS) + ["./."])
+            if not legal.all():
+                bad = calls[~legal][0]
+                raise AssertionError(f"unrecognized assignment value {bad!r} for donor {donor}")
+            ref_w = np.zeros(len(calls))
+            alt_w = np.zeros(len(calls))
+            for call, (wr, wa) in _DIPLOID_CALL_WEIGHTS.items():
+                hit = calls == call
+                ref_w[hit] = wr * prior_strength
+                alt_w[hit] = wa * prior_strength
+            n = self._n_rows
+            self.variant_betas[:n, slot] += (
+                np.bincount(ref_rows, weights=ref_w, minlength=n)
+                + np.bincount(alt_rows, weights=alt_w, minlength=n)
+            ).astype(np.float32)
+
+        print(
+            f"read {2 * len(table)} assignment variants -> "
+            f"{self._n_rows - rows_before} newly registered"
         )
-        genotype2genotype_id = self._check_imported_genotypes(list(assignment.columns))
-        assignment = assignment.loc[:, list(genotype2genotype_id)]
-
-        n_variants_before = self.n_variants
-
-        for (chrom, pos_1based, ref, alt), row in assignment.iterrows():
-            ref_snp_id = self.get_variant_id(chrom, pos_1based - 1, ref)
-            alt_snp_id = self.get_variant_id(chrom, pos_1based - 1, alt)
-
-            betas = self.variant_betas
-            for genotype, value in row.items():
-                genotype_id = genotype2genotype_id[genotype]
-                if value == "0/0":
-                    betas[ref_snp_id, genotype_id] += prior_strength
-                elif value == "0/1":
-                    betas[ref_snp_id, genotype_id] += prior_strength * 0.5
-                    betas[alt_snp_id, genotype_id] += prior_strength * 0.5
-                elif value == "1/1":
-                    betas[alt_snp_id, genotype_id] += prior_strength
-                else:
-                    assert value == "./." or value is None, (
-                        f"Unknown value: {value} of type {type(value)} at {chrom} {pos_1based} {ref} {alt}"
-                    )
-
-        print(f"Parsed {len(assignment) * 2} variants, of them  {self.n_variants - n_variants_before} are novel")
 
     def add_raw_values_from_bead_array(
         self,
@@ -221,143 +349,109 @@ class ProbabilisticGenotypes:
         *,
         prior_strength: float = 100.0,
     ) -> None:
-        """Import raw Illumina bead-array values.
+        """Accumulate raw Illumina bead-array intensities.
 
-        Two aligned dataframes (columns = donors; index frame has columns
-        chromosome / position1based / alleleA / alleleB):
-        contribution = ``prior_strength * 2**logrratio`` split between alleles
-        by ``b_allele_freq``; non-finite entries are treated as logrratio −20
-        with frequency 0 (reference: demuxalot/genotypes.py:207-265).
+        Aligned donor-column frames over a (chromosome, position1based,
+        alleleA, alleleB) index. A probe contributes
+        ``prior_strength * 2**logrratio`` split between its two alleles by
+        ``b_allele_freq``; non-finite pairs degrade to logrratio −20 with
+        all mass on allele A.
         """
-        assert np.array_equal(logrratio.columns, b_allele_freq.columns)
-        assert np.array_equal(logrratio.index, b_allele_freq.index)
-        import_genotypes = list(logrratio.columns)
-        self._check_imported_genotypes(import_genotypes, allow_duplicates=True)
+        assert logrratio.columns.equals(b_allele_freq.columns), "frames must share donor columns"
+        assert logrratio.index.equals(b_allele_freq.index), "frames must share the probe index"
+        self._resolve_import_donors(list(logrratio.columns), allow_duplicates=True)
 
-        index = logrratio.index.to_frame()[["chromosome", "position1based", "alleleA", "alleleB"]]
-        index = index.reset_index(drop=True)
-        index["chromosome"] = index["chromosome"].map(str)
-        index["position0based"] = index["position1based"] - 1
+        site = logrratio.index.to_frame().reset_index(drop=True)
+        chroms = site["chromosome"].map(str).tolist()
+        positions = (site["position1based"].to_numpy() - 1).tolist()
+        rows_before = self._n_rows
+        rows_a = self._register_batch(chroms, positions, site["alleleA"].tolist())
+        rows_b = self._register_batch(chroms, positions, site["alleleB"].tolist())
 
-        n_variants_before = self.n_variants
-        variants = [
-            (self.get_variant_id(chrom, pos0, allA), self.get_variant_id(chrom, pos0, allB))
-            for _, (chrom, pos0, allA, allB) in index[
-                ["chromosome", "position0based", "alleleA", "alleleB"]
-            ].iterrows()
-        ]
-        variantsA, variantsB = np.asarray(variants).T
+        ratio = logrratio.to_numpy(dtype=np.float64, copy=True).clip(-10, 0)
+        freq_b = b_allele_freq.to_numpy(dtype=np.float64, copy=True)
+        broken = ~(np.isfinite(ratio) & np.isfinite(freq_b))
+        ratio[broken] = -20
+        freq_b[broken] = 0
+        assert freq_b.min() >= 0 and freq_b.max() <= 1, "b_allele_freq must lie in [0, 1]"
+        assert ratio.max() == 0.0, "logrratio is expected to top out at 0"
 
-        # copy=True: pandas 3 returns read-only views from .values
-        logrratio = logrratio.to_numpy(copy=True).clip(-10, 0)
-        b_allele_freq = b_allele_freq.to_numpy(copy=True)
-
-        undefined = ~(np.isfinite(logrratio) & np.isfinite(b_allele_freq))
-        logrratio[undefined] = -20
-        b_allele_freq[undefined] = 0
-
-        assert np.isfinite(logrratio).all()
-        assert np.isfinite(b_allele_freq).all()
-        assert np.min(b_allele_freq) >= 0.0
-        assert np.max(b_allele_freq) <= 1.0
-        assert np.max(logrratio) == 0.0
-
-        for genotype, b_allele_freq_col, logrratio_col in zip(import_genotypes, b_allele_freq.T, logrratio.T):
-            if genotype not in self.genotype_names:
+        n = self._n_rows
+        for column, donor in enumerate(logrratio.columns):
+            slot = self._donor_slot.get(donor)
+            if slot is None:
                 continue
-            genotype_id = self.genotype_names.index(genotype)
-            contribution = prior_strength * 2**logrratio_col
+            probe_mass = prior_strength * np.exp2(ratio[:, column])
+            self.variant_betas[:n, slot] += (
+                np.bincount(rows_a, weights=probe_mass * (1 - freq_b[:, column]), minlength=n)
+                + np.bincount(rows_b, weights=probe_mass * freq_b[:, column], minlength=n)
+            ).astype(np.float32)
 
-            self.variant_betas[variantsA, genotype_id] += (1 - b_allele_freq_col) * contribution
-            self.variant_betas[variantsB, genotype_id] += (0 + b_allele_freq_col) * contribution
-
-        print(f"Parsed {len(logrratio) * 2} variants, of them  {self.n_variants - n_variants_before} are novel")
+        print(
+            f"read {2 * len(logrratio)} bead-array variants -> "
+            f"{self._n_rows - rows_before} newly registered"
+        )
 
     def add_prior_betas(self, prior_filename, *, prior_strength: float = 1.0) -> None:
-        """Add betas from a parquet checkpoint (the learnt-genotype format).
+        """Accumulate betas from a parquet checkpoint (the save format).
 
-        Parquet index must be (CHROM, POS, BASE); columns are donor names;
-        values are scaled by ``prior_strength`` and accumulated
-        (reference: demuxalot/genotypes.py:267-299).
+        Index must be (CHROM, POS, BASE); columns are donor names; values
+        are scaled by ``prior_strength``. Unknown variants are registered —
+        a positions-only parquet (no donor columns) registers zero-weight
+        variants, which is how discovered SNPs enter the next EM round.
         """
-        prior_knowledge: pd.DataFrame = pd.read_parquet(prior_filename) * prior_strength
-        print("Provided prior information about genotypes:", [*prior_knowledge.columns])
-        genotypes_not_provided = [
-            genotype for genotype in self.genotype_names if genotype not in prior_knowledge.columns
-        ]
-        if len(genotypes_not_provided) > 0:
-            print(f"No information for genotypes: {genotypes_not_provided}")
+        checkpoint = pd.read_parquet(prior_filename)
+        print(f"prior betas provide donors: {list(checkpoint.columns)}")
+        uncovered = [name for name in self.genotype_names if name not in checkpoint.columns]
+        if uncovered:
+            print(f"no prior information for donors: {uncovered}")
 
-        variants = prior_knowledge.index.to_frame()
-        variants = zip(variants["CHROM"], variants["POS"], variants["BASE"])
+        site = checkpoint.index.to_frame().reset_index(drop=True)
+        rows = self._register_batch(
+            site["CHROM"].tolist(), site["POS"].tolist(), site["BASE"].tolist()
+        )
+        n = self._n_rows
+        for donor in checkpoint.columns:
+            slot = self._donor_slot.get(donor)
+            if slot is None:
+                continue
+            self.variant_betas[:n, slot] += np.bincount(
+                rows,
+                weights=checkpoint[donor].to_numpy(dtype=np.float64) * prior_strength,
+                minlength=n,
+            ).astype(np.float32)
 
-        variant_indices: List[int] = []
-        for variant in variants:
-            if variant not in self.var2varid:
-                self.extend_variants(1)
-                self.var2varid[variant] = self.n_variants
-            variant_indices.append(self.var2varid[variant])
-
-        variant_indices = np.asarray(variant_indices, dtype=np.int64)
-        for donor_id, donor in enumerate(self.genotype_names):
-            if donor in prior_knowledge.columns:
-                # bincount scatter-add; ufunc.at is pathologically slow here
-                self.variant_betas[: len(self.variant_betas), donor_id] += np.bincount(
-                    variant_indices,
-                    weights=prior_knowledge[donor].to_numpy(dtype=np.float64),
-                    minlength=len(self.variant_betas),
-                ).astype(self.variant_betas.dtype)
-
-    # -- queries -----------------------------------------------------------
-    def get_chromosome2positions(self) -> Dict[str, np.ndarray]:
-        chromosome2positions = defaultdict(list)
-        for chromosome, position, base in self.var2varid:
-            chromosome2positions[chromosome].append(position)
-
-        if len(chromosome2positions) == 0:
-            warn("Genotypes are empty. Did you forget to add vcf/betas?")
-
-        return {
-            chromosome: np.unique(np.asarray(positions, dtype=int))
-            for chromosome, positions in chromosome2positions.items()
-        }
-
-    def get_snp_positions_set(self) -> set:
-        return {(chromosome, position) for chromosome, position, base in self.var2varid}
-
-    def _with_betas(self, external_betas: np.ndarray) -> "ProbabilisticGenotypes":
-        """Clone with replaced beta weights (used by EM refinement)."""
-        assert external_betas.shape == (self.n_variants, self.n_genotypes)
-        assert external_betas.dtype == self.variant_betas.dtype
-        assert np.min(external_betas) >= 0
-        result: ProbabilisticGenotypes = self.clone()
-        result.variant_betas = external_betas.copy()
-        return result
-
-    # -- serialization -----------------------------------------------------
+    # ------------------------------------------------------------------
+    # serialization & cloning
+    # ------------------------------------------------------------------
     def as_pandas_dataframe(self) -> pd.DataFrame:
-        """Betas in canonical (sorted-variant) order, MultiIndex CHROM/POS/BASE."""
-        index_columns = defaultdict(list)
-        old_variant_order = []
-
-        for (chrom, pos, base), variant_id in sorted(self.var2varid.items()):
-            index_columns["CHROM"].append(chrom)
-            index_columns["POS"].append(pos)
-            index_columns["BASE"].append(base)
-            old_variant_order.append(variant_id)
-
-        old_variant_order = np.asarray(old_variant_order, dtype=int)
-        betas = self.variant_betas[: self.n_variants][old_variant_order]
-
+        """Betas over a canonically sorted (CHROM, POS, BASE) MultiIndex."""
+        n = self._n_rows
+        chrom_of_row = np.asarray(self._chrom_names, dtype="U")[self._col_chrom[:n]]
+        base_of_row = np.asarray(self._base_chars, dtype="U")[self._col_base[:n]]
+        pos_of_row = self._col_pos[:n]
+        order = np.lexsort((base_of_row, pos_of_row, chrom_of_row))
         return pd.DataFrame(
-            data=betas,
-            index=pd.MultiIndex.from_frame(pd.DataFrame(index_columns)),
+            data=self.variant_betas[:n][order],
+            index=pd.MultiIndex.from_arrays(
+                [chrom_of_row[order], pos_of_row[order], base_of_row[order]],
+                names=["CHROM", "POS", "BASE"],
+            ),
             columns=self.genotype_names,
         )
 
     def save_betas(self, path_or_buf) -> None:
-        """Checkpoint learnt genotypes as parquet betas (re-importable)."""
+        """Write the parquet checkpoint (re-importable via add_prior_betas)."""
         self.as_pandas_dataframe().to_parquet(path_or_buf)
 
     def clone(self) -> "ProbabilisticGenotypes":
         return deepcopy(self)
+
+    def _with_betas(self, external_betas: np.ndarray) -> "ProbabilisticGenotypes":
+        """Clone carrying replacement beta weights (exact-size rows)."""
+        assert external_betas.shape == (self.n_variants, self.n_genotypes)
+        assert external_betas.dtype == self.variant_betas.dtype
+        assert external_betas.min(initial=0) >= 0, "betas cannot be negative"
+        result = self.clone()
+        result.variant_betas = external_betas.copy()
+        return result

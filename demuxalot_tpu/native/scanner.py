@@ -66,9 +66,10 @@ def _extract_parse_params(parse_read) -> Optional[dict]:
 def _barcode_array(barcode_handler):
     """Whitelist as a char** indexed by the handler's dense indices.
 
-    Placeholder slots (dummy int keys from filter_to_rg_value) use "\\x01":
-    non-empty and impossible as a Z-tag value (the spec allows printable
-    chars + space only), so an empty CB tag can never match them.
+    Slots without a plain-string identity (barcodes belonging to other
+    read groups after filter_to_rg_value) use "\\x01": non-empty and
+    impossible as a Z-tag value (the spec allows printable chars + space
+    only), so an empty CB tag can never match them.
     """
     n = barcode_handler.n_barcodes
     arr = [b"\x01"] * n

@@ -19,7 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..utils.encoding import compress_base
+from ..utils.encoding import base_lookup
 
 
 @dataclass
@@ -64,23 +64,20 @@ def match_calls_to_variants(
     """
     variant_index2snp_index = genotypes.get_snp_ids_for_variants()
 
-    # per-chromosome sorted (pos*5 + base) key -> variant id
+    # per-chromosome sorted (pos*5 + base_code) key -> variant id, read
+    # straight off the registry columns (no per-variant Python iteration)
+    chrom_names, chrom_slots, positions, base_chars, base_slots = genotypes.variant_columns()
+    # registry base chars -> call base codes; exotic bases get a sentinel
+    # code that no call (0..4) can produce, so they simply never match
+    slot2code = np.array([base_lookup.get(ch, 5) for ch in base_chars], dtype=np.int64)
+    base_codes = slot2code[np.asarray(base_slots, dtype=np.int64)]
     chrom2keys: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-    chrom_list, pos_list, base_list, vid_list = [], [], [], []
-    for (chrom, pos, base), variant_index in genotypes.var2varid.items():
-        chrom_list.append(chrom)
-        pos_list.append(pos)
-        base_list.append(compress_base(base))
-        vid_list.append(variant_index)
-    chrom_arr = np.asarray(chrom_list, dtype=object)
-    pos_arr = np.asarray(pos_list, dtype=np.int64)
-    base_arr = np.asarray(base_list, dtype=np.int64)
-    vid_arr = np.asarray(vid_list, dtype=np.int64)
-    for chrom in set(chrom_list):
-        sel = chrom_arr == chrom
-        keys = pos_arr[sel] * 5 + base_arr[sel]
+    all_vids = np.arange(len(positions), dtype=np.int64)
+    for slot, chrom in enumerate(chrom_names):
+        sel = np.asarray(chrom_slots) == slot
+        keys = np.asarray(positions, dtype=np.int64)[sel] * 6 + base_codes[sel]
         order = np.argsort(keys, kind="stable")
-        chrom2keys[chrom] = (keys[order], vid_arr[sel][order])
+        chrom2keys[chrom] = (keys[order], all_vids[sel][order])
 
     collected = {name: [] for name in (
         "variant_id", "snp_id", "compressed_cb", "molecule_id", "p_base_wrong", "p_molecule_aligned_wrong",
@@ -93,7 +90,7 @@ def match_calls_to_variants(
         if chromosome not in chrom2keys or len(calls) == 0:
             continue
         sorted_keys, sorted_vids = chrom2keys[chromosome]
-        call_keys = calls["snp_position"].astype(np.int64) * 5 + calls["base_index"].astype(np.int64)
+        call_keys = calls["snp_position"].astype(np.int64) * 6 + calls["base_index"].astype(np.int64)
         idx = np.searchsorted(sorted_keys, call_keys).clip(0, len(sorted_keys) - 1)
         matched = sorted_keys[idx] == call_keys
         if not matched.any():

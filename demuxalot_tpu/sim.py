@@ -94,21 +94,17 @@ def genotypes_from_donor_genomes(donor_genomes: List[SyntheticReference]) -> Pro
                 chr_pos2donor2base[chrom, pos][donor_name] = base
 
     result = ProbabilisticGenotypes(donor_names)
-    var2varid: Dict[Tuple, int] = {}
-    betas = np.zeros([sum(len(s) for g in donor_genomes[:1] for s in g.chromosome2sequence.values()) * 4,
-                      len(donor_names)], dtype="float32") + 0.5
     for (chrom, pos), donor2base in chr_pos2donor2base.items():
         if len(set(donor2base.values())) == 1:
             continue
         for donor, base in donor2base.items():
-            variant = (chrom, pos, base)
-            if variant not in var2varid:
-                var2varid[variant] = len(var2varid)
-            betas[var2varid[variant], donor_names.index(donor)] = 100
-
-    result.var2varid = var2varid
-    result.variant_betas = betas[: len(var2varid)]
-    return result
+            row = result.get_variant_id(chrom, pos, base)
+            result.variant_betas[row, donor_names.index(donor)] = 100
+    # everything not explicitly supported gets a weak 0.5 pseudo-count;
+    # _with_betas also trims spare capacity so callers can mask full arrays
+    betas = result.variant_betas[: result.n_variants].copy()
+    betas[betas == 0] = 0.5
+    return result._with_betas(betas)
 
 
 def generate_bam_file(

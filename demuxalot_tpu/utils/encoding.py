@@ -1,60 +1,70 @@
-"""Deterministic encodings for bases and molecule (UMI) barcodes.
+"""Deterministic integer encodings for nucleotides and molecule barcodes.
 
-Semantics match the reference library so that downstream numerics are
-reproducible bit-for-bit (reference: demuxalot/utils.py:12-32).
+The numeric scheme is fixed by the on-disk/checkpoint formats and by
+cross-run reproducibility requirements, and therefore matches the reference
+library bit-for-bit (demuxalot/utils.py:12-36): bases map A,C,G,T,N -> 0..4
+and a UMI string maps to a base-5 polynomial residue modulo the largest
+prime below 2**32. Everything else about this module (vectorized LUT
+encoder, scatter-add helper) is framework-specific.
 """
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 
-# Largest prime below 2**32 - 1; residues fit an int32-friendly range.
-_UMI_HASH_PRIME = 2147483629
+NUCLEOTIDES = "ACGTN"
 
-base_lookup = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}
+# dict view of the nucleotide ordering, part of the public utils surface
+base_lookup = {nt: code for code, nt in enumerate(NUCLEOTIDES)}
 
-_BASES = "ACGTN"
+# largest prime that fits below 2**32; residues stay int32-addressable
+_UMI_MODULUS = 2147483629
 
 
 def hash_string(s: str) -> int:
-    """Compress a molecule barcode (UMI) string into a deterministic integer.
+    """Deterministic integer for a molecule-barcode (UMI) string.
 
-    Base-5-ish polynomial rolling hash over character ordinals, reduced modulo
-    the largest prime below 2**32 (reference: demuxalot/utils.py:12-22).
-    Deterministic and collision-sparse for the short A/C/G/T UMIs in use.
+    Horner evaluation of the string's ordinals in base 5, reduced modulo
+    ``_UMI_MODULUS``. Collisions are vanishingly rare for the short
+    fixed-alphabet UMIs this is applied to, and determinism (unlike
+    Python's salted ``hash``) makes runs reproducible.
     """
-    result = 0
-    for c in s:
-        result = result * 5 + ord(c)
-    return result % _UMI_HASH_PRIME
+    return reduce(lambda acc, ch: acc * 5 + ord(ch), s, 0) % _UMI_MODULUS
 
 
 def compress_base(base: str) -> int:
-    """Map A/C/G/T/N to 0..4 (reference: demuxalot/utils.py:27-28)."""
+    """Single nucleotide character -> code in 0..4 (A,C,G,T,N)."""
     return base_lookup[base]
 
 
 def decompress_base(base_index: int) -> str:
-    """Inverse of :func:`compress_base` (reference: demuxalot/utils.py:31-32)."""
-    return _BASES[base_index]
+    """Code in 0..4 -> nucleotide character."""
+    return NUCLEOTIDES[base_index]
+
+
+# byte-value -> base code table for the vectorized encoder (255 = invalid)
+_BASE_CODE_OF_BYTE = np.full(256, 255, dtype=np.uint8)
+for _nt, _code in base_lookup.items():
+    _BASE_CODE_OF_BYTE[ord(_nt)] = _code
 
 
 def compress_bases_vectorized(bases: np.ndarray) -> np.ndarray:
-    """Vectorized A/C/G/T/N -> 0..4 for arrays of single-character strings."""
-    lut = np.full(256, 255, dtype=np.uint8)
-    for b, i in base_lookup.items():
-        lut[ord(b)] = i
-    codes = np.frombuffer(np.asarray(bases, dtype="S1").tobytes(), dtype=np.uint8)
-    out = lut[codes]
-    if (out == 255).any():
-        bad = set(np.asarray(bases)[out == 255])
-        raise KeyError(f"unknown bases: {bad}")
-    return out
+    """Array of single-character base strings -> uint8 codes, via byte LUT."""
+    as_bytes = np.frombuffer(np.asarray(bases, dtype="S1").tobytes(), dtype=np.uint8)
+    codes = _BASE_CODE_OF_BYTE[as_bytes]
+    if codes.max(initial=0) == 255:
+        offenders = sorted(set(np.asarray(bases)[codes == 255]))
+        raise KeyError(f"not nucleotide characters: {offenders}")
+    return codes
 
 
 def fast_np_add_at_1d(x: np.ndarray, indices, weights) -> None:
-    """Scatter-add ``weights`` into ``x`` at ``indices`` via bincount.
+    """In-place scatter-add of ``weights`` into ``x`` at ``indices``.
 
-    In-place, like the reference helper (demuxalot/utils.py:35-36). The
-    device-side equivalent in this framework is ``jax.ops.segment_sum``.
+    ``np.bincount`` is far faster than ``np.add.at`` for this shape of
+    update; kept under the reference helper's name (demuxalot/utils.py:35)
+    for API familiarity. On device the same reduction is a
+    ``jax.ops.segment_sum``.
     """
-    x[:] = x + np.bincount(indices, weights=weights, minlength=len(x))
+    x += np.bincount(indices, weights=weights, minlength=len(x)).astype(x.dtype, copy=False)

@@ -1,21 +1,30 @@
-"""Small filesystem helpers (reference: demuxalot/utils.py:147-160)."""
+"""Tiny filesystem/network helpers used by examples."""
 from __future__ import annotations
 
+import shutil
 import urllib.request
 from pathlib import Path
 
 
 def as_str(filename) -> str:
-    assert isinstance(filename, (str, Path))
+    """Normalize a str-or-Path filename to str (reject anything else)."""
+    if not isinstance(filename, (str, Path)):
+        raise TypeError(f"expected a filename (str or Path), got {type(filename)}")
     return str(filename)
 
 
-def download_file(url, local_filename) -> str:
-    """Utility used only in examples."""
-    if Path(local_filename).exists():
-        print(f"file {local_filename} already exists locally")
-    else:
-        Path(local_filename).parent.mkdir(exist_ok=True, parents=True)
-        urllib.request.urlretrieve(url, local_filename)
-        print(f"downloaded to {local_filename}")
-    return local_filename
+def download_file(url: str, local_filename) -> str:
+    """Fetch ``url`` into ``local_filename`` unless it is already present.
+
+    Streaming copy (no full in-memory buffering); parent directories are
+    created as needed. Used only by the examples.
+    """
+    target = Path(local_filename)
+    if target.exists():
+        print(f"{target} is already present, not downloading")
+        return str(target)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    with urllib.request.urlopen(url) as response, open(target, "wb") as sink:
+        shutil.copyfileobj(response, sink)
+    print(f"fetched {url} -> {target}")
+    return str(target)

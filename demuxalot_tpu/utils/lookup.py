@@ -1,9 +1,11 @@
-"""Perfect-hash compression of integer feature tuples into one dense id.
+"""Dense re-indexing of integer feature tuples.
 
-Mixed-radix encoding + ``np.unique`` + ``searchsorted``; used to collapse
-(snp, barcode)-style keys into contiguous ids for host-side aggregation
-(reference: demuxalot/utils.py:207-262). Device-side aggregation uses sorted
-segment ids instead, but this host utility is part of the public surface.
+``FeatureLookup`` assigns contiguous ids 0..K-1 to the distinct tuples
+observed across several aligned integer feature arrays — e.g. giving every
+seen (barcode, snp) pair one dense id for host-side aggregation. Device
+code uses sorted segment ids instead; this host utility mirrors the
+reference's lookup surface (demuxalot/utils.py:207-262) on top of numpy's
+``ravel_multi_index`` machinery rather than hand-rolled mixed-radix codes.
 """
 from __future__ import annotations
 
@@ -11,53 +13,51 @@ import numpy as np
 
 
 class FeatureLookup:
-    def __init__(self, *features):
-        self.n_categories = [np.max(f) + 1 for f in features]
-        total_categories = np.prod(self.n_categories)
-        if total_categories < 2**7:
-            self.dtype = "int8"
-        elif total_categories < 2**15:
-            self.dtype = "int16"
-        elif total_categories < 2**31:
-            self.dtype = "int32"
-        elif total_categories < 2**63:
-            self.dtype = "int64"
-        else:
-            raise RuntimeError("too many combinations")
+    """Bidirectional map between feature tuples and dense ids.
 
-        self._lookup = np.unique(self._to_internal_compressed(*features))
+    The constructor scans the given feature arrays (all the same length,
+    non-negative ints) and records the sorted set of distinct tuples;
+    ``compress`` later maps any arrays drawn from the same tuple set to
+    dense ids, and ``uncompress`` inverts that.
+    """
+
+    def __init__(self, *features: np.ndarray):
+        if not features:
+            raise ValueError("at least one feature array is required")
+        self._shape = tuple(int(np.max(f)) + 1 for f in features)
+        if np.prod(self._shape, dtype=np.float64) >= 2**63:
+            raise RuntimeError(f"feature space {self._shape} overflows int64 keys")
+        self._seen_keys = np.unique(self._flatten(features))
 
     @property
     def nvalues(self) -> int:
-        return len(self._lookup)
+        """Number of distinct tuples observed at construction."""
+        return len(self._seen_keys)
 
-    def _to_internal_compressed(self, *features):
-        result = np.zeros(len(features[0]), dtype=self.dtype)
-        assert len(features) == len(self.n_categories)
-        for f, n_cats in zip(features, self.n_categories):
-            assert f.max() < n_cats
-            result *= n_cats
-            result += f.astype(self.dtype)
-        return result
+    def _flatten(self, features) -> np.ndarray:
+        arrays = tuple(np.asarray(f) for f in features)
+        return np.ravel_multi_index(arrays, self._shape)
 
-    def _from_internal_compressed(self, indices):
-        result = []
-        for n_cats in self.n_categories[::-1]:
-            result.append(indices % n_cats)
-            indices = indices // n_cats
-
-        assert np.all(indices == 0)
-        return result[::-1]
-
-    def lookup_for_individual_features(self):
-        return self._from_internal_compressed(self._lookup)
+    def _unflatten(self, keys: np.ndarray) -> list:
+        return [np.asarray(axis) for axis in np.unravel_index(keys, self._shape)]
 
     def compress(self, *features):
-        compressed_index = np.searchsorted(self._lookup, self._to_internal_compressed(*features))
-        for reconstructed, original in zip(self.uncompress(compressed_index), features):
-            np.testing.assert_equal(original, reconstructed)
-        counts_of_compressed = np.bincount(compressed_index, minlength=len(self._lookup))
-        return compressed_index, counts_of_compressed
+        """Map feature arrays to dense ids; also return per-id occurrence counts.
 
-    def uncompress(self, compressed_index):
-        return self._from_internal_compressed(self._lookup[compressed_index])
+        Raises if any tuple was not part of the construction set (dense ids
+        are only meaningful for observed tuples).
+        """
+        keys = self._flatten(features)
+        dense = np.searchsorted(self._seen_keys, keys)
+        dense = np.minimum(dense, self.nvalues - 1)
+        if not np.array_equal(self._seen_keys[dense], keys):
+            raise KeyError("compress() called with tuples unseen at construction")
+        return dense, np.bincount(dense, minlength=self.nvalues)
+
+    def uncompress(self, dense_ids: np.ndarray) -> list:
+        """Dense ids -> list of per-feature arrays (inverse of compress)."""
+        return self._unflatten(self._seen_keys[dense_ids])
+
+    def lookup_for_individual_features(self) -> list:
+        """Per-feature values of every distinct tuple, in dense-id order."""
+        return self._unflatten(self._seen_keys)

@@ -1,7 +1,9 @@
-"""Minimal wall-clock timer context manager (reference: demuxalot/utils.py:134-144).
+"""Wall-clock stopwatch for examples and host-side benchmarks.
 
-For kernel-level profiling use ``jax.profiler`` traces; this is the host-side
-convenience used in examples and benchmarks.
+Device kernels are profiled with ``jax.profiler`` / the Roofline helper in
+``utils.profiling``; this covers the host phases (BAM scanning, packing).
+Fills the role of the reference's timing helper (demuxalot/utils.py:134-144)
+with a reusable perf_counter-based design.
 """
 from __future__ import annotations
 
@@ -9,13 +11,29 @@ import time
 
 
 class Timer:
-    def __init__(self, name: str):
-        self.name = name
-        self.start_time = time.time()
+    """Context manager that measures and reports one labelled interval.
 
-    def __enter__(self):
+    >>> with Timer("counting"):
+    ...     do_work()
+    counting: 1.234 s
+
+    The measured interval is kept on ``self.time_taken`` (seconds) so
+    callers can collect it programmatically. The clock starts at
+    construction time *and* is restarted on ``__enter__``, so the object
+    may be re-entered to time several intervals.
+    """
+
+    def __init__(self, name: str = "timer", quiet: bool = False):
+        self.name = name
+        self.quiet = quiet
+        self.time_taken: float = float("nan")
+        self._t0 = time.perf_counter()
+
+    def __enter__(self) -> "Timer":
+        self._t0 = time.perf_counter()
         return self
 
-    def __exit__(self, *_args):
-        self.time_taken = time.time() - self.start_time
-        print("Timer {} completed in  {:.3f} seconds".format(self.name, self.time_taken))
+    def __exit__(self, exc_type, _exc, _tb) -> None:
+        self.time_taken = time.perf_counter() - self._t0
+        if not self.quiet and exc_type is None:
+            print(f"{self.name}: {self.time_taken:.3f} s")

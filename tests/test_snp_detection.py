@@ -29,9 +29,8 @@ def test_detects_hidden_snps(detection_problem, tmp_path):
     known = ProbabilisticGenotypes(genotypes.genotype_names)
     for (chrom, pos, base), vid in genotypes.var2varid.items():
         if chrom == "chr1":
-            known.variant_betas[known.get_variant_id(chrom, pos, base)] = (
-                genotypes.variant_betas[vid]
-            )
+            row = known.get_variant_id(chrom, pos, base)
+            known.variant_betas[row] = genotypes.variant_betas[vid]
 
     out_parquet = str(tmp_path / "discovered.parquet")
     selected = detect_snps_positions(
