@@ -104,19 +104,25 @@ class VariantFile:
 
 
 def read_vcf_to_header_and_pandas(vcf_filename) -> Tuple[List[str], pd.DataFrame]:
-    """Header lines + dataframe of all records, positions converted to 0-based.
+    """Whole VCF as (meta header lines, records dataframe).
 
-    Convenience parity helper (reference: demuxalot/utils.py:112-131).
+    Convenience helper covering the reference's loader surface
+    (demuxalot/utils.py:112-131): the returned POS column is shifted to
+    0-based to line up with this package's internal coordinates, and the
+    '#CHROM' column loses its '#'.
     """
-    header_lines = []
-    with _open_maybe_gzip(vcf_filename) as f:
-        for line in f:
-            if line.startswith("##"):
-                header_lines.append(line)
-            else:
+    meta: List[str] = []
+    with _open_maybe_gzip(vcf_filename) as stream:
+        while True:
+            line = stream.readline()
+            if not line.startswith("##"):
+                column_line = line
                 break
-
-    df = pd.read_csv(vcf_filename, sep="\t", skiprows=len(header_lines))
-    assert list(df.columns[:8]) == ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
-    df["POS"] -= 1  # switch to zero-based
-    return header_lines, df.rename(columns={"#CHROM": "CHROM"})
+            meta.append(line)
+        expected = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
+        names = column_line.rstrip("\n").split("\t")
+        if names[:8] != expected:
+            raise ValueError(f"{vcf_filename}: unexpected VCF columns {names[:8]}")
+        records = pd.read_csv(stream, sep="\t", header=None, names=names)
+    records["POS"] = records["POS"] - 1
+    return meta, records.rename(columns={"#CHROM": "CHROM"})

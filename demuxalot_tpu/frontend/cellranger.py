@@ -1,13 +1,14 @@
-"""Read-filtering callback tuned for cellranger output.
+"""Read-filtering plugin for cellranger-aligned BAMs.
 
-The ``parse_read`` plugin interface: given an aligned read, return ``None``
-to discard it, or ``(p_misaligned, compressed_umi)`` to keep it. Users can
-pass their own callable (or a ``functools.partial`` of this one) to
-``count_snps`` — e.g. to change the UMI tag (see examples/3).
+A ``parse_read`` plugin decides, per aligned read, whether the read is
+usable evidence, returning ``None`` to drop it or
+``(p_misaligned, umi_code)`` to keep it. ``count_snps`` accepts any such
+callable — pass a ``functools.partial`` of this one to retune tags or
+thresholds (see examples/3), or a custom function for other aligners.
 
-Filter rules match the reference (demuxalot/cellranger_specific.py:13-36):
-alignment score within ``score_diff_max`` of read length (≤2 edits),
-single-hit (NH), UMI tag present, mapq above threshold.
+The default acceptance rules are behavioral parity with the reference
+plugin (demuxalot/cellranger_specific.py:13-36); thresholds are exposed as
+keyword parameters rather than hard-coded.
 """
 from __future__ import annotations
 
@@ -25,22 +26,25 @@ def parse_read(
     mapq_threshold: int = 20,
     p_misaligned_default: float = 0.01,
 ) -> Optional[Tuple[float, int]]:
-    """Return None if the read should be ignored, else (p_misaligned, umi_hash).
+    """Accept/reject one read; on accept return (p_misaligned, umi_code).
 
-    A kept read can still be dropped later if its cell barcode is not in the
-    whitelist.
+    A read survives only if all of the following hold:
+      * its alignment score is within ``score_diff_max`` of the read
+        length — cellranger's AS tops out at the read length, so this
+        bounds the edit count (≤2 at the default);
+      * the aligner placed it at exactly one locus (``NH == 1``);
+      * it carries a corrected molecule barcode under ``umi_tag``;
+      * mapping quality clears ``mapq_threshold`` — with unique placement
+        this is near-redundant, kept as a belt-and-braces guard.
+
+    Cell-barcode whitelisting happens later, in the counting loop.
     """
     if read.get_tag(score_tag) <= len(read.seq) - score_diff_max:
-        # too many edits
         return None
     if read.get_tag(nhits_tag) > 1:
-        # multi-mapped
         return None
     if not read.has_tag(umi_tag):
-        # does not have molecule barcode
         return None
     if read.mapq < mapq_threshold:
-        # should be implied by NH, but just in case
         return None
-
     return p_misaligned_default, hash_string(read.get_tag(umi_tag))

@@ -1,26 +1,34 @@
-"""Streaming CPU frontend: BAM → per-chromosome compressed SNP calls.
+"""UMI-aware SNP evidence collection from coordinate-sorted BAM files.
 
-This is the ingest stage of the pipeline. It streams a coordinate-sorted BAM,
-groups reads by (cell barcode, molecule barcode) = one molecule, consensus-
-calls the base each molecule shows at every SNP position (demuxalot's
-signature UMI cross-checking), and emits compact columnar call tables that
-are the host→device transfer format for the TPU likelihood/EM kernels.
+The ingest stage: stream reads, bucket them into molecules (one molecule =
+one (cell barcode, UMI) pair), and reduce each molecule's reads to a single
+consensus base call per covered SNP position. The output — columnar
+molecule/call tables per chromosome — is the host→device transfer format
+consumed by the packing layer and the TPU kernels.
 
-Algorithmic behavior is kept identical to the reference
-(demuxalot/snp_counter.py) because donor assignments must match bit-for-bit:
-  - duplicate reads skipped by (start, end, AS) key,
-  - per-base error prob chain  p_wrong *= 0.1 ** (0.1 * min(qual, 40)),
-  - conflicting-base resolution with the ×1000 cutoff, ambiguous → no call,
-  - group flushing every SEGMENT_LENGTH bp of stream progress.
+The probability chain is a hard numeric contract shared with the native C++
+scanner and matching the reference engine (demuxalot/snp_counter.py:142-192):
 
-Parallelism: embarrassing fan-out over genomic region shards via joblib
-processes (each worker re-opens the BAM). The complexity-sorted task split
-mirrors prepare_counting_tasks (demuxalot/snp_counter.py:330-385).
+  * reads with identical (start, end, alignment score) are duplicates and
+    contribute once;
+  * a molecule's misalignment probability is the product of its reads';
+  * per (position, base), evidence multiplies as ``0.1 ** (0.1 * min(q, 40))``
+    over supporting reads;
+  * conflicting bases at one position survive only if every alternative is
+    ≥1000× less likely; otherwise the position yields no call.
+
+Scaling stance: the per-chromosome position index is a sorted array queried
+by binary search — memory is O(n_SNPs), independent of chromosome length,
+with no integer-width ceiling (a 250 Mb contig with millions of SNPs costs
+a few MB). Region tasks fan out over processes with joblib; the C++ scanner
+(``native/``) replaces the whole Python loop when the standard tag filter
+is in use.
 """
 from __future__ import annotations
 
+import math
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import joblib
 import numpy as np
@@ -31,8 +39,9 @@ from ..utils.encoding import compress_base
 from ..utils.files import as_str
 from .cellranger import parse_read as default_parse_read
 
-# maximal distance between non-overlapping reads from the same molecule
-# to still be considered together
+# a molecule's reads are assumed to span < this many bp; the streaming
+# scanner settles molecule groups this far behind the read cursor.
+# KEEP IN SYNC with native/scanner.cpp (kSegmentLength).
 SEGMENT_LENGTH = 1000
 
 MOLECULE_DTYPE = np.dtype(
@@ -47,56 +56,71 @@ SNP_CALL_DTYPE = np.dtype(
     ]
 )
 
+# CIGAR op classes (SAM spec): which side(s) each op advances
+_OPS_BOTH = frozenset((0, 7, 8))  # M, =, X
+_OPS_REFERENCE_ONLY = frozenset((2, 3))  # D, N
+_OPS_QUERY_ONLY = frozenset((1, 4))  # I, S
+_OPS_NEITHER = frozenset((5, 6))  # H, P
+
+
+def _aligned_spans(cigartuples, reference_start: int) -> Iterator[Tuple[int, int, int]]:
+    """Decompose a CIGAR into (ref_lo, ref_hi, query_lo) aligned spans.
+
+    Each yielded span is a maximal stretch where reference and query advance
+    together; query offset of reference position p is
+    ``query_lo + (p - ref_lo)``.
+    """
+    ref_cursor = reference_start
+    query_cursor = 0
+    for op, span in cigartuples:
+        if op in _OPS_BOTH:
+            yield ref_cursor, ref_cursor + span, query_cursor
+            ref_cursor += span
+            query_cursor += span
+        elif op in _OPS_REFERENCE_ONLY:
+            ref_cursor += span
+        elif op in _OPS_QUERY_ONLY:
+            query_cursor += span
+        elif op not in _OPS_NEITHER:
+            raise ValueError(f"unsupported CIGAR op code {op}")
+
 
 class ChromosomeSNPLookup:
-    """O(1) membership test "any SNP in [start, end)?" plus CIGAR extraction.
+    """Sorted-position index for one chromosome's SNPs.
 
-    Keeps a cumulative-count lookup over one chromosome's sorted SNP
-    positions (reference: demuxalot/snp_counter.py:15-69).
+    Interval queries run by binary search over the position array itself —
+    no chromosome-length tables, so memory is bounded by the number of SNPs
+    and arbitrarily long contigs / arbitrarily many SNPs are fine.
     """
 
+    __slots__ = ("positions",)
+
     def __init__(self, positions: np.ndarray):
-        assert isinstance(positions, np.ndarray)
-        assert np.array_equal(positions, np.sort(positions))
-        assert len(positions) < 2**31, "can't handle that big a chromosome"
-        self.lookup = np.cumsum(np.bincount(positions + 1)).astype("uint16")
-        self.positions = positions
+        positions = np.asarray(positions)
+        if len(positions) and (np.diff(positions) < 0).any():
+            raise ValueError("SNP positions must be sorted ascending")
+        self.positions = positions.astype(np.int64, copy=False)
 
     def snips_exist(self, start: int, end: int) -> bool:
-        """True if any SNP position falls in [start, end)."""
-        if start >= len(self.lookup):
-            return False
-        end = min(end, len(self.lookup) - 1)
-        return self.lookup[end] != self.lookup[start]
+        """Does any indexed position fall in the half-open window [start, end)?"""
+        lo, hi = np.searchsorted(self.positions, [start, end])
+        return hi > lo
 
     def get_snps(self, read) -> List[Tuple[int, str, int]]:
-        """(reference_position, base, base_quality) at SNP positions covered by the read."""
-        snps: List[Tuple[int, str, int]] = []
-        if not self.snips_exist(read.reference_start, read.reference_end + 1):
-            return snps
-
-        seq = read.seq
-        qual = read.query_qualities
-
-        read_position = 0
-        refe_position = read.pos
-
-        for code, length in read.cigartuples:
-            if code in (0, 7, 8):  # M, =, X consume both
-                if self.snips_exist(refe_position, refe_position + length):
-                    lo, hi = np.searchsorted(self.positions, [refe_position, refe_position + length])
-                    for ref_position in self.positions[lo:hi]:
-                        position_in_read = read_position + (ref_position - refe_position)
-                        snps.append((int(ref_position), seq[position_in_read], qual[position_in_read]))
-                refe_position += length
-                read_position += length
-            elif code in (2, 3):  # deletions / skips consume reference
-                refe_position += length
-            elif code in (1, 4, 5, 6):  # insertions / clips consume read (or nothing)
-                read_position += length
-            else:
-                raise NotImplementedError(f"cigar code unknown {code}")
-        return snps
+        """(position, base, quality) for every indexed position the read aligns over."""
+        observations: List[Tuple[int, str, int]] = []
+        sequence = None
+        for ref_lo, ref_hi, query_lo in _aligned_spans(read.cigartuples, read.pos):
+            lo, hi = np.searchsorted(self.positions, [ref_lo, ref_hi])
+            if hi == lo:
+                continue
+            if sequence is None:
+                sequence = read.seq
+                qualities = read.query_qualities
+            for position in self.positions[lo:hi]:
+                at = query_lo + int(position) - ref_lo
+                observations.append((int(position), sequence[at], qualities[at]))
+        return observations
 
 
 class CompressedSNPCalls:
@@ -178,80 +202,84 @@ class CompressedSNPCalls:
         return result
 
 
+def _evidence_strength(quality: int) -> float:
+    """Per-observation error probability factor from a phred base quality."""
+    return 0.1 ** (0.1 * min(quality, 40))
+
+
+def _undisputed_base(per_base: Dict[str, float]) -> Optional[Tuple[str, float]]:
+    """The single credible base at a position, or None if genuinely disputed.
+
+    A molecule is one physical cDNA: seeing several bases means RT/PCR or
+    sequencing artifacts. Alternatives ≥1000× less likely than the best
+    candidate are discarded; anything still plural makes no call.
+    """
+    if len(per_base) > 1:
+        cutoff = min(per_base.values()) * 1000
+        per_base = {base: p for base, p in per_base.items() if p <= cutoff}
+    if len(per_base) != 1:
+        return None
+    ((base, p_wrong),) = per_base.items()
+    return base, p_wrong
+
+
 def consensus_call_molecule(
-    reads,
+    read_records,
     snp_lookup: ChromosomeSNPLookup,
     skip_complete_duplicates: bool = True,
 ) -> Tuple[float, list]:
-    """Collapse one molecule's reads (same CB+UB) into per-SNP base calls.
+    """Reduce one molecule's reads to (p_misaligned, [(pos, base, p_wrong)]).
 
-    Aggregates bases across the molecule's reads; a position with
-    irreconcilably conflicting candidate bases yields no call
-    (reference numerics: demuxalot/snp_counter.py:142-192).
+    ``read_records`` is a list of (read, p_misaligned) pairs sharing a
+    (cell barcode, UMI) identity. See the module docstring for the numeric
+    contract this implements.
     """
-    p_group_misaligned = 1.0
-    seen_alignments = set()
-    position2base2p_wrong: Dict[int, Dict[str, float]] = {}
+    p_misaligned_product = 1.0
+    alignment_fingerprints = set()
+    evidence: Dict[int, Dict[str, float]] = {}
 
-    for read, p_misaligned_read in reads:
+    for read, p_misaligned in read_records:
         if skip_complete_duplicates:
-            # complete duplicates (same span and score) carry no new evidence
-            alignment_key = (read.reference_start, read.reference_end, read.get_tag("AS"))
-            if alignment_key in seen_alignments:
+            fingerprint = (read.reference_start, read.reference_end, read.get_tag("AS"))
+            if fingerprint in alignment_fingerprints:
                 continue
-            seen_alignments.add(alignment_key)
-        p_group_misaligned *= p_misaligned_read
+            alignment_fingerprints.add(fingerprint)
+        p_misaligned_product *= p_misaligned
+        for position, base, quality in snp_lookup.get_snps(read):
+            per_base = evidence.setdefault(position, {})
+            per_base[base] = per_base.get(base, 1.0) * _evidence_strength(quality)
 
-        for reference_position, base, base_qual in snp_lookup.get_snps(read):
-            base2p = position2base2p_wrong.setdefault(reference_position, {})
-            base2p[base] = base2p.get(base, 1.0) * 0.1 ** (0.1 * min(base_qual, 40))
-
-    consensus_calls = []  # (position, base, p_wrong)
-    for snp_position, base2p_wrong in position2base2p_wrong.items():
-        if len(base2p_wrong) > 1:
-            # a molecule should show one base; conflicts are RT/PCR/sequencing
-            # artifacts — drop candidates much worse than the best one
-            best_prob = min(base2p_wrong.values())
-            base2p_wrong = {
-                base: p_wrong for base, p_wrong in base2p_wrong.items() if p_wrong <= best_prob * 1000
-            }
-        if len(base2p_wrong) != 1:
-            # still ambiguous: make no call at this position
-            continue
-        ((base, p_wrong),) = base2p_wrong.items()
-        consensus_calls.append((snp_position, base, p_wrong))
-
-    return p_group_misaligned, consensus_calls
+    consensus = []
+    for position, per_base in evidence.items():
+        resolved = _undisputed_base(per_base)
+        if resolved is not None:
+            consensus.append((position, *resolved))
+    return p_misaligned_product, consensus
 
 
-def _flush_molecule_groups(
-    threshold_position,
-    cbub2position_and_reads: dict,
-    compressed_snp_calls: CompressedSNPCalls,
+def _settle_molecules_behind(
+    frontier: float,
+    open_molecules: dict,
     snp_lookup: ChromosomeSNPLookup,
+    sink: CompressedSNPCalls,
 ) -> None:
-    """Consensus-call and evict molecule groups fully left behind the stream.
+    """Consensus-call and evict molecules no future read can extend.
 
-    Only groups whose rightmost read ends before ``threshold_position`` are
-    processed, so later reads can never extend them
-    (reference: demuxalot/snp_counter.py:195-226).
+    A molecule is settled once its furthest read end is behind ``frontier``
+    (the stream cursor minus SEGMENT_LENGTH): the BAM is coordinate-sorted,
+    so every later read starts past that point.
     """
-    flushed_keys = []
-    for cbub, (position, reads) in cbub2position_and_reads.items():
-        if position >= threshold_position:
+    settled = [key for key, (furthest_end, _) in open_molecules.items() if furthest_end < frontier]
+    for key in settled:
+        _, records = open_molecules.pop(key)
+        leftmost = min(read.reference_start for read, _ in records)
+        rightmost = max(read.reference_end for read, _ in records)
+        if not snp_lookup.snips_exist(leftmost, rightmost + 1):
             continue
-        flushed_keys.append(cbub)
-        span_start = min(read.reference_start for read, _ in reads)
-        span_end = max(read.reference_end for read, _ in reads) + 1
-        if not snp_lookup.snips_exist(span_start, span_end):
-            continue
-        p_group_misaligned, snips = consensus_call_molecule(reads, snp_lookup)
-        if len(snips) == 0:
-            continue
-        compressed_snp_calls.add_calls_from_read_group(cbub[0], cbub[1], p_group_misaligned, snips)
-
-    for cbub in flushed_keys:
-        cbub2position_and_reads.pop(cbub)
+        p_misaligned, consensus = consensus_call_molecule(records, snp_lookup)
+        if consensus:
+            barcode_slot, umi_code = key
+            sink.add_calls_from_read_group(barcode_slot, umi_code, p_misaligned, consensus)
 
 
 def count_call_variants_for_chromosome(
@@ -263,41 +291,46 @@ def count_call_variants_for_chromosome(
     start: Optional[int] = None,
     stop: Optional[int] = None,
 ) -> Tuple[str, CompressedSNPCalls]:
-    """Stream one region of one chromosome into compressed SNP calls."""
-    prev_segment = None
-    compressed_snp_calls = CompressedSNPCalls()
-    cbub2position_and_reads: dict = {}
-    snp_lookup = ChromosomeSNPLookup(chromosome_snps_zero_based)
+    """Stream one region of one chromosome into compressed SNP calls.
+
+    Single pass over the fetch iterator: whitelisted reads accumulate into
+    open molecule groups keyed by (barcode slot, UMI); every SEGMENT_LENGTH
+    of stream progress the groups left behind are consensus-called and
+    evicted, bounding resident memory by read depth, not region size.
+    """
     if isinstance(bamfile_or_filename, (str, Path)):
         bamfile_or_filename = BamReader(as_str(bamfile_or_filename))
+    snp_lookup = ChromosomeSNPLookup(chromosome_snps_zero_based)
+    collected = CompressedSNPCalls()
+    open_molecules: dict = {}
+    current_segment = None
 
     for read in bamfile_or_filename.fetch(chromosome, start=start, stop=stop):
-        parsed = parse_read(read)
-        if parsed is None:
+        verdict = parse_read(read)
+        if verdict is None:
             continue
-        cb = barcode_handler.get_barcode_index(read)
-        if cb is None:
+        barcode_slot = barcode_handler.get_barcode_index(read)
+        if barcode_slot is None:
             continue
+        p_misaligned, umi_code = verdict
 
-        p_misaligned_read, ub = parsed
-        cbub = cb, ub
-        entry = cbub2position_and_reads.get(cbub)
-        if entry is None:
-            cbub2position_and_reads[cbub] = [read.reference_end, [(read, p_misaligned_read)]]
+        group = open_molecules.get((barcode_slot, umi_code))
+        if group is None:
+            open_molecules[barcode_slot, umi_code] = [read.reference_end, [(read, p_misaligned)]]
         else:
-            entry[0] = max(read.reference_end, entry[0])
-            entry[1].append((read, p_misaligned_read))
+            group[0] = max(group[0], read.reference_end)
+            group[1].append((read, p_misaligned))
 
-        curr_segment = read.pos // SEGMENT_LENGTH
-        if curr_segment != prev_segment:
-            _flush_molecule_groups(
-                read.pos - SEGMENT_LENGTH, cbub2position_and_reads, compressed_snp_calls, snp_lookup
+        segment = read.pos // SEGMENT_LENGTH
+        if segment != current_segment:
+            _settle_molecules_behind(
+                read.pos - SEGMENT_LENGTH, open_molecules, snp_lookup, collected
             )
-            prev_segment = curr_segment
+            current_segment = segment
 
-    _flush_molecule_groups(np.inf, cbub2position_and_reads, compressed_snp_calls, snp_lookup)
-    compressed_snp_calls.minimize_memory_footprint()
-    return chromosome, compressed_snp_calls
+    _settle_molecules_behind(math.inf, open_molecules, snp_lookup, collected)
+    collected.minimize_memory_footprint()
+    return chromosome, collected
 
 
 def save_snp_counts(chromosome2calls: Dict[str, CompressedSNPCalls], directory) -> None:
@@ -353,7 +386,7 @@ def count_snps(
 
     tasks = prepare_counting_tasks(bamfile_location, chromosome2positions, barcode_handler=barcode_handler)
     with joblib.Parallel(n_jobs=joblib_n_jobs, verbose=joblib_verbosity, pre_dispatch="all") as parallel:
-        chromosome2compressed_snp_calls = parallel(
+        shard_results = parallel(
             joblib.delayed(count_call_variants_for_chromosome)(
                 bamfile,
                 chromosome,
@@ -366,13 +399,12 @@ def count_snps(
             for bamfile, chromosome, start, stop, positions, task_barcode_handler in tasks
         )
 
-    per_chromosome: Dict[str, List[CompressedSNPCalls]] = {}
-    for chromosome, calls in chromosome2compressed_snp_calls:
-        per_chromosome.setdefault(chromosome, []).append(calls)
-
+    shards_by_chromosome: Dict[str, List[CompressedSNPCalls]] = {}
+    for chromosome, calls in shard_results:
+        shards_by_chromosome.setdefault(chromosome, []).append(calls)
     return {
-        chromosome: CompressedSNPCalls.concatenate(chromosome_calls)
-        for chromosome, chromosome_calls in per_chromosome.items()
+        chromosome: CompressedSNPCalls.concatenate(shards)
+        for chromosome, shards in shards_by_chromosome.items()
     }
 
 
@@ -384,25 +416,31 @@ def prepare_counting_tasks(
     minimum_fragment_length_per_job: int = 5_000,
     minimum_overlap: int = 100,
 ) -> list:
-    """Split counting into (region × positions) subtasks, hardest first.
+    """Carve the counting work into region tasks, costliest first.
 
-    Each task covers a genomic span with a non-empty positions subset;
-    regions are sized so a job sees ≲``n_reads_per_job`` reads and spans at
-    least ``minimum_fragment_length_per_job`` bp, with ``minimum_overlap`` bp
-    margins so molecules at the split are not lost.
+    Each chromosome's position list is cut into contiguous stripes sized so
+    one stripe sees roughly ``n_reads_per_job`` reads (uniform-density
+    estimate from the BAM index) and spans at least
+    ``minimum_fragment_length_per_job`` bp. Task windows get
+    ``minimum_overlap`` bp margins so molecules straddling a cut are seen
+    whole by the side that owns their positions.
+
+    Task tuples: (bamfile, chromosome, start, stop, positions, handler).
     """
     if isinstance(bamfile_location, dict):
-        # multiple bamfiles keyed by RG: fan out per source file with a
-        # barcode handler restricted to that file's barcodes
-        rg2bamfile_location = bamfile_location
+        # one BAM per read group: plan each file against the whitelist
+        # restricted to its group (slot numbering is shared, see
+        # BarcodeHandler.filter_to_rg_value)
+        if not barcode_handler.use_rg:
+            raise ValueError("dict-of-BAMs input needs an RG-aware barcode handler")
         tasks = []
-        assert barcode_handler.use_rg, "barcode handler should use RG tag"
-        for rg in set(rg for _tag, rg in barcode_handler.barcode2index):
-            assert rg in rg2bamfile_location, f"{rg} has no matching path in bamfile_location parameter"
+        for rg in sorted({rg for _barcode, rg in barcode_handler.barcode2index}):
+            if rg not in bamfile_location:
+                raise KeyError(f"whitelist read group {rg!r} has no BAM path")
             tasks.extend(
                 prepare_counting_tasks(
-                    rg2bamfile_location[rg],
-                    chromosome2positions=chromosome2positions,
+                    bamfile_location[rg],
+                    chromosome2positions,
                     barcode_handler=barcode_handler.filter_to_rg_value(rg),
                     n_reads_per_job=n_reads_per_job,
                     minimum_fragment_length_per_job=minimum_fragment_length_per_job,
@@ -411,27 +449,32 @@ def prepare_counting_tasks(
             )
         return tasks
 
-    with BamReader(as_str(bamfile_location)) as f:
-        chromosome2n_reads = {stat.contig: stat.mapped for stat in f.get_index_statistics()}
-
-        tasks = []
+    weighted_tasks = []
+    with BamReader(as_str(bamfile_location)) as reader:
+        mapped_reads = {stat.contig: stat.mapped for stat in reader.get_index_statistics()}
         for chromosome, positions in chromosome2positions.items():
-            length = f.get_reference_length(chromosome)
-            n_jobs = min(
-                chromosome2n_reads[chromosome] // n_reads_per_job,
-                length // minimum_fragment_length_per_job,
+            positions = np.asarray(positions)
+            if len(positions) == 0:
+                continue
+            length = reader.get_reference_length(chromosome)
+            density = mapped_reads.get(chromosome, 0) / max(length, 1)
+
+            n_stripes = max(
+                1,
+                min(
+                    mapped_reads.get(chromosome, 0) // n_reads_per_job,
+                    length // minimum_fragment_length_per_job,
+                ),
             )
-            n_jobs = max(1, n_jobs)
-
-            split_ids = np.searchsorted(positions, np.linspace(0, length, n_jobs + 1)[1:-1])
-            for positions_subset in np.split(positions, split_ids):
-                if len(positions_subset) == 0:
+            for stripe in np.array_split(positions, min(n_stripes, len(positions))):
+                if len(stripe) == 0:
                     continue
-                start = max(0, int(min(positions_subset)) - minimum_overlap)
-                stop = min(length, int(max(positions_subset)) + minimum_overlap)
-                task = (bamfile_location, chromosome, start, stop, positions_subset, barcode_handler)
-                # rough cost model: deep narrow regions with many SNPs first
-                complexity = len(positions_subset) * chromosome2n_reads[chromosome] / length**0.5
-                tasks.append((complexity, task))
+                start = max(0, int(stripe[0]) - minimum_overlap)
+                stop = min(length, int(stripe[-1]) + minimum_overlap)
+                task = (bamfile_location, chromosome, start, stop, stripe, barcode_handler)
+                # schedule dense, SNP-rich windows first so stragglers finish early
+                estimated_reads = density * max(stop - start, 1)
+                weighted_tasks.append((estimated_reads * math.sqrt(len(stripe)), task))
 
-    return [task for _complexity, task in sorted(tasks, key=lambda ct: ct[0], reverse=True)]
+    weighted_tasks.sort(key=lambda pair: pair[0], reverse=True)
+    return [task for _cost, task in weighted_tasks]

@@ -1,18 +1,27 @@
-"""Data-driven discovery of new discriminative SNP positions.
+"""Discovery of new donor-discriminative SNP positions from the data.
 
-Two-pass scan (reference: demuxalot/snp_detection.py): (1) a rough
-demultiplexing with known genotypes gives provisional barcode→donor
-assignments (TPU posterior pass, doublets off); (2) a coverage pileup over
-the whole genome proposes candidate positions, which are re-counted with the
-UMI-aware counter and scored by how far each provisional donor's base
-distribution sits from the pooled average. Top candidates are exported as a
-positions-only parquet that ``add_prior_betas`` turns into zero-weight
-variants for the next EM refinement round.
+Starting from loosely known genotypes, the pipeline is
+(reference surface: demuxalot/snp_detection.py:128-215):
+
+1. demultiplex provisionally — count at the known positions and take every
+   barcode whose posterior concentrates (>0.8) on one donor (doublets off);
+2. sweep the genome in parallel fragments: a pileup proposes biallelic
+   candidate sites, the UMI-aware counter re-counts them, and each site is
+   scored by how far individual donors' allele fractions sit from the
+   pooled fraction (confident, divergent sites score high);
+3. keep the best sites per donor plus the best overall, drop positions the
+   genotypes already know, and export the rest as a positions-only parquet
+   that ``add_prior_betas`` registers as zero-weight variants for the next
+   EM round.
+
+The provisional demultiplexing runs on the device posterior pass; the scan
+itself is host-side streaming (C++ pileup where available).
 """
 from __future__ import annotations
 
 from collections import Counter, defaultdict
 from pathlib import Path
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -25,6 +34,153 @@ from ..utils.barcodes import BarcodeHandler
 from ..utils.files import as_str
 from .demux import Demultiplexer
 from .genotypes import ProbabilisticGenotypes
+
+
+def _filtered_pileup(bamfile_path, chromosome: str, start: int, stop: int, parse_read) -> np.ndarray:
+    """ACGT coverage over [start, stop) counting only reads the filter accepts.
+
+    Sums over all source files for dict-of-BAMs inputs; uses the C++ pileup
+    when the standard tag filter is in use.
+    """
+    from ..frontend.native_counter import try_count_coverage_native
+
+    paths = [bamfile_path] if isinstance(bamfile_path, (str, Path)) else list(bamfile_path.values())
+    total = np.zeros((4, stop - start), dtype=np.int64)
+    for path in paths:
+        native = try_count_coverage_native(as_str(path), chromosome, start, stop, parse_read)
+        if native is not None:
+            total += np.asarray(native, dtype=np.int64)
+            continue
+        with BamReader(as_str(path)) as bamfile:
+            total += np.asarray(
+                bamfile.count_coverage(
+                    chromosome, start=start, stop=stop,
+                    read_callback=lambda read: parse_read(read) is not None,
+                ),
+                dtype=np.int64,
+            )
+    return total
+
+
+def _biallelic_candidates(
+    coverage: np.ndarray,
+    *,
+    minimum_coverage: int,
+    minimum_alternative_fraction: float,
+    minimum_alternative_coverage: int,
+    minimum_fraction_of_ref_and_alt: float,
+    max_snp_candidates: int,
+) -> np.ndarray:
+    """Offsets (into the pileup window) of plausible biallelic sites.
+
+    A site qualifies when its two dominant bases carry nearly all coverage,
+    are deep enough, and the minor base is both deep and a sufficient
+    fraction of the major one. Over-long candidate lists keep the sites
+    with the strongest minor-allele support.
+    """
+    depth = coverage.sum(axis=0)
+    ranked = np.sort(coverage, axis=0)
+    major, minor = ranked[-1], ranked[-2]
+    biallelic_depth = major + minor
+
+    passes = (
+        (biallelic_depth > minimum_coverage)
+        & (biallelic_depth > minimum_fraction_of_ref_and_alt * depth)
+        & (minor > minimum_alternative_coverage)
+        & (minor > major * minimum_alternative_fraction)
+    )
+    offsets = np.flatnonzero(passes)
+    if len(offsets) > max_snp_candidates:
+        strongest = np.argsort(minor * passes)[-max_snp_candidates:]
+        offsets = np.sort(strongest)
+    return offsets
+
+
+def _donor_base_tables(
+    snp_calls: CompressedSNPCalls,
+    barcode_handler,
+    barcode2donor: dict,
+    donor2dindex: dict,
+    max_contribution_to_base_count_from_barcode: float = 3.0,
+) -> Dict[int, np.ndarray]:
+    """position -> [n_donors, 4] base-count table from confident calls.
+
+    One barcode's repeated votes for the same (position, base) are capped
+    so a single deep cell cannot dominate a site. Vectorized: confident
+    A/C/G/T calls are grouped by (barcode, position, base) with a sort, the
+    group counts clipped, then accumulated per (position, donor, base).
+    Calls of 'N' (base code 4) carry no allele information and are dropped
+    — the reference would crash on them (demuxalot/snp_detection.py:117-124).
+    """
+    snp_calls.minimize_memory_footprint()
+    calls = snp_calls.snp_calls
+    confident = calls[(calls["p_base_wrong"] < 0.01) & (calls["base_index"] < 4)]
+    tables: Dict[int, np.ndarray] = defaultdict(lambda: np.zeros([len(donor2dindex), 4], dtype="int32"))
+    if len(confident) == 0:
+        return tables
+
+    # barcode slot -> donor index (-1 = unassigned / not provisional)
+    slot2donor = np.full(barcode_handler.n_barcodes, -1, dtype=np.int64)
+    for barcode, donor in barcode2donor.items():
+        slot = barcode_handler.barcode2index.get(barcode)
+        if slot is not None:
+            slot2donor[slot] = donor2dindex[donor]
+
+    barcode_of_call = snp_calls.molecules["compressed_cb"][confident["molecule_index"]].astype(np.int64)
+    position_of_call = confident["snp_position"].astype(np.int64)
+    base_of_call = confident["base_index"].astype(np.int64)
+
+    # group by (barcode, position, base); cap each group's vote
+    vote_key = (barcode_of_call * (position_of_call.max() + 1) + position_of_call) * 4 + base_of_call
+    order = np.argsort(vote_key, kind="stable")
+    ordered_keys = vote_key[order]
+    head = np.flatnonzero(np.concatenate([[True], ordered_keys[1:] != ordered_keys[:-1]]))
+    votes = np.diff(np.append(head, len(ordered_keys))).astype(np.float64)
+    capped = np.minimum(votes, max_contribution_to_base_count_from_barcode)
+
+    representative = order[head]
+    donor_of_group = slot2donor[barcode_of_call[representative]]
+    assigned = donor_of_group >= 0
+    group_pos = position_of_call[representative][assigned]
+    group_base = base_of_call[representative][assigned]
+    group_donor = donor_of_group[assigned]
+    group_vote = capped[assigned].astype(np.int32)
+
+    by_position = np.argsort(group_pos, kind="stable")
+    sorted_pos = group_pos[by_position]
+    run_heads = np.flatnonzero(np.concatenate([[True], sorted_pos[1:] != sorted_pos[:-1]]))
+    for i, lo in enumerate(run_heads):
+        hi = run_heads[i + 1] if i + 1 < len(run_heads) else len(sorted_pos)
+        members = by_position[lo:hi]
+        np.add.at(
+            tables[int(sorted_pos[lo])],
+            (group_donor[members], group_base[members]),
+            group_vote[members],
+        )
+    return tables
+
+
+def _site_score(counts: np.ndarray, regularization: float) -> Tuple[np.ndarray, dict]:
+    """Per-donor divergence score and the two dominant bases' total counts.
+
+    Restricting to the two dominant bases, each donor's smoothed minor-base
+    fraction is compared to the pooled fraction; the squared gap is the
+    score. 1.0 would be total confidence and total divergence — in practice
+    0.4 is already an excellent site.
+    """
+    dominant = minor_base, major_base = np.argsort(counts.sum(axis=0))[-2:]
+    base_totals = {
+        "ACGT"[major_base]: counts[:, major_base].sum(),
+        "ACGT"[minor_base]: counts[:, minor_base].sum(),
+    }
+
+    pair = counts[:, dominant] + 1e-4  # columns: (minor, major)
+    minor_total, major_total = pair.sum(axis=0)
+    pooled_major_fraction = major_total / (major_total + minor_total)
+    donor_major_fraction = (pair[:, 1] + pooled_major_fraction * regularization) / (
+        pair.sum(axis=1) + regularization
+    )
+    return np.square(pooled_major_fraction - donor_major_fraction), base_totals
 
 
 def detect_snps_for_chromosome(
@@ -42,145 +198,71 @@ def detect_snps_for_chromosome(
     minimum_alternative_coverage: int,
     max_snp_candidates: int = 10000,
     minimum_fraction_of_ref_and_alt: float = 0.98,
-):
-    """Scan one genomic fragment for donor-discriminative positions."""
-    # stage 1: straightforward pileup counting to find SNP candidates
-    # (C++ pileup when the standard tag filter is in use; Python otherwise)
-    from ..frontend.native_counter import try_count_coverage_native
+) -> list:
+    """Scan one genomic fragment; return scored candidate sites.
 
-    coverage = 0
-    bamfiles = [bamfile_path] if isinstance(bamfile_path, (str, Path)) else list(bamfile_path.values())
-    for filename in bamfiles:
-        native = try_count_coverage_native(as_str(filename), chromosome, start, stop, parse_read)
-        if native is not None:
-            coverage = coverage + np.asarray(native, dtype="int32")
-            continue
-        with BamReader(as_str(filename)) as bamfile:
-            coverage = coverage + np.asarray(
-                bamfile.count_coverage(
-                    chromosome, start=start, stop=stop,
-                    read_callback=lambda read: parse_read(read) is not None,
-                ),
-                dtype="int32",
-            )
+    Each result row is (chromosome, position, per-donor score vector,
+    dominant-base counts dict).
+    """
+    coverage = _filtered_pileup(bamfile_path, chromosome, start, stop, parse_read)
+    offsets = _biallelic_candidates(
+        coverage,
+        minimum_coverage=minimum_coverage,
+        minimum_alternative_fraction=minimum_alternative_fraction,
+        minimum_alternative_coverage=minimum_alternative_coverage,
+        minimum_fraction_of_ref_and_alt=minimum_fraction_of_ref_and_alt,
+        max_snp_candidates=max_snp_candidates,
+    )
+    # pileup offsets are window-relative; genomic positions are absolute
+    candidate_positions = offsets + start
 
-    total = coverage.sum(axis=0)
-    *_, alt, ref = np.sort(coverage, axis=0)
-    is_candidate = (ref + alt) > minimum_coverage
-    # prefer positions where essentially all evidence is two alleles
-    is_candidate &= (ref + alt) > minimum_fraction_of_ref_and_alt * total
-    is_candidate &= alt > minimum_alternative_coverage
-    is_candidate &= alt > ref * minimum_alternative_fraction
-
-    candidate_positions = np.where(is_candidate)[0]
-
-    if len(candidate_positions) > max_snp_candidates:
-        # improbably many candidates: keep the strongest alternative signals
-        candidate_positions = np.argsort(alt * is_candidate)[-max_snp_candidates:]
-        candidate_positions = np.sort(candidate_positions)
-
-    # positions are relative to `start` in the pileup; counting wants absolute
-    candidate_positions = candidate_positions + start
-
-    # stage 2: detailed UMI-aware counts at the candidates
-    compressed_snp_calls = count_snps(
+    recounted = count_snps(
         bamfile_path,
         chromosome2positions={chromosome: candidate_positions},
         barcode_handler=barcode_handler,
         parse_read=parse_read,
-        joblib_n_jobs=None,  # already inside a joblib worker
+        joblib_n_jobs=None,  # this already runs inside a joblib worker
         joblib_verbosity=0,
     )
-    if len(compressed_snp_calls) == 0:
+    if chromosome not in recounted:
         return []
-    compressed_snp_calls = compressed_snp_calls[chromosome]
     donor2dindex = {donor: dindex for dindex, donor in enumerate(sorted_donors)}
-
-    position2donor2base2count = _count_snp_stats_for_donors(
-        compressed_snp_calls, barcode_handler, barcode2donor, donor2dindex
-    )
-
-    def importance_and_base_counts(counts):
-        # counts: n_donors x 4; keep the two dominant bases
-        top_bases = alt_b, ref_b = np.argsort(counts.sum(axis=0))[-2:]
-        base_counts = {
-            "ACGT"[ref_b]: counts[:, ref_b].sum(),
-            "ACGT"[alt_b]: counts[:, alt_b].sum(),
-        }
-
-        counts = counts[:, top_bases] + 1e-4
-        # how far is each donor from the pooled base distribution, and how
-        # confident are we? 1.0 would be total confidence and total
-        # divergence — 0.4 is already very good in practice
-        count_0, count_1 = counts.sum(axis=0)
-        p_1_avg = count_1 / (count_1 + count_0)
-        p_1 = (counts[:, 1] + p_1_avg * regularization) / (counts.sum(axis=1) + regularization)
-        mse_for_each_donor = np.square(p_1_avg - p_1)
-        return mse_for_each_donor, base_counts
-
+    tables = _donor_base_tables(recounted[chromosome], barcode_handler, barcode2donor, donor2dindex)
     return [
-        (chromosome, position) + importance_and_base_counts(counts)
-        for position, counts in position2donor2base2count.items()
+        (chromosome, position) + _site_score(counts, regularization)
+        for position, counts in tables.items()
     ]
 
 
-def _count_snp_stats_for_donors(
-    compressed_snp_calls: CompressedSNPCalls,
-    barcode_handler,
-    barcode2donor,
-    donor2dindex,
-    max_contribution_to_base_count_from_barcode=3.0,
-):
-    """Per-position per-donor base counts, capping any one barcode's vote.
+def _pick_informative_sites(scored_sites: list, n_additional_best_snps: int, n_best_snps_per_donor: int) -> list:
+    """Union of each donor's best sites and the best sites overall."""
+    scores = np.stack([score for _chrom, _pos, score, _bases in scored_sites], axis=0)
+    chosen = set()
+    for donor_column in scores.T:
+        k = min(n_best_snps_per_donor, len(donor_column))
+        chosen.update(np.argpartition(-donor_column, k - 1)[:k].tolist())
 
-    Vectorized: confident calls are grouped by (barcode, position, base),
-    each group's count clipped at the cap, then summed per (position, donor,
-    base) — same result as the reference's Counter loops
-    (demuxalot/snp_detection.py:105-125) at numpy speed.
-    """
-    compressed_snp_calls.minimize_memory_footprint()
-    calls = compressed_snp_calls.snp_calls
-    confident = calls[calls["p_base_wrong"] < 0.01]
-    position2donor2base2count = defaultdict(lambda: np.zeros([len(donor2dindex), 4], dtype="int32"))
-    if len(confident) == 0:
-        return position2donor2base2count
+    extras_taken = 0
+    for site in np.argsort(-scores.sum(axis=1)):
+        if extras_taken >= n_additional_best_snps:
+            break
+        if site not in chosen:
+            chosen.add(int(site))
+            extras_taken += 1
+    return [scored_sites[site] for site in sorted(chosen)]
 
-    # barcode index -> donor index (-1 = unassigned)
-    cb2dindex = np.full(barcode_handler.n_barcodes, -1, dtype=np.int64)
-    for barcode, donor in barcode2donor.items():
-        index = barcode_handler.barcode2index.get(barcode)
-        if index is not None:
-            cb2dindex[index] = donor2dindex[donor]
 
-    cb = compressed_snp_calls.molecules["compressed_cb"][confident["molecule_index"]].astype(np.int64)
-    pos = confident["snp_position"].astype(np.int64)
-    base = confident["base_index"].astype(np.int64)
-
-    # count calls per (barcode, position, base)
-    key = (cb * (pos.max() + 1) + pos) * 4 + base
-    order = np.argsort(key, kind="stable")
-    sorted_keys = key[order]
-    starts = np.flatnonzero(
-        np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
-    )
-    counts = np.diff(np.append(starts, len(sorted_keys))).astype(np.float64)
-    contribution = np.minimum(counts, max_contribution_to_base_count_from_barcode)
-
-    first = order[starts]
-    donor_idx = cb2dindex[cb[first]]
-    keep = donor_idx >= 0
-    g_pos, g_base, g_donor = pos[first][keep], base[first][keep], donor_idx[keep]
-    g_contribution = contribution[keep].astype(np.int32)
-
-    porder = np.argsort(g_pos, kind="stable")
-    sp = g_pos[porder]
-    pstarts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
-    for i, lo in enumerate(pstarts):
-        hi = pstarts[i + 1] if i + 1 < len(pstarts) else len(sp)
-        rows = porder[lo:hi]
-        table = position2donor2base2count[int(sp[lo])]
-        np.add.at(table, (g_donor[rows], g_base[rows]), g_contribution[rows])
-    return position2donor2base2count
+def _write_positions_parquet(selected_sites: list, prior_filename) -> None:
+    """Positions-only checkpoint: rows with a (CHROM, POS, BASE) index and
+    zero donor columns, which add_prior_betas registers as zero-weight
+    variants."""
+    rows = [
+        (chromosome, position, base)
+        for chromosome, position, _score, base_totals in selected_sites
+        for base in base_totals
+    ]
+    frame = pd.DataFrame(rows, columns=["CHROM", "POS", "BASE"]).set_index(["CHROM", "POS", "BASE"])
+    frame.to_parquet(prior_filename)
 
 
 def detect_snps_positions(
@@ -200,10 +282,14 @@ def detect_snps_positions(
     ignore_known_snps: bool = True,
     max_fragment_step: int = 10_000_000,
     joblib_verbosity=11,
-):
-    """Detect SNPs from the data, starting from loosely known genotypes."""
-    # step 1: rough demultiplexing with the known genotypes
-    snps = count_snps(
+) -> list:
+    """Detect SNPs from the data, starting from loosely known genotypes.
+
+    Returns the selected (chromosome, position, score, base counts) rows;
+    optionally exports them for the next refinement round.
+    """
+    # provisional demultiplexing at the already-known positions
+    known_site_calls = count_snps(
         bamfile_location=bamfile_location,
         chromosome2positions=genotypes.get_chromosome2positions(),
         barcode_handler=barcode_handler,
@@ -211,36 +297,36 @@ def detect_snps_positions(
         parse_read=parse_read,
         joblib_verbosity=joblib_verbosity,
     )
-
-    _likelihoods, posterior_probabilities = Demultiplexer.predict_posteriors(
-        snps,
+    _logits, posteriors = Demultiplexer.predict_posteriors(
+        known_site_calls,
         genotypes=genotypes,
         barcode_handler=barcode_handler,
         doublet_prior=0.0,
     )
-    confident = posterior_probabilities.max(axis=1) > 0.8
-    barcode2donor = posterior_probabilities[confident].idxmax(axis=1).to_dict()
-    donor_counts = Counter(barcode2donor.values())
-    print("Number of confidently assigned barcodes for each donor")
-    print(pd.Series(donor_counts).sort_index())
+    decisive = posteriors.max(axis=1) > 0.8
+    barcode2donor = posteriors[decisive].idxmax(axis=1).to_dict()
+    print("confidently assigned barcodes per donor:")
+    print(pd.Series(Counter(barcode2donor.values())).sort_index())
 
-    # step 2: genome-wide candidate scan using the provisional assignments
-    filename = (
+    # genome-wide fragment scan driven by the provisional assignments
+    some_bam = (
         bamfile_location
         if isinstance(bamfile_location, (str, Path))
-        else list(bamfile_location.values())[0]
+        else next(iter(bamfile_location.values()))
     )
-    with BamReader(as_str(filename)) as f:
-        chromosomes = [(s.contig, f.get_reference_length(s.contig)) for s in f.get_index_statistics()]
+    with BamReader(as_str(some_bam)) as reader:
+        contigs = [
+            (stat.contig, reader.get_reference_length(stat.contig))
+            for stat in reader.get_index_statistics()
+        ]
+    sorted_donors = np.unique(list(barcode2donor.values()))
 
-    sorted_donors = np.unique([donor for donor in barcode2donor.values()])
-
-    tasks = [
+    fragment_jobs = [
         delayed(detect_snps_for_chromosome)(
             bamfile_location,
             chromosome=chromosome,
-            start=start,
-            stop=min(start + max_fragment_step, length),
+            start=fragment_start,
+            stop=min(fragment_start + max_fragment_step, contig_length),
             barcode2donor=barcode2donor,
             parse_read=parse_read,
             sorted_donors=sorted_donors,
@@ -250,56 +336,24 @@ def detect_snps_positions(
             barcode_handler=barcode_handler,
             regularization=regularization,
         )
-        for chromosome, length in chromosomes
-        for start in range(0, length, max_fragment_step)
+        for chromosome, contig_length in contigs
+        for fragment_start in range(0, contig_length, max_fragment_step)
     ]
     with Parallel(n_jobs=joblib_n_jobs, verbose=joblib_verbosity, pre_dispatch="all") as parallel:
-        chrom_pos_importances_collection = parallel(tasks)
+        per_fragment_results = parallel(fragment_jobs)
 
-    chrom_pos_importances = sum(chrom_pos_importances_collection, [])
-    if len(chrom_pos_importances) == 0:
-        print("No SNP candidates passed the thresholds")
+    scored_sites = [site for fragment in per_fragment_results for site in fragment]
+    if not scored_sites:
+        print("no candidate site passed the thresholds")
         return []
-    selected_snps = _select_top_snps(chrom_pos_importances, n_additional_best_snps, n_best_snps_per_donor)
+    selected = _pick_informative_sites(scored_sites, n_additional_best_snps, n_best_snps_per_donor)
 
     if ignore_known_snps:
-        snp_positions = genotypes.get_snp_positions_set()
-        selected_snps = [
-            (chrom, pos, importance, base_count)
-            for chrom, pos, importance, base_count in selected_snps
-            if (chrom, pos) not in snp_positions
+        already_known = genotypes.get_snp_positions_set()
+        selected = [
+            site for site in selected if (site[0], site[1]) not in already_known
         ]
 
     if result_beta_prior_filename is not None:
-        _export_snps_to_beta(selected_snps, result_beta_prior_filename)
-
-    return selected_snps
-
-
-def _select_top_snps(chrom_pos_importances, n_additional_best_snps, n_best_snps_per_donor):
-    """Union of the best positions per donor and the best positions overall."""
-    importances_all = np.stack([imp for _chrom, _pos, imp, _bases in chrom_pos_importances], axis=0)
-    best_snps_for_donors = np.argsort(-importances_all, axis=0)[:n_best_snps_per_donor]
-    best_snps_overall = np.argsort(-importances_all.sum(axis=1))
-    is_new_snps = ~np.isin(best_snps_overall, best_snps_for_donors)
-    total_new_snps = np.cumsum(is_new_snps, axis=0)
-    best_snps_overall = best_snps_overall[
-        : np.searchsorted(total_new_snps, n_additional_best_snps, side="right")
-    ]
-    selected_snp_ids = np.union1d(best_snps_for_donors.flatten(), best_snps_overall)
-    return [chrom_pos_importances[i] for i in selected_snp_ids]
-
-
-def _export_snps_to_beta(selected_snps, prior_filename):
-    """Positions-only parquet: add_prior_betas turns rows into zero-weight variants."""
-    df = defaultdict(list)
-    for chromosome, position, _importances, bases_count in selected_snps:
-        for base, _base_count in bases_count.items():
-            df["CHROM"].append(chromosome)
-            df["POS"].append(position)
-            df["BASE"].append(base)
-
-    # empty-column dataframe with the (CHROM, POS, BASE) index — positions only
-    df = pd.DataFrame(df, columns=["CHROM", "POS", "BASE"])
-    df = df.set_index(["CHROM", "POS", "BASE"])
-    df.to_parquet(prior_filename)
+        _write_positions_parquet(selected, result_beta_prior_filename)
+    return selected

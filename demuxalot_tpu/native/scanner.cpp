@@ -492,7 +492,8 @@ void* scan_region(
               read_pos += len;
             } else if (op == 2 || op == 3) {
               ref_pos += len;
-            } else if (op == 1 || op == 4 || op == 5 || op == 6) {
+            } else if (op == 1 || op == 4) {
+              // I/S consume query bases; H/P (5/6) consume nothing
               read_pos += len;
             }
           }

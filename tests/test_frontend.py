@@ -160,3 +160,32 @@ def test_snp_counts_serialization(tmp_path):
     for chrom in calls:
         np.testing.assert_array_equal(back[chrom].molecules, calls[chrom].molecules)
         np.testing.assert_array_equal(back[chrom].snp_calls, calls[chrom].snp_calls)
+
+
+def test_lookup_scales_to_human_chromosome():
+    """250Mb contig, >70k SNPs: bounded memory, no integer-width ceiling.
+
+    Regression guard for the reference's chromosome-length uint16 cumsum
+    (wraps past 65535 SNPs, allocates ~500MB for chr1); our index is a
+    sorted array + binary search.
+    """
+    rng = np.random.RandomState(0)
+    contig_length = 250_000_000
+    positions = np.unique(rng.randint(0, contig_length, size=120_000))
+    assert len(positions) > 70_000
+    lookup = ChromosomeSNPLookup(positions)
+    # memory is O(n_snps), not O(contig length)
+    assert lookup.positions.nbytes < 2_000_000
+
+    # interval queries agree with a brute-force check, far past 2**16 SNPs
+    for start, end in [(0, 10), (contig_length - 10, contig_length),
+                       (int(positions[90_000]), int(positions[90_000]) + 1),
+                       (int(positions[-1]) + 1, contig_length)]:
+        expected = bool(((positions >= start) & (positions < end)).any())
+        assert lookup.snips_exist(start, end) == expected
+
+    # base extraction works at quarter-billion coordinates
+    target = int(positions[100_000])
+    read = _read(target - 5, "ACGTACGTACGT")
+    p_mis, calls = consensus_call_molecule([(read, 0.01)], lookup)
+    assert any(pos == target for pos, _b, _q in calls)

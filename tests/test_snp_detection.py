@@ -65,3 +65,26 @@ def test_detects_hidden_snps(detection_problem, tmp_path):
     overlap = len(discovered_chr2 & true_chr2) / max(1, len(discovered_chr2))
     print(f"discovered {len(discovered_chr2)} chr2 positions, {overlap:.0%} truly polymorphic")
     assert overlap > 0.5
+
+
+def test_donor_base_tables_ignore_n_calls():
+    """'N' calls (base code 4) must neither crash nor leak into the tables.
+
+    The reference scatter-adds base_index into a 4-wide table, so an 'N'
+    either raises or aliases a neighboring position's base-0 count
+    (demuxalot/snp_detection.py:117-124); we drop them explicitly.
+    """
+    from demuxalot_tpu.frontend.snp_counter import CompressedSNPCalls
+    from demuxalot_tpu.models.snp_detection import _donor_base_tables
+
+    calls = CompressedSNPCalls()
+    calls.add_calls_from_read_group(0, 11, 0.01, [(5, "A", 1e-4), (7, "N", 1e-4)])
+    calls.add_calls_from_read_group(1, 12, 0.01, [(5, "C", 1e-4), (8, "N", 1e-4)])
+    calls.minimize_memory_footprint()
+
+    bh = BarcodeHandler(["BC0", "BC1"])
+    tables = _donor_base_tables(
+        calls, bh, {"BC0": "D1", "BC1": "D2"}, {"D1": 0, "D2": 1}
+    )
+    assert set(tables) == {5}, "N calls must not create or pollute positions"
+    np.testing.assert_array_equal(tables[5], [[1, 0, 0, 0], [0, 1, 0, 0]])
