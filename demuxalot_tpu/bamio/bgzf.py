@@ -167,6 +167,14 @@ class BgzfReader:
         coffset, uoffset = voffset >> 16, voffset & 0xFFFF
         if coffset != self._coffset:
             self._load_block(coffset)
+        if uoffset > len(self._payload):
+            # a voffset pointing into a block that could not be loaded (past
+            # EOF / truncated file) or past the block's payload is corrupt;
+            # failing loudly beats silently short-reading stale data
+            raise ValueError(
+                f"corrupt virtual offset {voffset:#x}: block at {coffset} has "
+                f"{len(self._payload)} bytes, in-block offset {uoffset}"
+            )
         self._uoffset = uoffset
 
     def read(self, n: int) -> bytes:

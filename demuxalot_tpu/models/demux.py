@@ -114,6 +114,12 @@ def _default_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_snp_aggregated_logits_jit = partial(
+    jax.jit,
+    static_argnames=("n_groups", "n_barcodes", "compensation", "p_bad_snp", "call_chunk"),
+)(L.snp_aggregated_logits)
+
+
 class Demultiplexer:
     """Demultiplexer that can also learn (refine) genotypes from the data."""
 
@@ -466,38 +472,30 @@ class Demultiplexer:
 
         Normalizes per-(barcode, snp) logits by molecule-count^compensation
         and double log-softmaxes with a bad-SNP floor before collapsing to
-        barcodes — limits over-contribution of any single SNP
-        (reference: demuxalot/demux.py:204-244; host-side, kept for parity).
+        barcodes — limits over-contribution of any single SNP (reference:
+        demuxalot/demux.py:204-244). Host side groups calls by
+        (barcode, snp); the log/softmax/segment math runs on device
+        (ops.likelihood.snp_aggregated_logits). NOTE: matching the
+        reference, doublet penalties are NOT applied on this path
+        (demuxalot/demux.py:239-244 computes but never adds them).
         """
-        from scipy.special import log_softmax
-
-        snp_ids = molecule_calls.snp_id
-        bns_compressor = FeatureLookup(molecule_calls.compressed_cb, snp_ids)
-        calls_bns_id, bns_molecule_counts = bns_compressor.compress(
-            molecule_calls.compressed_cb, snp_ids
-        )
-        bns_id2barcode, _bns_id2snp_ids = bns_compressor.lookup_for_individual_features()
-
-        n_pg = mixing.shape[1]
-        # per-(barcode, snp) log-likelihoods for all pseudo-genotypes
-        p = genotype_prob[molecule_calls.variant_id] @ mixing  # [n_calls, n_pg]
-        log_penalties = np.log(p + molecule_calls.p_base_wrong[:, None])
-        bns_logits = np.zeros([bns_compressor.nvalues, n_pg], dtype="float32")
-        np.add.at(bns_logits, calls_bns_id, log_penalties.astype("float32"))
-
-        # regularize by number of contributing molecules, then apply bad-SNP floor
-        compensation = Demultiplexer.compensation_during_computing_barcode_logits
-        bns_logits /= bns_molecule_counts[:, None] ** compensation
-        bns_logits = log_softmax(bns_logits, axis=1)
-        p_bad_snp = 0.01
-        bns_logits = np.logaddexp(bns_logits, np.log(p_bad_snp / n_pg))
-        bns_logits = log_softmax(bns_logits, axis=1)
-
-        # NOTE: matching the reference, doublet penalties are NOT applied on
-        # this path (demuxalot/demux.py:239-244 computes but never adds them)
         del penalties
-        barcode_posterior_logits = np.stack(
-            [np.bincount(bns_id2barcode, weights=col, minlength=n_barcodes) for col in bns_logits.T],
-            axis=1,
-        ).astype("float32")
-        return barcode_posterior_logits
+        snp_ids = molecule_calls.snp_id
+        groups = FeatureLookup(molecule_calls.compressed_cb, snp_ids)
+        group_of_call, calls_per_group = groups.compress(molecule_calls.compressed_cb, snp_ids)
+        barcode_of_group, _snp_of_group = groups.lookup_for_individual_features()
+
+        by_group = np.argsort(group_of_call, kind="stable")
+        logits = _snp_aggregated_logits_jit(
+            jnp.asarray(np.asarray(genotype_prob, dtype=np.float32)),
+            jnp.asarray(mixing),
+            jnp.asarray(molecule_calls.variant_id[by_group]),
+            jnp.asarray(molecule_calls.p_base_wrong[by_group]),
+            jnp.asarray(group_of_call[by_group].astype(np.int32)),
+            jnp.asarray(barcode_of_group.astype(np.int32)),
+            jnp.asarray(calls_per_group.astype(np.float32)),
+            n_groups=groups.nvalues,
+            n_barcodes=n_barcodes,
+            compensation=float(Demultiplexer.compensation_during_computing_barcode_logits),
+        )
+        return np.asarray(logits)

@@ -211,7 +211,10 @@ bool parse_tags(const uint8_t* p, const uint8_t* end, const char* cb_tag,
     const char* sval = nullptr;
     size_t slen = 0;
     switch (typ) {
-      case 'A': if (p + 1 > end) return false; ival = *p; p += 1; break;
+      // 'A' is a printable character per the SAM spec; expose it as a
+      // one-char string so an A-typed CB/UMI matches the Python path
+      // (pysam-style get_tag returns str for 'A')
+      case 'A': if (p + 1 > end) return false; sval = (const char*)p; slen = 1; p += 1; break;
       case 'c': if (p + 1 > end) return false; ival = *(int8_t*)p; p += 1; break;
       case 'C': if (p + 1 > end) return false; ival = *(uint8_t*)p; p += 1; break;
       case 's': { if (p + 2 > end) return false; int16_t v; memcpy(&v, p, 2); ival = v; p += 2; break; }

@@ -162,6 +162,68 @@ def _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes):
     return jax.ops.segment_sum(vals, cb, num_segments=n_barcodes, indices_are_sorted=True)
 
 
+def snp_aggregated_logits(
+    genotype_prob: jnp.ndarray,  # f32 [n_variants, n_donors]
+    mixing: jnp.ndarray,  # f32 [n_donors, n_pseudogenotypes]
+    variant_id: jnp.ndarray,  # i32 [n_calls], sorted by group
+    q: jnp.ndarray,  # f32 [n_calls] p_base_wrong per molecule call
+    group_of_call: jnp.ndarray,  # i32 [n_calls], non-decreasing; padding -> n_groups
+    barcode_of_group: jnp.ndarray,  # i32 [n_groups], non-decreasing
+    group_molecules: jnp.ndarray,  # f32 [n_groups] molecule count per group
+    n_groups: int,
+    n_barcodes: int,
+    compensation: float,
+    p_bad_snp: float = 0.01,
+    call_chunk: int = DEFAULT_CALL_CHUNK,
+) -> jnp.ndarray:
+    """Device port of the per-SNP aggregation path (ref demux.py:193-244).
+
+    Per (barcode, snp) group: sum call log-likelihoods, damp by
+    molecule-count**compensation, log-softmax, floor with a bad-SNP escape
+    hatch, log-softmax again, then collapse groups onto barcodes. Groups
+    arrive pre-sorted by (barcode, snp); padding calls carry
+    ``group_of_call == n_groups`` and are dropped by the segment sum.
+    Doublet penalties are intentionally NOT applied — the reference computes
+    but never adds them on this path (demuxalot/demux.py:239-244).
+    """
+    n_pg = mixing.shape[1]
+
+    def chunk_group_sums(vid_c, q_c, grp_c):
+        p = jnp.dot(
+            genotype_prob[vid_c], mixing, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vals = jnp.log(p + q_c[:, None])
+        return jax.ops.segment_sum(vals, grp_c, num_segments=n_groups, indices_are_sorted=True)
+
+    (n_calls,) = variant_id.shape
+    if n_calls <= call_chunk:
+        group_logits = chunk_group_sums(variant_id, q, group_of_call)
+    else:
+        n_chunks = _pad_chunks(n_calls, call_chunk)
+        pad = n_chunks * call_chunk - n_calls
+        chunks = (
+            jnp.pad(variant_id, (0, pad)).reshape(n_chunks, call_chunk),
+            jnp.pad(q, (0, pad)).reshape(n_chunks, call_chunk),
+            jnp.pad(group_of_call, (0, pad), constant_values=n_groups).reshape(n_chunks, call_chunk),
+        )
+
+        def body(acc, chunk):
+            return acc + chunk_group_sums(*chunk), None
+
+        group_logits, _ = jax.lax.scan(
+            body, jnp.zeros((n_groups, n_pg), jnp.float32), chunks
+        )
+
+    group_logits = group_logits / jnp.maximum(group_molecules, 1.0)[:, None] ** compensation
+    group_logits = jax.nn.log_softmax(group_logits, axis=1)
+    group_logits = jnp.logaddexp(group_logits, math.log(p_bad_snp / n_pg))
+    group_logits = jax.nn.log_softmax(group_logits, axis=1)
+    return jax.ops.segment_sum(
+        group_logits, barcode_of_group, num_segments=n_barcodes, indices_are_sorted=True
+    )
+
+
 def genotype_addition_from_posteriors(
     posterior: jnp.ndarray,  # f32 [n_barcodes(global), n_pseudogenotypes]
     variant_id: jnp.ndarray,  # i32 [n_calls], sorted by variant

@@ -284,6 +284,17 @@ class DeviceCalls:
         return self.n_barcodes_per_shard * self.n_shards
 
 
+def shard_call_counts(barcode_calls, n_shards: int, barcodes_per_shard: int) -> np.ndarray:
+    """Calls landing on each barcode shard ([n_shards] int64).
+
+    Cheap pre-pass so multi-host layouts can agree on padded lengths before
+    any array is built (each process counts only the calls it holds, then
+    maxes across processes).
+    """
+    shard_of_call = barcode_calls["compressed_cb"].astype(np.int64) // barcodes_per_shard
+    return np.bincount(shard_of_call, minlength=n_shards).astype(np.int64)
+
+
 def device_pack_barcode_calls(
     barcode_calls: np.recarray,
     n_barcodes: int,
@@ -291,12 +302,20 @@ def device_pack_barcode_calls(
     pad_multiple: int = 1024,
     barcodes_per_shard: Optional[int] = None,
     build_arrays: bool = True,
+    shard_ids: Optional[list] = None,
+    per_shard_calls_floor: int = 0,
 ) -> DeviceCalls:
     """Lay out collapsed barcode calls for the device kernels.
 
     ``build_arrays=False`` returns only the sharding metadata (callers on
     the Pallas path need the per-shard barcode geometry but not the flat
     XLA layout, which would be dead weight in HBM).
+
+    ``shard_ids`` restricts array building to a subset of shards (arrays
+    get one row block per listed shard, in order) — the multi-host path,
+    where each process only holds and lays out its own barcode ranges.
+    ``per_shard_calls_floor`` forces the padded per-shard length so
+    processes can agree on a global static shape.
     """
     vid = barcode_calls["variant_id"].astype(np.int32)
     cb = barcode_calls["compressed_cb"].astype(np.int32)
@@ -306,6 +325,8 @@ def device_pack_barcode_calls(
         barcodes_per_shard = _round_up(max(n_barcodes, n_shards), n_shards) // n_shards
     per_shard_b = barcodes_per_shard
     assert per_shard_b * n_shards >= n_barcodes
+    if shard_ids is None:
+        shard_ids = list(range(n_shards))
 
     if not build_arrays:
         empty_i = np.empty(0, np.int32)
@@ -323,29 +344,31 @@ def device_pack_barcode_calls(
     cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]
     shard_of_call = cb_sorted // per_shard_b
     boundaries = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
-    max_len = max(1, int(np.max(boundaries[1:] - boundaries[:-1])) if len(cb) else 1)
+    lengths = boundaries[1:] - boundaries[:-1]
+    max_len = max(1, int(lengths[shard_ids].max()) if len(cb) else 1, per_shard_calls_floor)
     max_len = _round_up(max_len, pad_multiple)
 
-    cb_b = np.zeros((n_shards, max_len), dtype=np.int32)
-    vid_b = np.zeros((n_shards, max_len), dtype=np.int32)
-    q_b = np.ones((n_shards, max_len), dtype=np.float32)
-    cb_v = np.zeros((n_shards, max_len), dtype=np.int32)
-    vid_v = np.zeros((n_shards, max_len), dtype=np.int32)
-    q_v = np.ones((n_shards, max_len), dtype=np.float32)
-    for s in range(n_shards):
+    n_blocks = len(shard_ids)
+    cb_b = np.zeros((n_blocks, max_len), dtype=np.int32)
+    vid_b = np.zeros((n_blocks, max_len), dtype=np.int32)
+    q_b = np.ones((n_blocks, max_len), dtype=np.float32)
+    cb_v = np.zeros((n_blocks, max_len), dtype=np.int32)
+    vid_v = np.zeros((n_blocks, max_len), dtype=np.int32)
+    q_v = np.ones((n_blocks, max_len), dtype=np.float32)
+    for block, s in enumerate(shard_ids):
         lo, hi = boundaries[s], boundaries[s + 1]
         n = hi - lo
         local_cb = cb_sorted[lo:hi] - s * per_shard_b
         local_vid = vid_sorted[lo:hi]
         local_q = q_sorted[lo:hi]
-        cb_b[s, :n] = local_cb
-        vid_b[s, :n] = local_vid
-        q_b[s, :n] = local_q
+        cb_b[block, :n] = local_cb
+        vid_b[block, :n] = local_vid
+        q_b[block, :n] = local_q
         # same shard's calls re-sorted by variant for the M-step
         vorder = np.argsort(local_vid, kind="stable")
-        cb_v[s, :n] = local_cb[vorder]
-        vid_v[s, :n] = local_vid[vorder]
-        q_v[s, :n] = local_q[vorder]
+        cb_v[block, :n] = local_cb[vorder]
+        vid_v[block, :n] = local_vid[vorder]
+        q_v[block, :n] = local_q[vorder]
 
     return DeviceCalls(
         cb_b=cb_b.reshape(-1), vid_b=vid_b.reshape(-1), q_b=q_b.reshape(-1),

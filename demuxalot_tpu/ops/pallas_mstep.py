@@ -168,6 +168,15 @@ _tiled_mstep = functools.partial(
 )(tiled_mstep_impl)
 
 
+def choose_tile_variants(n_calls_max: int, n_variants: int, chunk_calls: int = 512) -> int:
+    """Variant-tile width keeping every grid step under the chunk soft cap."""
+    from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
+
+    n_chunks_est = max(1, -(-max(n_calls_max, 1) // chunk_calls))
+    n_tiles_target = max(1, -(-n_chunks_est // MAX_CHUNKS_PER_SUPER))
+    return max(128, min(512, (n_variants // n_tiles_target) // 128 * 128))
+
+
 class ShardedMstepLayout:
     """Per-shard M-step layouts with identical static dims (stacked on axis 0).
 
@@ -187,18 +196,22 @@ class ShardedMstepLayout:
         n_variants: int,
         tile_variants: int = 0,
         chunk_calls: int = 512,
+        shard_ids=None,
+        n_chunks_floor: int = 0,
     ):
+        if shard_ids is None:
+            shard_ids = list(range(n_shards))
         if tile_variants <= 0:
-            from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
-
-            n_calls_max = max(
-                int(np.sum(shard_of_call == s)) for s in range(n_shards)
-            ) if len(shard_of_call) else 1
-            n_chunks_est = max(1, -(-n_calls_max // chunk_calls))
-            n_tiles_target = max(1, -(-n_chunks_est // MAX_CHUNKS_PER_SUPER))
-            tile_variants = max(128, min(512, (n_variants // n_tiles_target) // 128 * 128))
+            # multi-host callers must pass an agreed tile_variants; this
+            # local estimate is only deterministic within one process
+            tile_variants = choose_tile_variants(
+                max(
+                    (int(np.sum(shard_of_call == s)) for s in shard_ids), default=1
+                ),
+                n_variants, chunk_calls,
+            )
         per_shard = []
-        for s in range(n_shards):
+        for s in shard_ids:
             sel = shard_of_call == s
             order = np.argsort(vid[sel], kind="stable")
             per_shard.append(
@@ -208,13 +221,14 @@ class ShardedMstepLayout:
                 )
             )
 
-        n_chunks = max(t.n_chunks for t in per_shard)
+        n_chunks = max(max(t.n_chunks for t in per_shard), n_chunks_floor)
         width = n_chunks * chunk_calls
         n_tiles = len(np.asarray(per_shard[0].chunk_bounds)) - 1
-        self.cb_global = np.zeros((n_shards, width), np.int32)
-        self.vl = np.zeros((n_shards, 1, width), np.int32)
-        self.q = np.ones((n_shards, 1, width), np.float32)
-        self.chunk_bounds = np.zeros((n_shards, n_tiles + 1), np.int32)
+        n_blocks = len(per_shard)
+        self.cb_global = np.zeros((n_blocks, width), np.int32)
+        self.vl = np.zeros((n_blocks, 1, width), np.int32)
+        self.q = np.ones((n_blocks, 1, width), np.float32)
+        self.chunk_bounds = np.zeros((n_blocks, n_tiles + 1), np.int32)
         for s, t in enumerate(per_shard):
             w = t.n_chunks * chunk_calls
             self.cb_global[s, :w] = np.asarray(t.cb_global)

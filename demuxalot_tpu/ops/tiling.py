@@ -134,20 +134,30 @@ def tile_barcode_calls_sharded(
     max_super_rows_bytes: int = 2_700_000,
     pgp: int = 640,
     barcodes_per_shard: int = 0,
+    shard_ids=None,
+    n_chunks_floor: int = 0,
 ) -> ShardedTiledCalls:
-    """Shard barcode-sorted calls by barcode range, tiling each shard."""
+    """Shard barcode-sorted calls by barcode range, tiling each shard.
+
+    ``shard_ids`` limits array building to those shards (stacked in the
+    given order) — multi-host callers pass their local shard positions and
+    force a cross-process-agreed ``n_chunks_floor`` so static kernel dims
+    match on every process.
+    """
     TB, TC = tile_barcodes, chunk_calls
     if barcodes_per_shard <= 0:
         barcodes_per_shard = -(-max(n_barcodes, n_shards) // (n_shards * TB)) * TB
     per_shard_b = barcodes_per_shard
     assert per_shard_b % TB == 0, "barcodes_per_shard must be a multiple of tile_barcodes"
     n_tiles = per_shard_b // TB
+    if shard_ids is None:
+        shard_ids = list(range(n_shards))
 
     shard_of_call = cb_sorted // per_shard_b
     shard_bounds = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
 
     per_shard = []
-    for s in range(n_shards):
+    for s in shard_ids:
         lo, hi = shard_bounds[s], shard_bounds[s + 1]
         local = tile_barcode_calls(
             cb_sorted[lo:hi] - s * per_shard_b,
@@ -159,7 +169,7 @@ def tile_barcode_calls_sharded(
         )
         per_shard.append(local)
 
-    n_chunks = max(t.n_chunks for t in per_shard)
+    n_chunks = max(max(t.n_chunks for t in per_shard), n_chunks_floor)
 
     if subtiles_per_super <= 0:
         subtiles_per_super = choose_subtiles_per_super(
@@ -167,11 +177,12 @@ def tile_barcode_calls_sharded(
         )
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super
-    vid = np.zeros((n_shards, n_chunks * TC), np.int32)
-    cb_local = np.zeros((n_shards, 1, n_chunks * TC), np.int32)
-    q = np.ones((n_shards, 1, n_chunks * TC), np.float32)
-    chunk_bounds = np.zeros((n_shards, n_super + 1), np.int32)
-    chunk_suboff = np.zeros((n_shards, n_chunks), np.int32)
+    n_blocks = len(per_shard)
+    vid = np.zeros((n_blocks, n_chunks * TC), np.int32)
+    cb_local = np.zeros((n_blocks, 1, n_chunks * TC), np.int32)
+    q = np.ones((n_blocks, 1, n_chunks * TC), np.float32)
+    chunk_bounds = np.zeros((n_blocks, n_super + 1), np.int32)
+    chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
 
     for s, local in enumerate(per_shard):
         m = local.n_chunks

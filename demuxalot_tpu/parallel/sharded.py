@@ -24,7 +24,15 @@ from jax import shard_map
 
 from ..ops import likelihood as L
 from ..ops import packing as P
-from .mesh import BARCODE_AXIS, make_mesh, put_global, to_host
+from .mesh import (
+    BARCODE_AXIS,
+    allreduce_max_dims,
+    local_shard_ids,
+    make_mesh,
+    put_global,
+    put_row_shards,
+    to_host,
+)
 
 
 def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk):
@@ -151,21 +159,64 @@ class ShardedDemultiplexer:
         tb = self.pallas_tile_barcodes
         return -(-max(n_barcodes, self.n_shards) // (self.n_shards * tb)) * tb
 
+    def _local_shard_ids(self) -> list:
+        """Mesh positions this process's devices hold (all, when single-process)."""
+        if jax.process_count() == 1:
+            return list(range(self.n_shards))
+        return local_shard_ids(self.mesh)
+
     def _shard_inputs(self, barcode_calls, n_barcodes, mixing=None, penalties=None, n_variants=None):
+        """Build and place the per-shard device layouts.
+
+        Multi-host safe and host-memory local: each process keeps only the
+        calls of its own barcode ranges (the input table may already be
+        pre-filtered to those rows — global tables are simply masked), lays
+        out only its own shards, agrees on padded static dims with one
+        scalar allgather, and assembles global arrays shard-by-shard.
+        """
         per_shard = self._barcodes_per_shard(n_barcodes)
         use_pallas = self._resolve_use_pallas() and mixing is not None
+        my_shards = self._local_shard_ids()
+        multi = jax.process_count() > 1
+
+        if multi:
+            # keep only the rows this process's shards own
+            shard_of = barcode_calls["compressed_cb"].astype(np.int64) // per_shard
+            barcode_calls = barcode_calls[np.isin(shard_of, my_shards)]
+
+        # one allgather fixes every static dim all processes must share
+        counts = P.shard_call_counts(barcode_calls, self.n_shards, per_shard)
+        local_max_calls = int(counts[my_shards].max()) if len(my_shards) else 0
+        (max_calls_per_shard,) = allreduce_max_dims([local_max_calls])
+        chunk_floor = -(-max(max_calls_per_shard, 1) // self.pallas_chunk_calls)
+
+        shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
+
+        def put_flat(flat, width):
+            """Flat [n_local * width] layout -> globally sharded flat array."""
+            two_d = flat.reshape(len(my_shards), width)
+            blocks = {s: two_d[i] for i, s in enumerate(my_shards)}
+            return put_row_shards(blocks, shd, (self.n_shards * width,))
+
+        def put_stacked(stacked):
+            """[n_local, ...] per-shard blocks -> [n_shards, ...] global array."""
+            blocks = {s: stacked[i : i + 1] for i, s in enumerate(my_shards)}
+            return put_row_shards(blocks, shd, (self.n_shards,) + tuple(stacked.shape[1:]))
+
         device = P.device_pack_barcode_calls(
             barcode_calls, n_barcodes, n_shards=self.n_shards, barcodes_per_shard=per_shard,
-            build_arrays=not use_pallas,
+            build_arrays=not use_pallas, shard_ids=my_shards,
+            per_shard_calls_floor=max_calls_per_shard,
         )
-        shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
-        put = lambda x: put_global(x, shd)
         arrays = {}
         if not use_pallas:
             # flat dual-sort layout feeds the XLA segment-sum paths
+            w = device.per_shard_calls
             arrays.update(
-                vid_b=put(device.vid_b), cb_b=put(device.cb_b), q_b=put(device.q_b),
-                vid_v=put(device.vid_v), cb_v=put(device.cb_v), q_v=put(device.q_v),
+                vid_b=put_flat(device.vid_b, w), cb_b=put_flat(device.cb_b, w),
+                q_b=put_flat(device.q_b, w),
+                vid_v=put_flat(device.vid_v, w), cb_v=put_flat(device.cb_v, w),
+                q_v=put_flat(device.q_v, w),
             )
 
         tiled = None
@@ -187,17 +238,24 @@ class ShardedDemultiplexer:
                 chunk_calls=self.pallas_chunk_calls,
                 pgp=pgp,
                 barcodes_per_shard=per_shard,
+                shard_ids=my_shards,
+                # multi-host: a consistent upper bound (each of the shard's
+                # tiles can round one chunk up) replaces the cross-shard max
+                # no single process can see; single-host keeps the exact max
+                n_chunks_floor=(
+                    chunk_floor + per_shard // self.pallas_tile_barcodes if multi else 0
+                ),
             )
             mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
             mixing_p[:, :pg] = mixing
             penalties_p = np.zeros((1, pgp), dtype=np.float32)
             penalties_p[0, :pg] = penalties
             arrays.update(
-                pallas_vid=put(tiled.vid),
-                pallas_cbl=put(tiled.cb_local),
-                pallas_q=put(tiled.q),
-                pallas_bounds=put(tiled.chunk_bounds),
-                pallas_suboff=put(tiled.chunk_suboff),
+                pallas_vid=put_stacked(tiled.vid),
+                pallas_cbl=put_stacked(tiled.cb_local),
+                pallas_q=put_stacked(tiled.q),
+                pallas_bounds=put_stacked(tiled.chunk_bounds),
+                pallas_suboff=put_stacked(tiled.chunk_suboff),
             )
             rep = jax.sharding.NamedSharding(self.mesh, PSpec())
             arrays["pallas_mixing_p"] = put_global(mixing_p, rep)
@@ -205,10 +263,11 @@ class ShardedDemultiplexer:
 
         if self._resolve_use_pallas() and n_variants is not None:
             # M-step kernel layout (variant-tiled per shard, local barcodes)
-            from ..ops.pallas_mstep import ShardedMstepLayout
+            from ..ops.pallas_mstep import ShardedMstepLayout, choose_tile_variants
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             shard_of_call = cb // per_shard
+            tv = choose_tile_variants(max_calls_per_shard, n_variants)
             mlayout = ShardedMstepLayout(
                 cb_local=(cb - shard_of_call * per_shard).astype(np.int32),
                 vid=barcode_calls["variant_id"].astype(np.int32),
@@ -216,12 +275,16 @@ class ShardedDemultiplexer:
                 shard_of_call=shard_of_call,
                 n_shards=self.n_shards,
                 n_variants=n_variants,
+                tile_variants=tv,
+                shard_ids=my_shards,
+                # see the E-step layout note: agreed upper bound, multi-host only
+                n_chunks_floor=(chunk_floor + -(-n_variants // tv) if multi else 0),
             )
             arrays.update(
-                mstep_cb=put(mlayout.cb_global),
-                mstep_vl=put(mlayout.vl),
-                mstep_q=put(mlayout.q),
-                mstep_bounds=put(mlayout.chunk_bounds),
+                mstep_cb=put_stacked(mlayout.cb_global),
+                mstep_vl=put_stacked(mlayout.vl),
+                mstep_q=put_stacked(mlayout.q),
+                mstep_bounds=put_stacked(mlayout.chunk_bounds),
             )
             arrays["mstep_layout"] = mlayout
 

@@ -22,3 +22,7 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 REFERENCE_EXAMPLE_DATA = Path("/root/reference/examples/example_data")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "perf: heavy quality/benchmark runs")

@@ -52,7 +52,16 @@ rec["snp_id"] = v2s[vid]
 rec["barcode_variant_count"] = 1
 rec["barcode_snp_count"] = 1
 
-device, arrays, tiled = sh._shard_inputs(rec, N_B, mixing, pen, n_variants=n_variants)
+# shard-local data path: this process hands over ONLY the rows of its own
+# barcode ranges — the full call table is never materialized here, which is
+# the property that keeps host memory flat at pod scale
+per_shard = sh._barcodes_per_shard(N_B)
+my_rows = np.isin(rec["compressed_cb"] // per_shard, sh._local_shard_ids())
+rec_local = rec[my_rows]
+assert 0 < len(rec_local) < len(rec), "each process should hold a strict subset"
+del rec
+
+device, arrays, tiled = sh._shard_inputs(rec_local, N_B, mixing, pen, n_variants=n_variants)
 betas_r, v2s_r, mix_r, pen_r = sh._replicate(betas, v2s, mixing, pen)
 estep, eargs = sh._make_estep(device, arrays, tiled, N_S, 0.01, mixing.shape[1], mix_r, pen_r)
 mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))

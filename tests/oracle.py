@@ -77,3 +77,29 @@ def oracle_barcode_calls(vid, snp_id, cb, q):
         "count": np.array([len(groups[k]) for k in rows]),
     }
     return out
+
+
+def oracle_snp_aggregated_logits(
+    genotype_prob, mixing, variant_id, q, compressed_cb, snp_id, n_barcodes,
+    compensation=0.5, p_bad_snp=0.01,
+):
+    """Reference math for the per-SNP aggregation path (ref demux.py:193-244)."""
+    from scipy.special import log_softmax
+
+    n_pg = mixing.shape[1]
+    key = compressed_cb.astype(np.int64) * (snp_id.max() + 1) + snp_id
+    uniq, inverse, counts = np.unique(key, return_inverse=True, return_counts=True)
+    group_barcode = (uniq // (snp_id.max() + 1)).astype(np.int64)
+
+    p = genotype_prob[variant_id] @ mixing
+    vals = np.log(p + q[:, None])
+    group_logits = np.zeros([len(uniq), n_pg])
+    np.add.at(group_logits, inverse, vals)
+    group_logits = group_logits / counts[:, None] ** compensation
+    group_logits = log_softmax(group_logits, axis=1)
+    group_logits = np.logaddexp(group_logits, np.log(p_bad_snp / n_pg))
+    group_logits = log_softmax(group_logits, axis=1)
+
+    out = np.zeros([n_barcodes, n_pg])
+    np.add.at(out, group_barcode, group_logits)
+    return out.astype(np.float32)

@@ -223,3 +223,38 @@ def test_demultiplexer_parity_helpers():
     ref_logits, ref_cols = oracle_barcode_logits(names, gprob, vid, cb, q, n_barcodes, 0.35)
     assert cols == ref_cols
     np.testing.assert_allclose(logits, ref_logits, rtol=1e-4, atol=5e-3)
+
+
+def test_snp_aggregated_logits_matches_oracle():
+    """Device per-SNP aggregation path == numpy reference math."""
+    import jax.numpy as jnp
+    from demuxalot_tpu.ops import likelihood as L
+    from demuxalot_tpu.utils.lookup import FeatureLookup
+
+    from oracle import oracle_snp_aggregated_logits
+
+    rng = np.random.RandomState(7)
+    n_variants, n_donors, n_barcodes, n_calls = 40, 5, 23, 500
+    gp = rng.uniform(0.01, 0.99, size=(n_variants, n_donors)).astype(np.float32)
+    mixing, _ = L.pseudogenotype_mixing([f"D{i}" for i in range(n_donors)], 0.3)
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    snp_id = (vid // 2).astype(np.int32)
+    cb = rng.randint(0, n_barcodes, n_calls).astype(np.int32)
+    q = rng.uniform(1e-5, 0.3, n_calls).astype(np.float32)
+
+    groups = FeatureLookup(cb, snp_id)
+    gid, counts = groups.compress(cb, snp_id)
+    barcode_of_group, _ = groups.lookup_for_individual_features()
+    order = np.argsort(gid, kind="stable")
+
+    got = np.asarray(L.snp_aggregated_logits(
+        jnp.asarray(gp), jnp.asarray(mixing),
+        jnp.asarray(vid[order]), jnp.asarray(q[order]),
+        jnp.asarray(gid[order].astype(np.int32)),
+        jnp.asarray(barcode_of_group.astype(np.int32)),
+        jnp.asarray(counts.astype(np.float32)),
+        n_groups=groups.nvalues, n_barcodes=n_barcodes, compensation=0.5,
+        call_chunk=128,  # force the chunked-scan path
+    ))
+    want = oracle_snp_aggregated_logits(gp, mixing, vid, q, cb, snp_id, n_barcodes)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
