@@ -19,6 +19,7 @@ control flow), usable directly or inside shard_map.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -27,6 +28,20 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_CALL_CHUNK = 256 * 1024
+
+# Matmul precision for the likelihood/EM compute. Measured on TPU v5e
+# (benchmarks/exp_estep.py): HIGHEST (full f32 emulation) spends ~20 ms/EM
+# E-step in bf16-pass corrections that contend with the VPU log; HIGH
+# (bf16x3) is ~f32-accurate for these magnitudes at a fraction of the cost;
+# DEFAULT (single bf16 pass) visibly shifts posteriors and is NOT safe.
+_PRECISION_BY_NAME = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+MATMUL_PRECISION = _PRECISION_BY_NAME[
+    os.environ.get("DEMUX_MATMUL_PRECISION", "high").lower()
+]
 
 
 # ---------------------------------------------------------------------------
@@ -153,10 +168,10 @@ def barcode_logits(
 
 def _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes):
     gathered = genotype_prob[variant_id]  # [c, donors]
-    # full f32: bf16 MXU rounding of probabilities visibly shifts the logits
+    # precision >= HIGH: single-pass bf16 rounding visibly shifts the logits
     p = jnp.dot(
         gathered, mixing, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MATMUL_PRECISION,
     )  # [c, pg]
     vals = jnp.log(p * (1.0 - q)[:, None] + jnp.clip(q, min=1e-4)[:, None])
     return jax.ops.segment_sum(vals, cb, num_segments=n_barcodes, indices_are_sorted=True)
@@ -191,7 +206,7 @@ def snp_aggregated_logits(
     def chunk_group_sums(vid_c, q_c, grp_c):
         p = jnp.dot(
             genotype_prob[vid_c], mixing, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MATMUL_PRECISION,
         )
         vals = jnp.log(p + q_c[:, None])
         return jax.ops.segment_sum(vals, grp_c, num_segments=n_groups, indices_are_sorted=True)

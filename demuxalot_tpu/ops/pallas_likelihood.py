@@ -1,32 +1,45 @@
 """Fused Pallas TPU kernel for the likelihood accumulation.
 
 Replaces the XLA chain gather → matmul → log → segment-sum, which round-trips
-an [n_calls, n_pseudogenotypes] tensor through HBM (the dominant cost at
-scale: ~2·N·PG·4 bytes per E-step). The kernel streams call chunks through
-VMEM with double-buffered DMA and keeps each barcode tile's logits resident:
+an [n_calls, n_pseudogenotypes] tensor through HBM. The kernel streams call
+chunks through VMEM with double-buffered DMA and keeps each barcode tile's
+logits resident.
+
+Two measured design points (benchmarks/exp_estep.py, exp_split.py, v5e):
+
+* **Fold before expansion.** Every mixing column sums to 1, so
+  ``U = G[vid]·(1−q) + max(q, 1e-4)`` computed per (call, donor) satisfies
+  ``U @ mix == (G@mix)·(1−q) + max(q, 1e-4)`` exactly — the fold happens in
+  XLA fused into the gather, the kernel DMAs U and never touches q.
+  Padding calls have q=1 → U=1 → log 0, still an exact no-op.
+* **Split-word matmuls.** Mosaic offers only DEFAULT (1 bf16 pass) and
+  HIGHEST (~6 passes + VPU corrections that contend with the log). HIGHEST
+  costs ~20 ms/E-step at the benchmark shape; single-pass bf16 visibly
+  shifts posteriors (~2e-2). The sweet spot: the exact-in-bf16 operand
+  (mixing 0/0.5/1, one-hot 0/1) stays whole and the other operand splits
+  into two bf16 words (hi = bf16(x), lo = bf16(x−hi)) — two DEFAULT passes
+  recover ~16 mantissa bits with f32 MXU accumulation. Measured posterior
+  error vs HIGHEST: 3e-5 max.
 
     per grid step (one *super-tile* of TB·SPS barcodes):
       out = penalties
       for each call chunk of the super-tile (inner fori_loop, DMA'd):
-        P    = Gᵀ[chunk] · mixing                  # [TC, PG]  doublet expansion, MXU
-        vals = log(P·(1−q) + max(q,1e-4))          # VPU
-        out[subtile·TB : +TB] += onehot(cb_local)ᵀ · vals   # scatter-matmul, MXU
+        args = mix_slᵀ-free dot: [PG_sl, TC] = mix_sl[PG_sl, D]·U[D, TC]
+        vals = log(args)                       # VPU, no lane padding
+        out[subtile·TB : +TB, :PG_sl] += onehot(cb_local)·valsᵀ  # MXU
 
 Calls are pre-sorted by barcode and padded per TB-barcode sub-tile
 (ops/tiling.py); sub-tiles are grouped into super-tiles so the launch grid
-stays small (one grid step per super-tile — important because this
-environment's remote Mosaic compile cost grows with grid size). Chunk
-bounds and chunk→sub-tile offsets arrive via scalar prefetch. Padding calls
-carry q = 1 → log(1) = 0, an exact no-op.
-
-Matmuls run at Precision.HIGHEST: default bf16 MXU rounding visibly
-perturbs the accumulated logits.
+stays small (important: this environment's remote Mosaic compile cost grows
+with grid size). Chunk bounds and chunk→sub-tile offsets arrive via scalar
+prefetch.
 
 Reference hot loop being replaced: demuxalot/demux.py:256-263.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +55,12 @@ LANE = 128
 # Mosaic compile service)
 MAX_CHUNKS_PER_SUPER = 160
 
+# in-kernel matmul strategy: "f32x2" (two-word bf16 split, ~16 mantissa
+# bits, fastest accurate option), "highest" (full f32 emulation), or
+# "default" (single bf16 pass — NOT posterior-safe, for experiments only)
+KERNEL_PRECISION = os.environ.get("DEMUX_KERNEL_PRECISION", "f32x2").lower()
+_SPLIT_WORDS = {"default": 1, "f32x2": 2, "highest": 0}
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -52,24 +71,59 @@ def padded_pg(pg: int) -> int:
     return _round_up(pg, LANE)
 
 
+def sublane_pg(pg: int) -> int:
+    """Sublane-pad the pseudo-genotype axis (8-row granularity)."""
+    return _round_up(pg, 8)
+
+
+def dot_words(a, b, dims, n_words: int, split: str = "b"):
+    """dot_general where one operand is bf16-exact and the other is split.
+
+    The non-``split`` operand's entries must be exactly representable in
+    bf16 (0, 0.5, 1 …) so splitting the other into bf16 words (hi = bf16(x),
+    lo = bf16(x−hi), …) makes each DEFAULT-precision MXU pass exact up to
+    the f32 accumulator. ``dims`` = (a_contract, b_contract); output dims
+    follow dot_general (a-free then b-free). n_words=0 falls back to one
+    HIGHEST dot.
+    """
+    if n_words == 0:
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    total = None
+    remainder = a if split == "a" else b
+    for _ in range(n_words):
+        word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
+        remainder = remainder - word
+        lhs, rhs = (word, b) if split == "a" else (a, word)
+        part = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        total = part if total is None else total + part
+    return total
+
+
 def _likelihood_kernel(
     bounds_ref,  # SMEM scalar prefetch [n_super + 1]: chunk ranges per super-tile
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: sub-tile index within super-tile
-    gt_hbm,  # ANY [D, n_chunks*TC] gathered genotype probs (call-major lanes)
+    u_hbm,  # ANY [D, n_chunks*TC] pre-folded log arguments (call-major lanes)
     cbl_hbm,  # ANY [1, n_chunks*TC] local barcode index within sub-tile
-    q_hbm,  # ANY [1, n_chunks*TC]
-    mix_ref,  # VMEM [D, PGp]
+    mix_ref,  # VMEM [PG_sl, D] mixing with pseudogenotypes on sublanes
     pen_ref,  # VMEM [1, PGp]
     out_ref,  # VMEM [TBS, PGp] — this super-tile's logits
-    gt_buf,  # VMEM scratch [2, D, TC]
+    u_buf,  # VMEM scratch [2, D, TC]
     cbl_buf,  # VMEM scratch [2, 1, TC]
-    q_buf,  # VMEM scratch [2, 1, TC]
-    gt_sem,  # DMA sems [2]
+    u_sem,  # DMA sems [2]
     cbl_sem,
-    q_sem,
     *,
     tb: int,
     tc: int,
+    pg_sl: int,
+    n_words: int,
 ):
     s = pl.program_id(0)
     lo = bounds_ref[s]
@@ -79,9 +133,8 @@ def _likelihood_kernel(
     def dmas(slot, ci):
         base = (lo + ci) * tc
         return (
-            pltpu.make_async_copy(gt_hbm.at[:, pl.ds(base, tc)], gt_buf.at[slot], gt_sem.at[slot]),
+            pltpu.make_async_copy(u_hbm.at[:, pl.ds(base, tc)], u_buf.at[slot], u_sem.at[slot]),
             pltpu.make_async_copy(cbl_hbm.at[:, pl.ds(base, tc)], cbl_buf.at[slot], cbl_sem.at[slot]),
-            pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
         )
 
     out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
@@ -103,27 +156,18 @@ def _likelihood_kernel(
         for d in dmas(slot, ci):
             d.wait()
 
-        # doublet expansion on the MXU: contract the donor axis of both
-        # operands ([TC, D] · [D, PGp] with calls on lanes)
-        p = jax.lax.dot_general(
-            gt_buf[slot], mix_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TC, PGp]
-        q = q_buf[slot][0, :]
-        vals = jnp.log(p * (1.0 - q)[:, None] + jnp.maximum(q, 1e-4)[:, None])
+        # doublet expansion on the MXU with the log laid out
+        # pseudogenotypes-on-sublanes — no 128-lane padding on the log
+        args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)  # [PG_sl, TC]
+        vals = jnp.log(args)
 
         cbl = cbl_buf[slot][0, :]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
         onehot = (row_ids == cbl[None, :]).astype(jnp.float32)  # [TB, TC]
-        contribution = jnp.dot(
-            onehot, vals, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        contribution = dot_words(onehot, vals, ((1,), (1,)), n_words)  # [TB, PG_sl]
 
         off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
-        out_ref[pl.ds(off, tb), :] += contribution
+        out_ref[pl.ds(off, tb), :pg_sl] += contribution
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -131,7 +175,7 @@ def _likelihood_kernel(
 
 def tiled_logits_impl(
     genotype_prob,  # f32 [V, D]
-    mixing_p,  # f32 [D, PGp] (lane-padded)
+    mixing_sl,  # f32 [PG_sl, Dp] (pseudogenotypes on sublanes, donors 8-padded)
     penalties_p,  # f32 [1, PGp]
     vid,  # i32 [n_chunks * TC]
     cb_local,  # i32 [1, n_chunks * TC]
@@ -144,20 +188,20 @@ def tiled_logits_impl(
     tb: int,
     tc: int,
     interpret: bool = False,
+    n_words: int | None = None,
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
+    if n_words is None:
+        n_words = _SPLIT_WORDS[KERNEL_PRECISION]
+    pg_sl, d_pad = mixing_sl.shape
+    pgp = penalties_p.shape[1]
     d = genotype_prob.shape[1]
-    pgp = mixing_p.shape[1]
-    # XLA gather feeds the kernel with the big call axis on lanes
-    # (column-gather form: equivalent to `gp[vid].T`, fuses better)
+    # XLA side: column gather fused with the fold; padding donors to the
+    # 8-sublane granularity Mosaic DMAs need (zero mixing columns null them)
     gathered_t = genotype_prob.T[:, vid]  # [D, n_chunks*TC]
-    # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
-    # with zero rows (zero prob x zero mixing row contributes nothing)
-    d_pad = _round_up(d, 8)
     if d_pad != d:
         gathered_t = jnp.pad(gathered_t, ((0, d_pad - d), (0, 0)))
-        mixing_p = jnp.pad(mixing_p, ((0, d_pad - d), (0, 0)))
-    d = d_pad
+    u = gathered_t * (1.0 - q) + jnp.maximum(q, 1e-4)  # [Dp, N]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -165,41 +209,49 @@ def tiled_logits_impl(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((d, pgp), lambda s, *_: (0, 0)),
+            pl.BlockSpec((pg_sl, d_pad), lambda s, *_: (0, 0)),
             pl.BlockSpec((1, pgp), lambda s, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tbs, pgp), lambda s, *_: (s, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, d, tc), jnp.float32),
+            pltpu.VMEM((2, d_pad, tc), jnp.float32),
             pltpu.VMEM((2, 1, tc), jnp.int32),
-            pltpu.VMEM((2, 1, tc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = functools.partial(_likelihood_kernel, tb=tb, tc=tc)
+    kernel = functools.partial(
+        _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words
+    )
     n_chunks = chunk_suboff.shape[0]
-    flops_per_chunk = 2 * tc * d * pgp + 2 * tb * tc * pgp
+    passes = max(n_words, 1)
+    flops_per_chunk = (2 * tc * d_pad * pg_sl + 2 * tb * tc * pg_sl) * passes
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * tbs, pgp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=n_chunks * flops_per_chunk,
-            bytes_accessed=gathered_t.size * 4 + n_super * tbs * pgp * 4,
-            transcendentals=n_chunks * tc * pgp,
+            bytes_accessed=u.size * 4 + n_super * tbs * pgp * 4,
+            transcendentals=n_chunks * tc * pg_sl,
         ),
         interpret=interpret,
-    )(chunk_bounds, chunk_suboff, gathered_t, cb_local, q, mixing_p, penalties_p)
+    )(chunk_bounds, chunk_suboff, u, cb_local, mixing_sl, penalties_p)
     return out
 
 
 _tiled_logits = functools.partial(
-    jax.jit, static_argnames=("n_super", "tbs", "tb", "tc", "interpret")
+    jax.jit, static_argnames=("n_super", "tbs", "tb", "tc", "interpret", "n_words")
 )(tiled_logits_impl)
+
+
+def build_mixing_sl(mixing: np.ndarray) -> np.ndarray:
+    """Mixing transposed to [PG_sl, Dp]: pseudogenotypes on sublanes."""
+    d, pg = mixing.shape
+    out = np.zeros((sublane_pg(pg), _round_up(d, 8)), dtype=np.float32)
+    out[:pg, :d] = mixing.T
+    return out
 
 
 class TiledDeviceCalls:
@@ -218,8 +270,6 @@ class TiledDeviceCalls:
     ):
         pg = mixing.shape[1]
         pgp = padded_pg(pg)
-        mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
-        mixing_p[:, :pg] = mixing
         penalties_p = np.zeros((1, pgp), dtype=np.float32)
         penalties_p[0, :pg] = penalties
 
@@ -241,7 +291,7 @@ class TiledDeviceCalls:
         chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)
 
         self.n_pseudogenotypes = pg
-        self.mixing_p = jnp.asarray(mixing_p)
+        self.mixing_sl = jnp.asarray(build_mixing_sl(mixing))
         self.penalties_p = jnp.asarray(penalties_p)
         self.vid = jnp.asarray(tiled.vid)
         self.cb_local = jnp.asarray(tiled.cb_local)
@@ -261,7 +311,7 @@ class TiledDeviceCalls:
         interpret = interpret or jax.default_backend() != "tpu"
         out = _tiled_logits(
             genotype_prob,
-            self.mixing_p,
+            self.mixing_sl,
             self.penalties_p,
             self.vid,
             self.cb_local,

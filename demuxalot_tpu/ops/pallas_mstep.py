@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_likelihood import KERNEL_PRECISION, _SPLIT_WORDS, dot_words
+
 LANE = 128
 
 
@@ -50,6 +52,7 @@ def _mstep_kernel(
     tv: int,
     tc: int,
     power: float,
+    n_words: int,
 ):
     t = pl.program_id(0)
     lo = bounds_ref[t]
@@ -91,12 +94,9 @@ def _mstep_kernel(
         vl = vl_buf[slot][0, :]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, tc), 0)
         onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, TC]
-        out_ref[:] += jax.lax.dot_general(
-            w, onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # one-hot is bf16-exact; w carries the split words (see
+        # pallas_likelihood.dot_words for the precision strategy)
+        out_ref[:] += dot_words(w, onehot, ((1,), (1,)), n_words, split="a")
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -146,7 +146,10 @@ def tiled_mstep_impl(
         ],
     )
 
-    kernel = functools.partial(_mstep_kernel, tv=tv, tc=tc, power=contribution_power)
+    kernel = functools.partial(
+        _mstep_kernel, tv=tv, tc=tc, power=contribution_power,
+        n_words=_SPLIT_WORDS[KERNEL_PRECISION],
+    )
     n_chunks = q.shape[1] // tc
     out = pl.pallas_call(
         kernel,

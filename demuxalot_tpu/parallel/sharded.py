@@ -65,10 +65,10 @@ def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
     st = sharded_tiled
     interpret = jax.default_backend() != "tpu"
 
-    def estep(betas, variant2snp, mixing_p, penalties_p, vid, cb_local, q, bounds, suboff):
+    def estep(betas, variant2snp, mixing_sl, penalties_p, vid, cb_local, q, bounds, suboff):
         genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
         out = tiled_logits_impl(
-            genotype_prob, mixing_p, penalties_p,
+            genotype_prob, mixing_sl, penalties_p,
             vid[0], cb_local[0], q[0], bounds[0], suboff[0],
             n_super=st.n_super, tbs=st.tbs, tb=st.tile_barcodes, tc=st.chunk_calls,
             interpret=interpret,
@@ -246,8 +246,8 @@ class ShardedDemultiplexer:
                     chunk_floor + per_shard // self.pallas_tile_barcodes if multi else 0
                 ),
             )
-            mixing_p = np.zeros((mixing.shape[0], pgp), dtype=np.float32)
-            mixing_p[:, :pg] = mixing
+            from ..ops.pallas_likelihood import build_mixing_sl
+
             penalties_p = np.zeros((1, pgp), dtype=np.float32)
             penalties_p[0, :pg] = penalties
             arrays.update(
@@ -258,7 +258,7 @@ class ShardedDemultiplexer:
                 pallas_suboff=put_stacked(tiled.chunk_suboff),
             )
             rep = jax.sharding.NamedSharding(self.mesh, PSpec())
-            arrays["pallas_mixing_p"] = put_global(mixing_p, rep)
+            arrays["pallas_mixing_sl"] = put_global(build_mixing_sl(mixing), rep)
             arrays["pallas_penalties_p"] = put_global(penalties_p, rep)
 
         if self._resolve_use_pallas() and n_variants is not None:
@@ -304,7 +304,7 @@ class ShardedDemultiplexer:
                 _build_estep_pallas(self.mesh, n_snps, p_genotype_clip, tiled, pg)
             )
             args = (
-                arrays["pallas_mixing_p"], arrays["pallas_penalties_p"],
+                arrays["pallas_mixing_sl"], arrays["pallas_penalties_p"],
                 arrays["pallas_vid"], arrays["pallas_cbl"], arrays["pallas_q"],
                 arrays["pallas_bounds"], arrays["pallas_suboff"],
             )
