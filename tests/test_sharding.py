@@ -123,3 +123,80 @@ def test_sharded_scan_path(small_problem):
         sharded.call_chunk = type(sharded).call_chunk
     np.testing.assert_allclose(probs8.values, probs1.values, atol=1e-4)
     np.testing.assert_allclose(learnt8.variant_betas, learnt1.variant_betas, rtol=1e-4, atol=1e-2)
+
+
+def test_put_row_shards_assembles_global_array():
+    """Per-process row blocks assemble into the right global sharded array."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from demuxalot_tpu.parallel.mesh import make_mesh, put_row_shards
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    shd = NamedSharding(mesh, PartitionSpec("barcodes"))
+    blocks = {k: np.full((3, 4), k, dtype=np.float32) for k in range(n)}
+    out = put_row_shards({k: b for k, b in blocks.items()}, shd, (3 * n, 4))
+    expected = np.concatenate([blocks[k] for k in range(n)])
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+    # flat 1-D layout
+    flat_blocks = {k: np.arange(5, dtype=np.int32) + 10 * k for k in range(n)}
+    out1 = put_row_shards(flat_blocks, shd, (5 * n,))
+    np.testing.assert_array_equal(
+        np.asarray(out1), np.concatenate([flat_blocks[k] for k in range(n)])
+    )
+
+
+def test_shard_subset_layouts_match_full():
+    """Building only a subset of shards yields the same rows as the full build."""
+    from demuxalot_tpu.ops import packing as P
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls_sharded
+
+    rng = np.random.RandomState(3)
+    n_calls, n_barcodes, n_shards = 5000, 256, 4
+    cb = np.sort(rng.randint(0, n_barcodes, n_calls)).astype(np.int32)
+    vid = rng.randint(0, 500, n_calls).astype(np.int32)
+    q = rng.uniform(1e-4, 0.5, n_calls).astype(np.float32)
+
+    full = tile_barcode_calls_sharded(cb, vid, q, n_barcodes, n_shards=n_shards)
+    subset = tile_barcode_calls_sharded(
+        cb, vid, q, n_barcodes, n_shards=n_shards,
+        shard_ids=[1, 3], n_chunks_floor=full.n_chunks,
+    )
+    assert subset.n_chunks == full.n_chunks
+    np.testing.assert_array_equal(subset.vid[0], full.vid[1])
+    np.testing.assert_array_equal(subset.vid[1], full.vid[3])
+    np.testing.assert_array_equal(subset.q[1], full.q[3])
+    np.testing.assert_array_equal(subset.chunk_bounds[0], full.chunk_bounds[1])
+
+    rec = np.recarray(n_calls, dtype=P.BARCODE_CALLS_DTYPE)
+    rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
+    dev_full = P.device_pack_barcode_calls(rec, n_barcodes, n_shards=n_shards, pad_multiple=8)
+    dev_sub = P.device_pack_barcode_calls(
+        rec, n_barcodes, n_shards=n_shards, pad_multiple=8,
+        shard_ids=[2], per_shard_calls_floor=dev_full.per_shard_calls,
+    )
+    w = dev_full.per_shard_calls
+    np.testing.assert_array_equal(dev_sub.vid_b, dev_full.vid_b[2 * w : 3 * w])
+    np.testing.assert_array_equal(dev_sub.q_v, dev_full.q_v[2 * w : 3 * w])
+
+
+def test_dot_words_split_accuracy():
+    """Two-word bf16 split against an exact operand is ~f32-accurate."""
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.ops.pallas_likelihood import dot_words
+
+    rng = np.random.RandomState(0)
+    exact = rng.choice([0.0, 0.5, 1.0], size=(48, 16)).astype(np.float32)
+    dense = rng.uniform(1e-4, 1.0, size=(16, 256)).astype(np.float32)
+    want = exact.astype(np.float64) @ dense.astype(np.float64)
+    got = np.asarray(dot_words(jnp.asarray(exact), jnp.asarray(dense), ((1,), (0,)), 2))
+    assert np.max(np.abs(got - want) / (1e-9 + np.abs(want))) < 1e-5
+
+    # split side may also be the left operand
+    got_a = np.asarray(
+        dot_words(jnp.asarray(dense.T), jnp.asarray(exact.T), ((1,), (0,)), 2, split="a")
+    )
+    np.testing.assert_allclose(got_a, want.T, rtol=1e-5, atol=1e-6)
