@@ -39,9 +39,13 @@ _PRECISION_BY_NAME = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
-MATMUL_PRECISION = _PRECISION_BY_NAME[
-    os.environ.get("DEMUX_MATMUL_PRECISION", "high").lower()
-]
+_MATMUL_PRECISION_NAME = os.environ.get("DEMUX_MATMUL_PRECISION", "high").lower()
+if _MATMUL_PRECISION_NAME not in _PRECISION_BY_NAME:
+    raise ValueError(
+        f"DEMUX_MATMUL_PRECISION={_MATMUL_PRECISION_NAME!r} is not one of "
+        f"{sorted(_PRECISION_BY_NAME)}"
+    )
+MATMUL_PRECISION = _PRECISION_BY_NAME[_MATMUL_PRECISION_NAME]
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +125,34 @@ def _pad_chunks(n: int, chunk: int) -> int:
     return -(-n // chunk)
 
 
+def _accumulate_in_chunks(init, arrays, pad_values, call_chunk, contribution):
+    """Sum ``contribution(*chunk)`` over fixed-size chunks of the call arrays.
+
+    The single scaffolding for every chunked call reduction: bounds the
+    materialized [chunk, n_pseudogenotypes] intermediate via a lax.scan,
+    padding each array with its designated no-op value (see the module
+    invariant: padding must contribute exactly zero).
+    """
+    (n_calls,) = arrays[0].shape
+    if n_calls == 0:
+        return init
+    if n_calls <= call_chunk:
+        return init + contribution(*arrays)
+
+    n_chunks = _pad_chunks(n_calls, call_chunk)
+    pad = n_chunks * call_chunk - n_calls
+    chunks = tuple(
+        jnp.pad(array, (0, pad), constant_values=fill).reshape(n_chunks, call_chunk)
+        for array, fill in zip(arrays, pad_values)
+    )
+
+    def body(acc, chunk):
+        return acc + contribution(*chunk), None
+
+    acc, _ = jax.lax.scan(body, init, chunks)
+    return acc
+
+
 def barcode_logits(
     genotype_prob: jnp.ndarray,  # f32 [n_variants, n_donors]
     mixing: jnp.ndarray,  # f32 [n_donors, n_pseudogenotypes]
@@ -137,33 +169,17 @@ def barcode_logits(
     [chunk, n_pseudogenotypes] intermediate; each chunk contributes via a
     sorted segment-sum. Padding calls (q=1) contribute log(1) = 0 exactly.
     """
-    (n_calls,) = variant_id.shape
     n_pg = mixing.shape[1]
     logits0 = jnp.zeros((n_barcodes, n_pg), jnp.float32) + penalties[None, :]
-
-    if n_calls == 0:
-        return logits0
-
-    if n_calls <= call_chunk:
-        return logits0 + _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes)
-
-    n_chunks = _pad_chunks(n_calls, call_chunk)
-    pad = n_chunks * call_chunk - n_calls
-    variant_id = jnp.pad(variant_id, (0, pad))
-    cb = jnp.pad(cb, (0, pad))
-    q = jnp.pad(q, (0, pad), constant_values=1.0)
-
-    def body(logits, chunk):
-        vid_c, cb_c, q_c = chunk
-        return logits + _chunk_contribution(genotype_prob, mixing, vid_c, cb_c, q_c, n_barcodes), None
-
-    chunks = (
-        variant_id.reshape(n_chunks, call_chunk),
-        cb.reshape(n_chunks, call_chunk),
-        q.reshape(n_chunks, call_chunk),
+    return _accumulate_in_chunks(
+        logits0,
+        (variant_id, cb, q),
+        (0, 0, 1.0),  # padding calls: q = 1 -> log(1) = 0
+        call_chunk,
+        lambda vid_c, cb_c, q_c: _chunk_contribution(
+            genotype_prob, mixing, vid_c, cb_c, q_c, n_barcodes
+        ),
     )
-    logits, _ = jax.lax.scan(body, logits0, chunks)
-    return logits
 
 
 def _chunk_contribution(genotype_prob, mixing, variant_id, cb, q, n_barcodes):
@@ -211,24 +227,13 @@ def snp_aggregated_logits(
         vals = jnp.log(p + q_c[:, None])
         return jax.ops.segment_sum(vals, grp_c, num_segments=n_groups, indices_are_sorted=True)
 
-    (n_calls,) = variant_id.shape
-    if n_calls <= call_chunk:
-        group_logits = chunk_group_sums(variant_id, q, group_of_call)
-    else:
-        n_chunks = _pad_chunks(n_calls, call_chunk)
-        pad = n_chunks * call_chunk - n_calls
-        chunks = (
-            jnp.pad(variant_id, (0, pad)).reshape(n_chunks, call_chunk),
-            jnp.pad(q, (0, pad)).reshape(n_chunks, call_chunk),
-            jnp.pad(group_of_call, (0, pad), constant_values=n_groups).reshape(n_chunks, call_chunk),
-        )
-
-        def body(acc, chunk):
-            return acc + chunk_group_sums(*chunk), None
-
-        group_logits, _ = jax.lax.scan(
-            body, jnp.zeros((n_groups, n_pg), jnp.float32), chunks
-        )
+    group_logits = _accumulate_in_chunks(
+        jnp.zeros((n_groups, n_pg), jnp.float32),
+        (variant_id, q, group_of_call),
+        (0, 0, n_groups),  # padding calls: out-of-range group -> dropped
+        call_chunk,
+        chunk_group_sums,
+    )
 
     group_logits = group_logits / jnp.maximum(group_molecules, 1.0)[:, None] ** compensation
     group_logits = jax.nn.log_softmax(group_logits, axis=1)
@@ -257,7 +262,6 @@ def genotype_addition_from_posteriors(
     contribute zero; the power is applied under a mask so it also holds for
     power ≤ 0.
     """
-    (n_calls,) = variant_id.shape
     singlet_posterior = posterior[:, :n_genotypes]
 
     def chunk_stats(vid_c, cb_c, q_c):
@@ -265,23 +269,10 @@ def genotype_addition_from_posteriors(
         contrib = jnp.where(q_c[:, None] >= 1.0, 0.0, w**contribution_power)
         return jax.ops.segment_sum(contrib, vid_c, num_segments=n_variants, indices_are_sorted=True)
 
-    if n_calls <= call_chunk:
-        return chunk_stats(variant_id, cb, q)
-
-    n_chunks = _pad_chunks(n_calls, call_chunk)
-    pad = n_chunks * call_chunk - n_calls
-    variant_id = jnp.pad(variant_id, (0, pad))
-    cb = jnp.pad(cb, (0, pad))
-    q = jnp.pad(q, (0, pad), constant_values=1.0)
-
-    def body(acc, chunk):
-        vid_c, cb_c, q_c = chunk
-        return acc + chunk_stats(vid_c, cb_c, q_c), None
-
-    chunks = (
-        variant_id.reshape(n_chunks, call_chunk),
-        cb.reshape(n_chunks, call_chunk),
-        q.reshape(n_chunks, call_chunk),
+    return _accumulate_in_chunks(
+        jnp.zeros((n_variants, n_genotypes), jnp.float32),
+        (variant_id, cb, q),
+        (0, 0, 1.0),  # padding calls: q = 1 -> weight 0
+        call_chunk,
+        chunk_stats,
     )
-    acc, _ = jax.lax.scan(body, jnp.zeros((n_variants, n_genotypes), jnp.float32), chunks)
-    return acc

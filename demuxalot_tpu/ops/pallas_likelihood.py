@@ -58,8 +58,13 @@ MAX_CHUNKS_PER_SUPER = 160
 # in-kernel matmul strategy: "f32x2" (two-word bf16 split, ~16 mantissa
 # bits, fastest accurate option), "highest" (full f32 emulation), or
 # "default" (single bf16 pass — NOT posterior-safe, for experiments only)
-KERNEL_PRECISION = os.environ.get("DEMUX_KERNEL_PRECISION", "f32x2").lower()
 _SPLIT_WORDS = {"default": 1, "f32x2": 2, "highest": 0}
+KERNEL_PRECISION = os.environ.get("DEMUX_KERNEL_PRECISION", "f32x2").lower()
+if KERNEL_PRECISION not in _SPLIT_WORDS:
+    raise ValueError(
+        f"DEMUX_KERNEL_PRECISION={KERNEL_PRECISION!r} is not one of "
+        f"{sorted(_SPLIT_WORDS)}"
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,9 +162,12 @@ def _likelihood_kernel(
             d.wait()
 
         # doublet expansion on the MXU with the log laid out
-        # pseudogenotypes-on-sublanes — no 128-lane padding on the log
+        # pseudogenotypes-on-sublanes — no 128-lane padding on the log.
+        # Real rows satisfy args >= 1e-4 (U >= q~, mixing columns sum to 1);
+        # the floor only catches the all-zero sublane-padding rows, whose
+        # log(0) = -inf would otherwise turn into NaN in the split words.
         args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)  # [PG_sl, TC]
-        vals = jnp.log(args)
+        vals = jnp.log(jnp.maximum(args, 1e-30))
 
         cbl = cbl_buf[slot][0, :]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)

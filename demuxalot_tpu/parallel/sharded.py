@@ -267,7 +267,9 @@ class ShardedDemultiplexer:
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             shard_of_call = cb // per_shard
-            tv = choose_tile_variants(max_calls_per_shard, n_variants)
+            tv = choose_tile_variants(
+                max_calls_per_shard, n_variants, chunk_calls=self.pallas_chunk_calls
+            )
             mlayout = ShardedMstepLayout(
                 cb_local=(cb - shard_of_call * per_shard).astype(np.int32),
                 vid=barcode_calls["variant_id"].astype(np.int32),
@@ -276,6 +278,7 @@ class ShardedDemultiplexer:
                 n_shards=self.n_shards,
                 n_variants=n_variants,
                 tile_variants=tv,
+                chunk_calls=self.pallas_chunk_calls,
                 shard_ids=my_shards,
                 # see the E-step layout note: agreed upper bound, multi-host only
                 n_chunks_floor=(chunk_floor + -(-n_variants // tv) if multi else 0),

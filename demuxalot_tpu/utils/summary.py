@@ -41,15 +41,14 @@ def summarize_counted_SNPs(snp_counts: Dict[str, "CompressedSNPCalls"], show_plo
     if show_plot:
         from matplotlib import pyplot as plt
 
-        observed = transcripts_per_slot > 0
-
         def clipped(values: np.ndarray, q: float = 99.5) -> np.ndarray:
             return np.minimum(values, np.percentile(values, q)) if len(values) else values
 
         _fig, axes = plt.subplots(ncols=2, figsize=[12, 5])
         for axis, values, label in zip(
             axes,
-            [calls_per_slot[observed], transcripts_per_slot[observed]],
+            # each panel shows only droplets that appear in its own metric
+            [calls_per_slot[calls_per_slot > 0], transcripts_per_slot[transcripts_per_slot > 0]],
             ["SNP calls per droplet", "transcripts per droplet"],
         ):
             axis.hist(clipped(values), bins=20, histtype="step")

@@ -7,6 +7,12 @@ Stages:
   3. EM-refine the genotypes while computing doublet-aware posteriors
   4. checkpoint the learnt betas for reuse in later runs
 """
+import sys
+from pathlib import Path
+
+# make the in-tree package importable when running straight from examples/
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from demuxalot_tpu import (
     BarcodeHandler,
     Demultiplexer,

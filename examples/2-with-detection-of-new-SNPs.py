@@ -6,6 +6,12 @@ scan the BAM for new donor-discriminative positions starting from a rough
 demultiplexing, merge the discovered positions back into the genotypes as
 zero-weight variants, then EM-refine everything together.
 """
+import sys
+from pathlib import Path
+
+# make the in-tree package importable when running straight from examples/
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from demuxalot_tpu import (
     BarcodeHandler,
     Demultiplexer,

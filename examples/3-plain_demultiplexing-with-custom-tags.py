@@ -6,6 +6,12 @@ filter to change tag names or thresholds while KEEPING the fast C++ scanner
 scanner). BD Rhapsody users can import ``frontend.bd_rhapsody.parse_read``
 which presets the 'MA' UMI tag.
 """
+import sys
+from pathlib import Path
+
+# make the in-tree package importable when running straight from examples/
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from functools import partial
 
 from demuxalot_tpu import (
