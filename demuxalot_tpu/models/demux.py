@@ -66,20 +66,40 @@ def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float):
 class _PallasLogits:
     """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
 
-    def __init__(self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls):
+    def __init__(
+        self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
+        n_variants: int = 0,
+    ):
         from ..ops.pallas_likelihood import TiledDeviceCalls
-        from ..ops.tiling import tile_barcode_calls
+        from ..ops.tiling import choose_n_bands, tile_barcode_calls, tile_barcode_calls_banded
 
         cb = barcode_calls["compressed_cb"].astype(np.int32)
         order = np.argsort(cb, kind="stable")
-        tiled = tile_barcode_calls(
+        args = (
             cb[order],
             barcode_calls["variant_id"].astype(np.int32)[order],
             barcode_calls["p_base_wrong"].astype(np.float32)[order],
             n_barcodes,
-            tile_barcodes=tile_barcodes,
-            chunk_calls=chunk_calls,
         )
+        n_bands = choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
+        if n_bands > 1:
+            # large genotype tables: band the variant axis so every per-band
+            # gather table stays under the fast-path size (DESIGN.md §7).
+            # Chunks shrink toward the mean per-(tile, band) call count so
+            # the extra per-band padding stays modest.
+            n_tiles = -(-n_barcodes // tile_barcodes)
+            mean_fill = len(cb) / max(n_tiles * n_bands, 1)
+            # nearest 128-multiple of ~mean+3sigma fill; overflow tiles just
+            # take one extra chunk
+            tc = int(np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls))
+            tiled = tile_barcode_calls_banded(
+                *args, n_variants=n_variants, n_bands=n_bands,
+                tile_barcodes=tile_barcodes, chunk_calls=tc,
+            )
+        else:
+            tiled = tile_barcode_calls(
+                *args, tile_barcodes=tile_barcodes, chunk_calls=chunk_calls
+            )
         self.device = TiledDeviceCalls(mixing, penalties, tiled)
 
     def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip):
@@ -216,6 +236,7 @@ class Demultiplexer:
             pallas_forward = _PallasLogits(
                 barcode_calls, n_barcodes, mixing, penalties,
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                n_variants=n_variants,
             )
             vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
             pallas_mstep = TiledMstepCalls(
@@ -342,6 +363,7 @@ class Demultiplexer:
             pallas_forward = _PallasLogits(
                 barcode_calls, n_barcodes, mixing, penalties,
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                n_variants=n_variants,
             )
             barcode_posterior_logits = np.asarray(
                 pallas_forward(

@@ -113,13 +113,13 @@ def dot_words(a, b, dims, n_words: int, split: str = "b"):
 
 
 def _likelihood_kernel(
-    bounds_ref,  # SMEM scalar prefetch [n_super + 1]: chunk ranges per super-tile
+    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: sub-tile index within super-tile
     u_hbm,  # ANY [D, n_chunks*TC] pre-folded log arguments (call-major lanes)
     cbl_hbm,  # ANY [1, n_chunks*TC] local barcode index within sub-tile
     mix_ref,  # VMEM [PG_sl, D] mixing with pseudogenotypes on sublanes
     pen_ref,  # VMEM [1, PGp]
-    out_ref,  # VMEM [TBS, PGp] — this super-tile's logits
+    out_ref,  # VMEM [TBS, PGp] — this super-tile's logits (resident across bands)
     u_buf,  # VMEM scratch [2, D, TC]
     cbl_buf,  # VMEM scratch [2, 1, TC]
     u_sem,  # DMA sems [2]
@@ -129,10 +129,13 @@ def _likelihood_kernel(
     tc: int,
     pg_sl: int,
     n_words: int,
+    n_super: int,
 ):
     s = pl.program_id(0)
-    lo = bounds_ref[s]
-    hi = bounds_ref[s + 1]
+    band = pl.program_id(1)  # iterates fastest: out block stays resident
+    at = band * (n_super + 1) + s
+    lo = bounds_ref[at]
+    hi = bounds_ref[at + 1]
     n = hi - lo
 
     def dmas(slot, ci):
@@ -142,7 +145,9 @@ def _likelihood_kernel(
             pltpu.make_async_copy(cbl_hbm.at[:, pl.ds(base, tc)], cbl_buf.at[slot], cbl_sem.at[slot]),
         )
 
-    out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
+    @pl.when(band == 0)
+    def _init():
+        out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
 
     @pl.when(n > 0)
     def _warmup():
@@ -185,42 +190,62 @@ def tiled_logits_impl(
     genotype_prob,  # f32 [V, D]
     mixing_sl,  # f32 [PG_sl, Dp] (pseudogenotypes on sublanes, donors 8-padded)
     penalties_p,  # f32 [1, PGp]
-    vid,  # i32 [n_chunks * TC]
+    vid,  # i32 [n_chunks * TC], band-LOCAL variant ids
     cb_local,  # i32 [1, n_chunks * TC]
     q,  # f32 [1, n_chunks * TC]
-    chunk_bounds,  # i32 [n_super + 1]
+    chunk_bounds,  # i32 [n_bands * (n_super + 1)]
     chunk_suboff,  # i32 [n_chunks]
     *,
     n_super: int,
     tbs: int,  # barcodes per super-tile (TB * subtiles_per_super)
     tb: int,
     tc: int,
+    band_specs: tuple = (),  # ((v_lo, v_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
     n_words: int | None = None,
 ):
-    """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
+    """Trace-time kernel invocation (jit-free; usable inside shard_map).
+
+    ``band_specs`` describes the variant bands of the layout (one full-range
+    band when empty): each band's calls are gathered against only its table
+    slice — keeping every gather table under the fast-path size
+    (docs/DESIGN.md §7) — and the kernel walks a (super_tile, band) grid
+    accumulating into the resident logits block.
+    """
     if n_words is None:
         n_words = _SPLIT_WORDS[KERNEL_PRECISION]
     pg_sl, d_pad = mixing_sl.shape
     pgp = penalties_p.shape[1]
     d = genotype_prob.shape[1]
-    # XLA side: column gather fused with the fold; padding donors to the
-    # 8-sublane granularity Mosaic DMAs need (zero mixing columns null them)
-    gathered_t = genotype_prob.T[:, vid]  # [D, n_chunks*TC]
+    n_chunks = chunk_suboff.shape[0]
+    if not band_specs:
+        band_specs = ((0, genotype_prob.shape[0], 0, n_chunks),)
+    n_bands = len(band_specs)
+
+    # XLA side: per-band column gathers fused with the fold; donor axis
+    # padded to the 8-sublane granularity Mosaic DMAs need (zero mixing
+    # columns null the extra rows)
+    u_parts = []
+    for v_lo, v_hi, c_lo, c_hi in band_specs:
+        table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=0).T
+        vid_k = jax.lax.slice_in_dim(vid, c_lo * tc, c_hi * tc, axis=0)
+        q_k = jax.lax.slice_in_dim(q, c_lo * tc, c_hi * tc, axis=1)
+        gathered = table_t[:, vid_k]  # [D, band_calls]
+        u_parts.append(gathered * (1.0 - q_k) + jnp.maximum(q_k, 1e-4))
+    u = u_parts[0] if n_bands == 1 else jnp.concatenate(u_parts, axis=1)
     if d_pad != d:
-        gathered_t = jnp.pad(gathered_t, ((0, d_pad - d), (0, 0)))
-    u = gathered_t * (1.0 - q) + jnp.maximum(q, 1e-4)  # [Dp, N]
+        u = jnp.pad(u, ((0, d_pad - d), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_super,),
+        grid=(n_super, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((pg_sl, d_pad), lambda s, *_: (0, 0)),
-            pl.BlockSpec((1, pgp), lambda s, *_: (0, 0)),
+            pl.BlockSpec((pg_sl, d_pad), lambda s, k, *_: (0, 0)),
+            pl.BlockSpec((1, pgp), lambda s, k, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tbs, pgp), lambda s, *_: (s, 0)),
+        out_specs=pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, tc), jnp.float32),
             pltpu.VMEM((2, 1, tc), jnp.int32),
@@ -230,9 +255,8 @@ def tiled_logits_impl(
     )
 
     kernel = functools.partial(
-        _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words
+        _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words, n_super=n_super
     )
-    n_chunks = chunk_suboff.shape[0]
     passes = max(n_words, 1)
     flops_per_chunk = (2 * tc * d_pad * pg_sl + 2 * tb * tc * pg_sl) * passes
     out = pl.pallas_call(
@@ -250,7 +274,8 @@ def tiled_logits_impl(
 
 
 _tiled_logits = functools.partial(
-    jax.jit, static_argnames=("n_super", "tbs", "tb", "tc", "interpret", "n_words")
+    jax.jit,
+    static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret", "n_words"),
 )(tiled_logits_impl)
 
 
@@ -273,31 +298,59 @@ class TiledDeviceCalls:
         self,
         mixing: np.ndarray,
         penalties: np.ndarray,
-        tiled: TiledCalls,
+        tiled,  # TiledCalls or BandedTiledCalls
         subtiles_per_super: int | None = None,
     ):
+        from .tiling import BandedTiledCalls
+
         pg = mixing.shape[1]
         pgp = padded_pg(pg)
         penalties_p = np.zeros((1, pgp), dtype=np.float32)
         penalties_p[0, :pg] = penalties
 
+        if isinstance(tiled, BandedTiledCalls):
+            band_chunk_offsets = tiled.band_chunk_offsets
+            band_edges = tiled.band_edges
+        else:
+            band_chunk_offsets = np.asarray([0, tiled.n_chunks], dtype=np.int64)
+            band_edges = None  # full range; resolved at call time
+        n_bands = len(band_chunk_offsets) - 1
+
         if subtiles_per_super is None:
             from .tiling import choose_subtiles_per_super
 
+            # budget per grid step applies within the largest band region
+            max_band_chunks = int(np.diff(band_chunk_offsets).max())
             subtiles_per_super = choose_subtiles_per_super(
-                tiled.n_tiles, tiled.n_chunks, tiled.tile_barcodes, pgp
+                tiled.n_tiles, max_band_chunks, tiled.tile_barcodes, pgp
             )
         self.subtiles_per_super = subtiles_per_super
         n_super = -(-tiled.n_tiles // subtiles_per_super)
 
-        # chunk ranges per super-tile + each chunk's sub-tile offset inside it
-        chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
-        tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
-        bounds = tile_starts[:: subtiles_per_super].tolist()
-        if bounds[-1] != tiled.n_chunks:
-            bounds.append(tiled.n_chunks)
+        # per band: chunk ranges per super-tile (chunks are band-major and
+        # tile-ordered within a band); plus each chunk's sub-tile offset
+        bounds = []
+        for k in range(n_bands):
+            c_lo, c_hi = int(band_chunk_offsets[k]), int(band_chunk_offsets[k + 1])
+            chunks_per_tile = np.bincount(
+                tiled.chunk2tile[c_lo:c_hi], minlength=tiled.n_tiles
+            )
+            tile_starts = c_lo + np.concatenate([[0], np.cumsum(chunks_per_tile)])
+            band_bounds = tile_starts[:: subtiles_per_super].tolist()
+            if len(band_bounds) < n_super + 1 or band_bounds[-1] != c_hi:
+                band_bounds = (band_bounds + [c_hi])[: n_super + 1]
+            assert len(band_bounds) == n_super + 1 and band_bounds[-1] == c_hi
+            bounds.extend(band_bounds)
         chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)
 
+        if band_edges is None:
+            self.band_specs = ()
+        else:
+            self.band_specs = tuple(
+                (int(band_edges[k]), int(band_edges[k + 1]),
+                 int(band_chunk_offsets[k]), int(band_chunk_offsets[k + 1]))
+                for k in range(n_bands)
+            )
         self.n_pseudogenotypes = pg
         self.mixing_sl = jnp.asarray(build_mixing_sl(mixing))
         self.penalties_p = jnp.asarray(penalties_p)
@@ -330,6 +383,7 @@ class TiledDeviceCalls:
             tbs=self.tbs,
             tb=self.tile_barcodes,
             tc=self.chunk_calls,
+            band_specs=self.band_specs,
             interpret=interpret,
         )
         return out[: self.n_barcodes, : self.n_pseudogenotypes]

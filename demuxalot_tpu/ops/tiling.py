@@ -77,6 +77,87 @@ def tile_barcode_calls(
     )
 
 
+@dataclass
+class BandedTiledCalls:
+    """Tiled calls split into variant *bands* for gather-friendly tables.
+
+    XLA's gather throughput cliffs once the genotype table outgrows ~16 MB
+    (docs/DESIGN.md §7). Banding partitions the variant axis into
+    ``n_bands`` contiguous ranges; each band's calls are laid out
+    band-major (band 0's chunks for every tile, then band 1's, …) so the
+    per-band gather runs against a small static table slice, while the
+    kernel walks a (super_tile, band) grid accumulating into the same
+    logits block. ``vid`` holds BAND-LOCAL variant ids; ``band_edges[k]``
+    is the first variant of band k.
+    """
+
+    vid: np.ndarray  # i32 [n_chunks * TC], local to the call's band
+    cb_local: np.ndarray  # i32 [1, n_chunks * TC]
+    q: np.ndarray  # f32 [1, n_chunks * TC]
+    chunk2tile: np.ndarray  # i32 [n_chunks]
+    band_chunk_offsets: np.ndarray  # i64 [n_bands + 1] chunk index of each band's region
+    band_edges: np.ndarray  # i64 [n_bands + 1] variant ranges
+    n_barcodes: int
+    n_tiles: int
+    tile_barcodes: int
+    chunk_calls: int
+    n_bands: int
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.chunk2tile)
+
+
+def tile_barcode_calls_banded(
+    cb_sorted: np.ndarray,
+    vid_sorted: np.ndarray,
+    q_sorted: np.ndarray,
+    n_barcodes: int,
+    n_variants: int,
+    n_bands: int,
+    tile_barcodes: int = 32,
+    chunk_calls: int = 512,
+) -> BandedTiledCalls:
+    """Band-major tiled layout; n_bands=1 degenerates to one full band."""
+    TB, TC = tile_barcodes, chunk_calls
+    edges = np.linspace(0, n_variants, n_bands + 1).astype(np.int64)
+    band_of_call = np.searchsorted(edges, vid_sorted, side="right") - 1
+    np.clip(band_of_call, 0, n_bands - 1, out=band_of_call)
+
+    parts = []
+    for k in range(n_bands):
+        sel = band_of_call == k
+        parts.append(
+            tile_barcode_calls(
+                cb_sorted[sel], (vid_sorted[sel] - edges[k]).astype(np.int32),
+                q_sorted[sel], n_barcodes, tile_barcodes=TB, chunk_calls=TC,
+            )
+        )
+
+    band_chunk_offsets = np.concatenate(
+        [[0], np.cumsum([p.n_chunks for p in parts])]
+    ).astype(np.int64)
+    return BandedTiledCalls(
+        vid=np.concatenate([p.vid for p in parts]),
+        cb_local=np.concatenate([p.cb_local for p in parts], axis=1),
+        q=np.concatenate([p.q for p in parts], axis=1),
+        chunk2tile=np.concatenate([p.chunk2tile for p in parts]),
+        band_chunk_offsets=band_chunk_offsets,
+        band_edges=edges,
+        n_barcodes=n_barcodes,
+        n_tiles=parts[0].n_tiles,
+        tile_barcodes=TB,
+        chunk_calls=TC,
+        n_bands=n_bands,
+    )
+
+
+def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 12_000_000) -> int:
+    """Variant bands so each gather table slice stays under the fast-path size."""
+    table_bytes = n_variants * n_donors * 4
+    return max(1, -(-table_bytes // table_budget_bytes))
+
+
 def choose_subtiles_per_super(
     n_tiles: int,
     n_chunks: int,

@@ -129,3 +129,35 @@ def test_pallas_mstep_matches_oracle():
         )
         ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, power)
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_banded_layout_matches_unbanded():
+    """Variant-banded kernel layout == single-band result (interpret mode)."""
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.ops import likelihood as L
+    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls, tile_barcode_calls_banded
+
+    rng = np.random.RandomState(11)
+    n_variants, n_donors, n_barcodes, n_calls = 300, 6, 96, 4000
+    gp = jnp.asarray(rng.uniform(0.01, 0.99, size=(n_variants, n_donors)).astype(np.float32))
+    mixing, _ = L.pseudogenotype_mixing([f"D{i}" for i in range(n_donors)], 0.3)
+    pen = L.doublet_penalties(n_donors, 0.3)
+    cb = np.sort(rng.randint(0, n_barcodes, n_calls)).astype(np.int32)
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    q = rng.uniform(1e-4, 0.6, n_calls).astype(np.float32)
+
+    plain = TiledDeviceCalls(
+        mixing, pen, tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    )
+    banded = TiledDeviceCalls(
+        mixing, pen,
+        tile_barcode_calls_banded(
+            cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=4,
+            tile_barcodes=16, chunk_calls=128,
+        ),
+    )
+    a = np.asarray(plain.logits(gp, interpret=True))
+    b = np.asarray(banded.logits(gp, interpret=True))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
