@@ -238,12 +238,16 @@ class Demultiplexer:
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
                 n_variants=n_variants,
             )
+            from ..ops.pallas_mstep import choose_mstep_bands
+
             vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
             pallas_mstep = TiledMstepCalls(
                 barcode_calls["variant_id"].astype(np.int32)[vorder],
                 barcode_calls["compressed_cb"].astype(np.int32)[vorder],
                 barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
                 n_variants,
+                n_barcodes=n_barcodes,
+                n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
             )
         else:
             # flat dual-sort layout feeds the XLA segment-sum paths

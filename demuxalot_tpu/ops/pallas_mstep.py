@@ -37,11 +37,11 @@ LANE = 128
 
 
 def _mstep_kernel(
-    bounds_ref,  # SMEM scalar prefetch [n_tiles + 1]: chunk ranges per tile
+    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_tiles + 1)]: chunk ranges
     wt_hbm,  # ANY [D, n_chunks*TC] gathered singlet posteriors (call-major lanes)
     vl_hbm,  # ANY [1, n_chunks*TC] variant index within tile
     q_hbm,  # ANY [1, n_chunks*TC]
-    out_ref,  # VMEM [D, TV] — this tile's addition block (donor-major)
+    out_ref,  # VMEM [D, TV] — this tile's addition block (resident across bands)
     wt_buf,  # VMEM scratch [2, D, TC]
     vl_buf,  # VMEM scratch [2, 1, TC]
     q_buf,  # VMEM scratch [2, 1, TC]
@@ -53,10 +53,13 @@ def _mstep_kernel(
     tc: int,
     power: float,
     n_words: int,
+    n_tiles: int,
 ):
     t = pl.program_id(0)
-    lo = bounds_ref[t]
-    hi = bounds_ref[t + 1]
+    band = pl.program_id(1)  # fastest axis: the tile's block stays resident
+    at = band * (n_tiles + 1) + t
+    lo = bounds_ref[at]
+    hi = bounds_ref[at + 1]
     n = hi - lo
 
     def dmas(slot, ci):
@@ -67,7 +70,9 @@ def _mstep_kernel(
             pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
         )
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+    @pl.when(band == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
     @pl.when(n > 0)
     def _warmup():
@@ -104,23 +109,42 @@ def _mstep_kernel(
 
 def tiled_mstep_impl(
     posterior,  # f32 [n_barcodes(+pad), n_pseudogenotypes]
-    cb_global,  # i32 [n_chunks * TC] barcode per call (variant-sorted layout)
+    cb_global,  # i32 [n_chunks * TC] barcode per call, band-LOCAL when banded
     vl,  # i32 [1, n_chunks * TC] variant index within tile
     q,  # f32 [1, n_chunks * TC]
-    chunk_bounds,  # i32 [n_tiles + 1]
+    chunk_bounds,  # i32 [n_bands * (n_tiles + 1)]
     *,
     n_variants: int,
     n_genotypes: int,
     tv: int,
     tc: int,
     contribution_power: float,
+    band_specs: tuple = (),  # ((b_lo, b_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
 ):
-    """Trace-time kernel invocation (jit-free; usable inside shard_map)."""
-    n_tiles = chunk_bounds.shape[0] - 1
+    """Trace-time kernel invocation (jit-free; usable inside shard_map).
+
+    ``band_specs`` (optional) bands the BARCODE axis: each band's calls are
+    gathered against only its posterior slice, keeping the gather table
+    under the fast-path size (docs/DESIGN.md §7); the kernel walks a
+    (variant_tile, band) grid accumulating into the resident block.
+    """
+    n_chunks = q.shape[1] // tc
+    if not band_specs:
+        band_specs = ((0, posterior.shape[0], 0, n_chunks),)
+    n_bands = len(band_specs)
+    n_tiles = chunk_bounds.shape[0] // n_bands - 1
+
     # slice the singlet columns BEFORE gathering: XLA does not fuse the
-    # slice into the gather, and full-row gathering measured ~1000x slower
-    wt = posterior[:, :n_genotypes].T[:, cb_global]  # [D, n_chunks*TC]
+    # slice into the gather, and full-row gathering measured ~1000x slower.
+    # Band slices cut contiguous posterior ROWS before the transpose so the
+    # transpose-gather fusion pattern stays intact.
+    wt_parts = []
+    for b_lo, b_hi, c_lo, c_hi in band_specs:
+        table = jax.lax.slice_in_dim(posterior, b_lo, b_hi, axis=0)[:, :n_genotypes]
+        cb_k = jax.lax.slice_in_dim(cb_global, c_lo * tc, c_hi * tc, axis=0)
+        wt_parts.append(table.T[:, cb_k])
+    wt = wt_parts[0] if n_bands == 1 else jnp.concatenate(wt_parts, axis=1)
     # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
     # (zero posterior rows produce zero contributions)
     d = -(-n_genotypes // 8) * 8
@@ -129,13 +153,13 @@ def tiled_mstep_impl(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((d, tv), lambda t, *_: (0, t)),
+        out_specs=pl.BlockSpec((d, tv), lambda t, k, *_: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((2, d, tc), jnp.float32),
             pltpu.VMEM((2, 1, tc), jnp.int32),
@@ -148,9 +172,8 @@ def tiled_mstep_impl(
 
     kernel = functools.partial(
         _mstep_kernel, tv=tv, tc=tc, power=contribution_power,
-        n_words=_SPLIT_WORDS[KERNEL_PRECISION],
+        n_words=_SPLIT_WORDS[KERNEL_PRECISION], n_tiles=n_tiles,
     )
-    n_chunks = q.shape[1] // tc
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -167,7 +190,10 @@ def tiled_mstep_impl(
 
 _tiled_mstep = functools.partial(
     jax.jit,
-    static_argnames=("n_variants", "n_genotypes", "tv", "tc", "contribution_power", "interpret"),
+    static_argnames=(
+        "n_variants", "n_genotypes", "tv", "tc", "contribution_power",
+        "band_specs", "interpret",
+    ),
 )(tiled_mstep_impl)
 
 
@@ -247,8 +273,25 @@ class ShardedMstepLayout:
         self.n_chunks = n_chunks
 
 
+def choose_mstep_bands(n_barcodes: int, n_genotypes: int, table_budget_bytes: int = 24_000_000) -> int:
+    """Barcode bands so each posterior gather slice stays under the fast path.
+
+    Measured on v5e: a 16.8 MB posterior table (131k barcodes x 32 donors)
+    still gathers at full rate — the budget sits above that, so banding
+    only engages in the multi-hundred-k barcode regime where the cliff
+    (docs/DESIGN.md §7) actually applies.
+    """
+    return max(1, -(-(n_barcodes * n_genotypes * 4) // table_budget_bytes))
+
+
 class TiledMstepCalls:
-    """Host layout for the M-step kernel: calls tiled on the variant axis."""
+    """Host layout for the M-step kernel: calls tiled on the variant axis.
+
+    ``n_bands > 1`` additionally bands the BARCODE axis (mirror of the
+    E-step's variant banding, docs/DESIGN.md §7): calls are laid out
+    band-major with band-local barcode ids so every per-band posterior
+    gather runs against a small table slice.
+    """
 
     def __init__(
         self,
@@ -258,39 +301,64 @@ class TiledMstepCalls:
         n_variants: int,
         tile_variants: int = 0,
         chunk_calls: int = 512,
+        n_barcodes: int = 0,
+        n_bands: int = 1,
     ):
-        from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
         from .tiling import tile_barcode_calls
 
         if tile_variants <= 0:
-            # size variant tiles so no grid step spans too many chunks
-            n_chunks_est = max(1, -(-len(variant_sorted_vid) // chunk_calls))
-            n_tiles_target = max(1, -(-n_chunks_est // MAX_CHUNKS_PER_SUPER))
-            tile_variants = max(128, min(512, (n_variants // n_tiles_target) // 128 * 128))
+            tile_variants = choose_tile_variants(
+                len(variant_sorted_vid), n_variants, chunk_calls
+            )
+        if n_bands > 1:
+            assert n_barcodes > 0, "barcode banding needs n_barcodes"
+            # shrink chunks toward the mean per-(tile, band) fill
+            n_tiles = -(-n_variants // tile_variants)
+            mean_fill = len(variant_sorted_vid) / max(n_tiles * n_bands, 1)
+            chunk_calls = int(
+                np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls)
+            )
+        edges = np.linspace(0, max(n_barcodes, 1), n_bands + 1).astype(np.int64)
+        band_of_call = np.searchsorted(edges, variant_sorted_cb, side="right") - 1
+        np.clip(band_of_call, 0, n_bands - 1, out=band_of_call)
 
-        # reuse the segment-tiling machinery with variants as the segment axis;
-        # the "vid" payload slot carries the global barcode of each call
-        tiled = tile_barcode_calls(
-            variant_sorted_vid,
-            variant_sorted_cb,
-            variant_sorted_q,
-            n_variants,
-            tile_barcodes=tile_variants,
-            chunk_calls=chunk_calls,
-        )
-        chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
-        bounds = np.concatenate([[0], np.cumsum(chunks_per_tile)]).astype(np.int32)
+        parts = []
+        for k in range(n_bands):
+            sel = band_of_call == k
+            # selection preserves the variant sort; barcode ids go band-local
+            parts.append(
+                tile_barcode_calls(
+                    variant_sorted_vid[sel],
+                    (variant_sorted_cb[sel] - edges[k]).astype(np.int32),
+                    variant_sorted_q[sel],
+                    n_variants,
+                    tile_barcodes=tile_variants,
+                    chunk_calls=chunk_calls,
+                )
+            )
 
-        # host copies; uploaded lazily (and only once) on first use
-        self.cb_global = tiled.vid
-        self.vl = tiled.cb_local
-        self.q = tiled.q
-        self.chunk_bounds = bounds
+        bounds = []
+        band_specs = []
+        offset = 0
+        for k, tiled in enumerate(parts):
+            chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
+            bounds.append(offset + np.concatenate([[0], np.cumsum(chunks_per_tile)]))
+            band_specs.append((int(edges[k]), int(edges[k + 1]), offset, offset + tiled.n_chunks))
+            offset += tiled.n_chunks
+
+        # host copies; uploaded lazily (and only once) on first use.
+        # layout reuses the segment-tiling machinery with variants as the
+        # segment axis; the "vid" payload slot carries each call's barcode
+        self.cb_global = np.concatenate([t.vid for t in parts])
+        self.vl = np.concatenate([t.cb_local for t in parts], axis=1)
+        self.q = np.concatenate([t.q for t in parts], axis=1)
+        self.chunk_bounds = np.concatenate(bounds).astype(np.int32)
+        self.band_specs = tuple(band_specs) if n_bands > 1 else ()
         self._device_arrays = None
         self.n_variants = n_variants
         self.tile_variants = tile_variants
         self.chunk_calls = chunk_calls
-        self.n_chunks = tiled.n_chunks
+        self.n_chunks = offset
 
     def _device(self):
         if self._device_arrays is None:
@@ -313,5 +381,6 @@ class TiledMstepCalls:
             tv=self.tile_variants,
             tc=self.chunk_calls,
             contribution_power=contribution_power,
+            band_specs=self.band_specs,
             interpret=interpret,
         )

@@ -161,3 +161,29 @@ def test_banded_layout_matches_unbanded():
     a = np.asarray(plain.logits(gp, interpret=True))
     b = np.asarray(banded.logits(gp, interpret=True))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_mstep_barcode_banding_matches_unbanded():
+    """Barcode-banded M-step layout == single-band result (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
+
+    rng = np.random.RandomState(13)
+    n_variants, n_donors, n_barcodes, n_calls = 200, 6, 120, 3000
+    vid = np.sort(rng.randint(0, n_variants, n_calls)).astype(np.int32)
+    cb = rng.randint(0, n_barcodes, n_calls).astype(np.int32)
+    q = rng.uniform(1e-4, 0.6, n_calls).astype(np.float32)
+    posterior = jax.nn.softmax(
+        jnp.asarray(rng.randn(n_barcodes, n_donors + 3).astype(np.float32)), axis=1
+    )
+
+    plain = TiledMstepCalls(vid, cb, q, n_variants, tile_variants=128, chunk_calls=128)
+    banded = TiledMstepCalls(
+        vid, cb, q, n_variants, tile_variants=128, chunk_calls=128,
+        n_barcodes=n_barcodes, n_bands=3,
+    )
+    a = np.asarray(plain.addition(posterior, n_donors, 2.0, interpret=True))
+    b = np.asarray(banded.addition(posterior, n_donors, 2.0, interpret=True))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
