@@ -338,7 +338,7 @@ class TiledDeviceCalls:
             tile_starts = c_lo + np.concatenate([[0], np.cumsum(chunks_per_tile)])
             band_bounds = tile_starts[:: subtiles_per_super].tolist()
             if len(band_bounds) < n_super + 1 or band_bounds[-1] != c_hi:
-                band_bounds = (band_bounds + [c_hi])[: n_super + 1]
+                band_bounds = (band_bounds + [c_hi] * (n_super + 1))[: n_super + 1]
             assert len(band_bounds) == n_super + 1 and band_bounds[-1] == c_hi
             bounds.extend(band_bounds)
         chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)

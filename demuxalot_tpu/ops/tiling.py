@@ -186,12 +186,17 @@ class ShardedTiledCalls:
     :func:`tile_barcode_calls` with chunk counts padded to the max across
     shards (padding chunks attach to the last super-tile and carry q=1, an
     exact no-op), so every shard runs the same kernel shape under shard_map.
+
+    With ``n_bands > 1`` each shard's layout is variant-banded
+    (:class:`BandedTiledCalls`); every band region is padded to the same
+    chunk width on every shard so the per-band gather slices
+    (``band_specs``) stay static under shard_map.
     """
 
     vid: np.ndarray  # i32 [S, n_chunks * TC]
     cb_local: np.ndarray  # i32 [S, 1, n_chunks * TC]
     q: np.ndarray  # f32 [S, 1, n_chunks * TC]
-    chunk_bounds: np.ndarray  # i32 [S, n_super + 1]
+    chunk_bounds: np.ndarray  # i32 [S, n_bands * (n_super + 1)]
     chunk_suboff: np.ndarray  # i32 [S, n_chunks]
     n_barcodes: int
     n_barcodes_per_shard: int
@@ -201,6 +206,7 @@ class ShardedTiledCalls:
     tile_barcodes: int
     chunk_calls: int
     n_chunks: int
+    band_specs: tuple = ()  # static ((v_lo, v_hi, c_lo, c_hi), ...) or () = 1 band
 
 
 def tile_barcode_calls_sharded(
@@ -217,13 +223,18 @@ def tile_barcode_calls_sharded(
     barcodes_per_shard: int = 0,
     shard_ids=None,
     n_chunks_floor: int = 0,
+    n_variants: int = 0,
+    n_bands: int = 1,
+    band_width_floor: int = 0,
 ) -> ShardedTiledCalls:
     """Shard barcode-sorted calls by barcode range, tiling each shard.
 
     ``shard_ids`` limits array building to those shards (stacked in the
     given order) — multi-host callers pass their local shard positions and
-    force a cross-process-agreed ``n_chunks_floor`` so static kernel dims
-    match on every process.
+    force a cross-process-agreed ``n_chunks_floor`` (or, when banded,
+    ``band_width_floor``) so static kernel dims match on every process.
+    ``n_bands > 1`` variant-bands every shard's layout (gather fast path,
+    docs/DESIGN.md §7) with identical band chunk regions on every shard.
     """
     TB, TC = tile_barcodes, chunk_calls
     if barcodes_per_shard <= 0:
@@ -236,6 +247,16 @@ def tile_barcode_calls_sharded(
 
     shard_of_call = cb_sorted // per_shard_b
     shard_bounds = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
+
+    if n_bands > 1:
+        return _sharded_banded(
+            cb_sorted, vid_sorted, q_sorted, shard_bounds, shard_ids,
+            n_barcodes=n_barcodes, per_shard_b=per_shard_b, n_shards=n_shards,
+            n_tiles=n_tiles, n_variants=n_variants, n_bands=n_bands, TB=TB, TC=TC,
+            subtiles_per_super=subtiles_per_super, pgp=pgp,
+            max_super_rows_bytes=max_super_rows_bytes,
+            band_width_floor=band_width_floor,
+        )
 
     per_shard = []
     for s in shard_ids:
@@ -292,4 +313,85 @@ def tile_barcode_calls_sharded(
         tile_barcodes=TB,
         chunk_calls=TC,
         n_chunks=n_chunks,
+    )
+
+
+def _sharded_banded(
+    cb_sorted, vid_sorted, q_sorted, shard_bounds, shard_ids, *,
+    n_barcodes, per_shard_b, n_shards, n_tiles, n_variants, n_bands, TB, TC,
+    subtiles_per_super, pgp, max_super_rows_bytes, band_width_floor,
+):
+    """Banded variant of the sharded layout: equal band regions per shard."""
+    per_shard = []
+    for s in shard_ids:
+        lo, hi = shard_bounds[s], shard_bounds[s + 1]
+        per_shard.append(
+            tile_barcode_calls_banded(
+                cb_sorted[lo:hi] - s * per_shard_b,
+                vid_sorted[lo:hi],
+                q_sorted[lo:hi],
+                per_shard_b,
+                n_variants=n_variants,
+                n_bands=n_bands,
+                tile_barcodes=TB,
+                chunk_calls=TC,
+            )
+        )
+
+    # every band region padded to one width agreed across shards (and, for
+    # multi-host, across processes via band_width_floor)
+    width = band_width_floor
+    for t in per_shard:
+        width = max(width, int(np.diff(t.band_chunk_offsets).max()))
+    n_chunks = width * n_bands
+
+    if subtiles_per_super <= 0:
+        subtiles_per_super = choose_subtiles_per_super(
+            n_tiles, width, TB, pgp, max_super_rows_bytes
+        )
+    n_super = -(-n_tiles // subtiles_per_super)
+    tbs = TB * subtiles_per_super
+    n_blocks = len(per_shard)
+    vid = np.zeros((n_blocks, n_chunks * TC), np.int32)
+    cb_local = np.zeros((n_blocks, 1, n_chunks * TC), np.int32)
+    q = np.ones((n_blocks, 1, n_chunks * TC), np.float32)
+    chunk_bounds = np.zeros((n_blocks, n_bands * (n_super + 1)), np.int32)
+    chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
+
+    for i, t in enumerate(per_shard):
+        for k in range(n_bands):
+            c_lo = int(t.band_chunk_offsets[k])
+            c_hi = int(t.band_chunk_offsets[k + 1])
+            m = c_hi - c_lo
+            dst = k * width
+            vid[i, dst * TC : (dst + m) * TC] = t.vid[c_lo * TC : c_hi * TC]
+            cb_local[i, 0, dst * TC : (dst + m) * TC] = t.cb_local[0, c_lo * TC : c_hi * TC]
+            q[i, 0, dst * TC : (dst + m) * TC] = t.q[0, c_lo * TC : c_hi * TC]
+            chunks_per_tile = np.bincount(t.chunk2tile[c_lo:c_hi], minlength=n_tiles)
+            starts = dst + np.concatenate([[0], np.cumsum(chunks_per_tile)])
+            bounds = starts[::subtiles_per_super].tolist()
+            if len(bounds) < n_super + 1 or bounds[-1] != dst + m:
+                bounds = (bounds + [dst + m] * (n_super + 1))[: n_super + 1]
+            # padding chunks attach to the band's last super-tile (q=1 no-ops)
+            bounds[-1] = dst + width
+            chunk_bounds[i, k * (n_super + 1) : (k + 1) * (n_super + 1)] = bounds
+            chunk_suboff[i, dst : dst + m] = t.chunk2tile[c_lo:c_hi] % subtiles_per_super
+
+    edges = per_shard[0].band_edges
+    band_specs = tuple(
+        (int(edges[k]), int(edges[k + 1]), k * width, (k + 1) * width)
+        for k in range(n_bands)
+    )
+    return ShardedTiledCalls(
+        vid=vid, cb_local=cb_local, q=q,
+        chunk_bounds=chunk_bounds, chunk_suboff=chunk_suboff,
+        n_barcodes=n_barcodes,
+        n_barcodes_per_shard=per_shard_b,
+        n_shards=n_shards,
+        n_super=n_super,
+        tbs=tbs,
+        tile_barcodes=TB,
+        chunk_calls=TC,
+        n_chunks=n_chunks,
+        band_specs=band_specs,
     )

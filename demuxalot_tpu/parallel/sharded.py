@@ -71,6 +71,7 @@ def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
             genotype_prob, mixing_sl, penalties_p,
             vid[0], cb_local[0], q[0], bounds[0], suboff[0],
             n_super=st.n_super, tbs=st.tbs, tb=st.tile_barcodes, tc=st.chunk_calls,
+            band_specs=st.band_specs,
             interpret=interpret,
         )
         logits = out[: st.n_barcodes_per_shard, :pg]
@@ -165,7 +166,8 @@ class ShardedDemultiplexer:
             return list(range(self.n_shards))
         return local_shard_ids(self.mesh)
 
-    def _shard_inputs(self, barcode_calls, n_barcodes, mixing=None, penalties=None, n_variants=None):
+    def _shard_inputs(self, barcode_calls, n_barcodes, mixing=None, penalties=None, n_variants=None,
+                      build_mstep=None):
         """Build and place the per-shard device layouts.
 
         Multi-host safe and host-memory local: each process keeps only the
@@ -178,6 +180,8 @@ class ShardedDemultiplexer:
         use_pallas = self._resolve_use_pallas() and mixing is not None
         my_shards = self._local_shard_ids()
         multi = jax.process_count() > 1
+        if build_mstep is None:
+            build_mstep = n_variants is not None
 
         if multi:
             # keep only the rows this process's shards own
@@ -222,12 +226,16 @@ class ShardedDemultiplexer:
         tiled = None
         if use_pallas:
             from ..ops.pallas_likelihood import padded_pg
-            from ..ops.tiling import tile_barcode_calls_sharded
+            from ..ops.tiling import choose_n_bands, tile_barcode_calls_sharded
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             order = np.argsort(cb, kind="stable")
             pg = mixing.shape[1]
             pgp = padded_pg(pg)
+            n_bands = (
+                choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
+            )
+            n_tiles_per_shard = per_shard // self.pallas_tile_barcodes
             tiled = tile_barcode_calls_sharded(
                 cb[order],
                 barcode_calls["variant_id"].astype(np.int32)[order],
@@ -239,12 +247,13 @@ class ShardedDemultiplexer:
                 pgp=pgp,
                 barcodes_per_shard=per_shard,
                 shard_ids=my_shards,
-                # multi-host: a consistent upper bound (each of the shard's
-                # tiles can round one chunk up) replaces the cross-shard max
+                # multi-host: consistent upper bounds (each of the shard's
+                # tiles can round one chunk up) replace the cross-shard max
                 # no single process can see; single-host keeps the exact max
-                n_chunks_floor=(
-                    chunk_floor + per_shard // self.pallas_tile_barcodes if multi else 0
-                ),
+                n_chunks_floor=(chunk_floor + n_tiles_per_shard if multi else 0),
+                n_variants=n_variants or 0,
+                n_bands=n_bands,
+                band_width_floor=(chunk_floor + n_tiles_per_shard if multi else 0),
             )
             from ..ops.pallas_likelihood import build_mixing_sl
 
@@ -261,7 +270,7 @@ class ShardedDemultiplexer:
             arrays["pallas_mixing_sl"] = put_global(build_mixing_sl(mixing), rep)
             arrays["pallas_penalties_p"] = put_global(penalties_p, rep)
 
-        if self._resolve_use_pallas() and n_variants is not None:
+        if self._resolve_use_pallas() and build_mstep and n_variants is not None:
             # M-step kernel layout (variant-tiled per shard, local barcodes)
             from ..ops.pallas_mstep import ShardedMstepLayout, choose_tile_variants
 
@@ -338,7 +347,10 @@ class ShardedDemultiplexer:
         )
         n_snps = int(variant2snp.max()) + 1 if len(variant2snp) else 0
         n_barcodes = barcode_handler.n_barcodes
-        device, arrays, tiled = self._shard_inputs(barcode_calls, n_barcodes, mixing, penalties)
+        device, arrays, tiled = self._shard_inputs(
+            barcode_calls, n_barcodes, mixing, penalties,
+            n_variants=prior_betas.shape[0], build_mstep=False,
+        )
         betas_r, v2s_r, mix_r, pen_r = self._replicate(prior_betas, variant2snp, mixing, penalties)
 
         estep, estep_args = self._make_estep(

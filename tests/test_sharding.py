@@ -200,3 +200,51 @@ def test_dot_words_split_accuracy():
         dot_words(jnp.asarray(dense.T), jnp.asarray(exact.T), ((1,), (0,)), 2, split="a")
     )
     np.testing.assert_allclose(got_a, want.T, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_banded_estep_matches_plain():
+    """Variant-banded sharded E-step == plain sharded E-step (virtual mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.ops import likelihood as L
+    from demuxalot_tpu.ops.pallas_likelihood import build_mixing_sl, padded_pg
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls_sharded
+    from demuxalot_tpu.parallel.mesh import make_mesh
+    from demuxalot_tpu.parallel.sharded import _build_estep_pallas
+    from demuxalot_tpu.sim import synthesize_device_workload
+
+    mesh = make_mesh()
+    S = mesh.devices.size
+    n_barcodes, n_donors, n_snps, cpb = 64 * S, 5, 128, 12
+    betas, v2s, vid, cb, q, _ = synthesize_device_workload(n_barcodes, n_donors, n_snps, cpb, seed=4)
+    n_variants = betas.shape[0]
+    mixing, _names = L.pseudogenotype_mixing([f"D{i}" for i in range(n_donors)], 0.3)
+    pen = L.doublet_penalties(n_donors, 0.3)
+    pg = mixing.shape[1]
+    pgp = padded_pg(pg)
+    gp_args = (jnp.asarray(betas), jnp.asarray(v2s))
+
+    order = np.argsort(cb, kind="stable")
+    results = []
+    for n_bands in (1, 3):
+        st = tile_barcode_calls_sharded(
+            cb[order], vid[order], q[order], n_barcodes, n_shards=S,
+            tile_barcodes=16, chunk_calls=128, pgp=pgp,
+            n_variants=n_variants, n_bands=n_bands,
+        )
+        estep = jax.jit(_build_estep_pallas(mesh, n_snps, 0.01, st, pg))
+        shd = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("barcodes"))
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        put_s = lambda x: jax.device_put(x, shd)
+        put_r = lambda x: jax.device_put(np.asarray(x), rep)
+        pen_p = np.zeros((1, pgp), np.float32)
+        pen_p[0, :pg] = pen
+        logits, _probs = estep(
+            put_r(betas), put_r(v2s), put_r(build_mixing_sl(mixing)), put_r(pen_p),
+            put_s(st.vid), put_s(st.cb_local), put_s(st.q),
+            put_s(st.chunk_bounds), put_s(st.chunk_suboff),
+        )
+        results.append(np.asarray(logits)[:n_barcodes])
+
+    np.testing.assert_allclose(results[1], results[0], rtol=1e-5, atol=1e-5)
