@@ -1,0 +1,104 @@
+"""Two-process distributed EM timing (multi-host-style weak scaling).
+
+Launches two OS processes with 4 virtual CPU devices each, joined through
+jax.distributed into one 8-device mesh, and times EM iterations with the
+shard-local data path — the same machinery a multi-host pod uses. Compare
+against the single-process 8-device point from benchmarks/scaling.py: the
+delta is the cross-process collective + dispatch overhead.
+
+Usage: python benchmarks/scaling_2proc.py            (prints one JSON line)
+"""
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+WORKER = r'''
+import os, sys, time, json
+process_id = int(sys.argv[1]); port = int(sys.argv[2])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}", num_processes=2, process_id=process_id)
+import numpy as np
+import jax.numpy as jnp
+from demuxalot_tpu.ops import likelihood as L
+from demuxalot_tpu.ops import packing as P
+from demuxalot_tpu.parallel.mesh import make_mesh
+from demuxalot_tpu.parallel.sharded import ShardedDemultiplexer, _build_mstep
+from demuxalot_tpu.sim import synthesize_device_workload
+
+N_B, N_D, N_S, CPB = 8192 * 8, 16, 16384, 32
+betas, v2s, vid, cb, q, _ = synthesize_device_workload(N_B, N_D, N_S, CPB, seed=0)
+mixing, _n = L.pseudogenotype_mixing([f"D{i:02}" for i in range(N_D)], 0.0)
+pen = L.doublet_penalties(N_D, 0.0)
+n_variants, n_genotypes = betas.shape
+
+sh = ShardedDemultiplexer(make_mesh())
+rec = np.recarray(len(vid), dtype=P.BARCODE_CALLS_DTYPE)
+rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
+rec["snp_id"] = v2s[vid]
+
+# shard-local: this process only ever holds its own barcode ranges
+per_shard = sh._barcodes_per_shard(N_B)
+mine = np.isin(rec["compressed_cb"] // per_shard, sh._local_shard_ids())
+rec = rec[mine]
+
+device, arrays, tiled = sh._shard_inputs(rec, N_B, mixing, pen, n_variants=n_variants)
+betas_r, v2s_r, mix_r, pen_r = sh._replicate(betas, v2s, mixing, pen)
+estep, eargs = sh._make_estep(device, arrays, tiled, N_S, 0.01, mixing.shape[1], mix_r, pen_r)
+mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))
+margs = (arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
+
+def em(addition):
+    _lg, probs = estep(betas_r + addition, v2s_r, *eargs)
+    return mstep(probs, *margs)
+
+add = em(sh._replicate(np.zeros_like(betas))[0])
+add.block_until_ready()
+times = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    add = em(add)
+    add.block_until_ready()
+    times.append(time.perf_counter() - t0)
+if process_id == 0:
+    best = min(times)
+    print("RESULT " + json.dumps({
+        "processes": 2, "devices": 8, "n_barcodes": N_B,
+        "em_iteration_s": round(best, 4),
+        "barcodes_per_s": round(N_B / best, 1),
+    }), flush=True)
+'''
+
+
+def main():
+    repo = str(Path(__file__).resolve().parent.parent)
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(port), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0].decode(errors="replace") for p in procs]
+    for p, out in zip(procs, outputs):
+        if p.returncode != 0:
+            print(out[-2000:], file=sys.stderr)
+            raise SystemExit(f"worker failed rc={p.returncode}")
+    for out in outputs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                print(line[len("RESULT "):])
+                return
+    raise SystemExit("no RESULT line produced")
+
+
+if __name__ == "__main__":
+    main()
