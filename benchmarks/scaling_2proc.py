@@ -12,6 +12,7 @@ import json
 import socket
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 WORKER = r'''
@@ -80,14 +81,30 @@ def main():
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(pid), str(port), repo],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for pid in range(2)
-    ]
-    outputs = [p.communicate(timeout=600)[0].decode(errors="replace") for p in procs]
+    # workers are interdependent (shared collectives), so their outputs go
+    # to files — draining one worker's pipe while the other blocks on a
+    # collective would deadlock until the timeout otherwise
+    with tempfile.TemporaryDirectory() as tmp:
+        logs = [Path(tmp) / f"worker{pid}.log" for pid in range(2)]
+        handles = [open(log, "wb") for log in logs]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", WORKER, str(pid), str(port), repo],
+                stdout=h, stderr=subprocess.STDOUT,
+            )
+            for pid, h in zip(range(2), handles)
+        ]
+        try:
+            for p in procs:
+                p.wait(timeout=600)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+            for h in handles:
+                h.close()
+        outputs = [log.read_text(errors="replace") for log in logs]
     for p, out in zip(procs, outputs):
         if p.returncode != 0:
             print(out[-2000:], file=sys.stderr)

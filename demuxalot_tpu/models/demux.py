@@ -71,7 +71,12 @@ class _PallasLogits:
         n_variants: int = 0,
     ):
         from ..ops.pallas_likelihood import TiledDeviceCalls
-        from ..ops.tiling import choose_n_bands, tile_barcode_calls, tile_barcode_calls_banded
+        from ..ops.tiling import (
+            choose_banded_chunk_calls,
+            choose_n_bands,
+            tile_barcode_calls,
+            tile_barcode_calls_banded,
+        )
 
         cb = barcode_calls["compressed_cb"].astype(np.int32)
         order = np.argsort(cb, kind="stable")
@@ -88,10 +93,7 @@ class _PallasLogits:
             # Chunks shrink toward the mean per-(tile, band) call count so
             # the extra per-band padding stays modest.
             n_tiles = -(-n_barcodes // tile_barcodes)
-            mean_fill = len(cb) / max(n_tiles * n_bands, 1)
-            # nearest 128-multiple of ~mean+3sigma fill; overflow tiles just
-            # take one extra chunk
-            tc = int(np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls))
+            tc = choose_banded_chunk_calls(len(cb), n_tiles, n_bands, chunk_calls)
             tiled = tile_barcode_calls_banded(
                 *args, n_variants=n_variants, n_bands=n_bands,
                 tile_barcodes=tile_barcodes, chunk_calls=tc,

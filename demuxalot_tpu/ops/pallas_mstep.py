@@ -304,7 +304,7 @@ class TiledMstepCalls:
         n_barcodes: int = 0,
         n_bands: int = 1,
     ):
-        from .tiling import tile_barcode_calls
+        from .tiling import choose_banded_chunk_calls, tile_barcode_calls_banded
 
         if tile_variants <= 0:
             tile_variants = choose_tile_variants(
@@ -312,53 +312,50 @@ class TiledMstepCalls:
             )
         if n_bands > 1:
             assert n_barcodes > 0, "barcode banding needs n_barcodes"
-            # shrink chunks toward the mean per-(tile, band) fill
             n_tiles = -(-n_variants // tile_variants)
-            mean_fill = len(variant_sorted_vid) / max(n_tiles * n_bands, 1)
-            chunk_calls = int(
-                np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls)
+            chunk_calls = choose_banded_chunk_calls(
+                len(variant_sorted_vid), n_tiles, n_bands, chunk_calls
             )
-        edges = np.linspace(0, max(n_barcodes, 1), n_bands + 1).astype(np.int64)
-        band_of_call = np.searchsorted(edges, variant_sorted_cb, side="right") - 1
-        np.clip(band_of_call, 0, n_bands - 1, out=band_of_call)
 
-        parts = []
-        for k in range(n_bands):
-            sel = band_of_call == k
-            # selection preserves the variant sort; barcode ids go band-local
-            parts.append(
-                tile_barcode_calls(
-                    variant_sorted_vid[sel],
-                    (variant_sorted_cb[sel] - edges[k]).astype(np.int32),
-                    variant_sorted_q[sel],
-                    n_variants,
-                    tile_barcodes=tile_variants,
-                    chunk_calls=chunk_calls,
-                )
-            )
+        # layout reuses the banded segment-tiling machinery with the axes
+        # swapped: the segment (tiled) axis is VARIANTS, the banded payload
+        # axis is BARCODES — so the returned ``vid`` slot carries band-local
+        # barcodes and ``cb_local`` the within-tile variant index
+        tiled = tile_barcode_calls_banded(
+            variant_sorted_vid,
+            variant_sorted_cb,
+            variant_sorted_q,
+            n_variants,
+            n_variants=max(n_barcodes, 1),
+            n_bands=n_bands,
+            tile_barcodes=tile_variants,
+            chunk_calls=chunk_calls,
+        )
 
         bounds = []
         band_specs = []
-        offset = 0
-        for k, tiled in enumerate(parts):
-            chunks_per_tile = np.bincount(tiled.chunk2tile, minlength=tiled.n_tiles)
-            bounds.append(offset + np.concatenate([[0], np.cumsum(chunks_per_tile)]))
-            band_specs.append((int(edges[k]), int(edges[k + 1]), offset, offset + tiled.n_chunks))
-            offset += tiled.n_chunks
+        for k in range(n_bands):
+            c_lo = int(tiled.band_chunk_offsets[k])
+            c_hi = int(tiled.band_chunk_offsets[k + 1])
+            chunks_per_tile = np.bincount(
+                tiled.chunk2tile[c_lo:c_hi], minlength=tiled.n_tiles
+            )
+            bounds.append(c_lo + np.concatenate([[0], np.cumsum(chunks_per_tile)]))
+            band_specs.append(
+                (int(tiled.band_edges[k]), int(tiled.band_edges[k + 1]), c_lo, c_hi)
+            )
 
-        # host copies; uploaded lazily (and only once) on first use.
-        # layout reuses the segment-tiling machinery with variants as the
-        # segment axis; the "vid" payload slot carries each call's barcode
-        self.cb_global = np.concatenate([t.vid for t in parts])
-        self.vl = np.concatenate([t.cb_local for t in parts], axis=1)
-        self.q = np.concatenate([t.q for t in parts], axis=1)
+        # host copies; uploaded lazily (and only once) on first use
+        self.cb_global = tiled.vid
+        self.vl = tiled.cb_local
+        self.q = tiled.q
         self.chunk_bounds = np.concatenate(bounds).astype(np.int32)
         self.band_specs = tuple(band_specs) if n_bands > 1 else ()
         self._device_arrays = None
         self.n_variants = n_variants
         self.tile_variants = tile_variants
         self.chunk_calls = chunk_calls
-        self.n_chunks = offset
+        self.n_chunks = tiled.n_chunks
 
     def _device(self):
         if self._device_arrays is None:

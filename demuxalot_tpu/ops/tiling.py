@@ -158,6 +158,44 @@ def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 12_
     return max(1, -(-table_bytes // table_budget_bytes))
 
 
+def choose_banded_chunk_calls(n_calls: int, n_tiles: int, n_bands: int, chunk_calls: int) -> int:
+    """Chunk size shrunk toward the mean per-(tile, band) fill.
+
+    Banding splits each tile's calls n_bands ways; a full-size chunk would
+    then be mostly padding. The nearest 128-multiple of ~1.15x the mean
+    fill keeps padding modest while overflow tiles just take extra chunks.
+    Single source of truth for the E-step, M-step, and sharded layouts.
+    """
+    mean_fill = n_calls / max(n_tiles * n_bands, 1)
+    return int(np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls))
+
+
+def banded_chunk_counts(
+    cb_sorted: np.ndarray,
+    vid_sorted: np.ndarray,
+    n_barcodes_per_shard: int,
+    n_variants: int,
+    n_shards: int,
+    n_bands: int,
+    tile_barcodes: int,
+    chunk_calls: int,
+) -> np.ndarray:
+    """Chunks each (shard, band) region needs ([n_shards, n_bands] int64).
+
+    Cheap pre-pass (one bincount over the calls) so multi-host layouts can
+    agree on per-band chunk widths before any array is built.
+    """
+    n_tiles = n_barcodes_per_shard // tile_barcodes
+    edges = np.linspace(0, n_variants, n_bands + 1).astype(np.int64)
+    band = np.clip(np.searchsorted(edges, vid_sorted, side="right") - 1, 0, n_bands - 1)
+    shard = cb_sorted.astype(np.int64) // n_barcodes_per_shard
+    tile = (cb_sorted.astype(np.int64) % n_barcodes_per_shard) // tile_barcodes
+    key = (shard * n_bands + band) * n_tiles + tile
+    per_tile = np.bincount(key, minlength=n_shards * n_bands * n_tiles)
+    chunks = np.maximum(1, -(-per_tile // chunk_calls)).reshape(n_shards, n_bands, n_tiles)
+    return chunks.sum(axis=2)
+
+
 def choose_subtiles_per_super(
     n_tiles: int,
     n_chunks: int,
@@ -225,14 +263,15 @@ def tile_barcode_calls_sharded(
     n_chunks_floor: int = 0,
     n_variants: int = 0,
     n_bands: int = 1,
-    band_width_floor: int = 0,
+    band_width_floors=None,
 ) -> ShardedTiledCalls:
     """Shard barcode-sorted calls by barcode range, tiling each shard.
 
     ``shard_ids`` limits array building to those shards (stacked in the
     given order) — multi-host callers pass their local shard positions and
-    force a cross-process-agreed ``n_chunks_floor`` (or, when banded,
-    ``band_width_floor``) so static kernel dims match on every process.
+    force cross-process-agreed ``n_chunks_floor`` (or, when banded,
+    per-band ``band_width_floors``) so static kernel dims match on every
+    process.
     ``n_bands > 1`` variant-bands every shard's layout (gather fast path,
     docs/DESIGN.md §7) with identical band chunk regions on every shard.
     """
@@ -255,7 +294,7 @@ def tile_barcode_calls_sharded(
             n_tiles=n_tiles, n_variants=n_variants, n_bands=n_bands, TB=TB, TC=TC,
             subtiles_per_super=subtiles_per_super, pgp=pgp,
             max_super_rows_bytes=max_super_rows_bytes,
-            band_width_floor=band_width_floor,
+            band_width_floors=band_width_floors,
         )
 
     per_shard = []
@@ -319,9 +358,9 @@ def tile_barcode_calls_sharded(
 def _sharded_banded(
     cb_sorted, vid_sorted, q_sorted, shard_bounds, shard_ids, *,
     n_barcodes, per_shard_b, n_shards, n_tiles, n_variants, n_bands, TB, TC,
-    subtiles_per_super, pgp, max_super_rows_bytes, band_width_floor,
+    subtiles_per_super, pgp, max_super_rows_bytes, band_width_floors,
 ):
-    """Banded variant of the sharded layout: equal band regions per shard."""
+    """Banded variant of the sharded layout: agreed per-band chunk widths."""
     per_shard = []
     for s in shard_ids:
         lo, hi = shard_bounds[s], shard_bounds[s + 1]
@@ -338,16 +377,19 @@ def _sharded_banded(
             )
         )
 
-    # every band region padded to one width agreed across shards (and, for
-    # multi-host, across processes via band_width_floor)
-    width = band_width_floor
+    # each band's region padded to its own width, agreed across shards (and,
+    # for multi-host, across processes via allgathered band_width_floors)
+    widths = np.zeros(n_bands, dtype=np.int64)
+    if band_width_floors is not None:
+        widths[:] = np.asarray(band_width_floors, dtype=np.int64)
     for t in per_shard:
-        width = max(width, int(np.diff(t.band_chunk_offsets).max()))
-    n_chunks = width * n_bands
+        widths = np.maximum(widths, np.diff(t.band_chunk_offsets))
+    dst_offsets = np.concatenate([[0], np.cumsum(widths)]).astype(np.int64)
+    n_chunks = int(dst_offsets[-1])
 
     if subtiles_per_super <= 0:
         subtiles_per_super = choose_subtiles_per_super(
-            n_tiles, width, TB, pgp, max_super_rows_bytes
+            n_tiles, int(widths.max()), TB, pgp, max_super_rows_bytes
         )
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super
@@ -363,7 +405,7 @@ def _sharded_banded(
             c_lo = int(t.band_chunk_offsets[k])
             c_hi = int(t.band_chunk_offsets[k + 1])
             m = c_hi - c_lo
-            dst = k * width
+            dst = int(dst_offsets[k])
             vid[i, dst * TC : (dst + m) * TC] = t.vid[c_lo * TC : c_hi * TC]
             cb_local[i, 0, dst * TC : (dst + m) * TC] = t.cb_local[0, c_lo * TC : c_hi * TC]
             q[i, 0, dst * TC : (dst + m) * TC] = t.q[0, c_lo * TC : c_hi * TC]
@@ -373,13 +415,13 @@ def _sharded_banded(
             if len(bounds) < n_super + 1 or bounds[-1] != dst + m:
                 bounds = (bounds + [dst + m] * (n_super + 1))[: n_super + 1]
             # padding chunks attach to the band's last super-tile (q=1 no-ops)
-            bounds[-1] = dst + width
+            bounds[-1] = dst + int(widths[k])
             chunk_bounds[i, k * (n_super + 1) : (k + 1) * (n_super + 1)] = bounds
             chunk_suboff[i, dst : dst + m] = t.chunk2tile[c_lo:c_hi] % subtiles_per_super
 
     edges = per_shard[0].band_edges
     band_specs = tuple(
-        (int(edges[k]), int(edges[k + 1]), k * width, (k + 1) * width)
+        (int(edges[k]), int(edges[k + 1]), int(dst_offsets[k]), int(dst_offsets[k + 1]))
         for k in range(n_bands)
     )
     return ShardedTiledCalls(

@@ -232,18 +232,37 @@ class ShardedDemultiplexer:
             order = np.argsort(cb, kind="stable")
             pg = mixing.shape[1]
             pgp = padded_pg(pg)
+            from ..ops.tiling import banded_chunk_counts, choose_banded_chunk_calls
+
             n_bands = (
                 choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
             )
             n_tiles_per_shard = per_shard // self.pallas_tile_barcodes
+            vid_sorted = barcode_calls["variant_id"].astype(np.int32)[order]
+            tc = self.pallas_chunk_calls
+            band_floors = None
+            if n_bands > 1:
+                # chunk size and per-band widths derive from allgathered
+                # values so every process builds identical static shapes
+                tc = choose_banded_chunk_calls(
+                    max_calls_per_shard, n_tiles_per_shard, n_bands, self.pallas_chunk_calls
+                )
+                if multi:
+                    local_counts = banded_chunk_counts(
+                        cb[order], vid_sorted, per_shard, n_variants,
+                        self.n_shards, n_bands, self.pallas_tile_barcodes, tc,
+                    )
+                    band_floors = allreduce_max_dims(
+                        local_counts[my_shards].max(axis=0).tolist()
+                    )
             tiled = tile_barcode_calls_sharded(
                 cb[order],
-                barcode_calls["variant_id"].astype(np.int32)[order],
+                vid_sorted,
                 barcode_calls["p_base_wrong"].astype(np.float32)[order],
                 n_barcodes,
                 n_shards=self.n_shards,
                 tile_barcodes=self.pallas_tile_barcodes,
-                chunk_calls=self.pallas_chunk_calls,
+                chunk_calls=tc,
                 pgp=pgp,
                 barcodes_per_shard=per_shard,
                 shard_ids=my_shards,
@@ -253,7 +272,7 @@ class ShardedDemultiplexer:
                 n_chunks_floor=(chunk_floor + n_tiles_per_shard if multi else 0),
                 n_variants=n_variants or 0,
                 n_bands=n_bands,
-                band_width_floor=(chunk_floor + n_tiles_per_shard if multi else 0),
+                band_width_floors=band_floors,
             )
             from ..ops.pallas_likelihood import build_mixing_sl
 
