@@ -70,8 +70,9 @@ class _PallasLogits:
         self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
         n_variants: int = 0,
     ):
-        from ..ops.pallas_likelihood import TiledDeviceCalls
+        from ..ops.pallas_likelihood import TiledDeviceCalls, padded_pg
         from ..ops.tiling import (
+            cap_bands_to_grid,
             choose_banded_chunk_calls,
             choose_n_bands,
             tile_barcode_calls,
@@ -86,13 +87,16 @@ class _PallasLogits:
             barcode_calls["p_base_wrong"].astype(np.float32)[order],
             n_barcodes,
         )
+        n_tiles = -(-n_barcodes // tile_barcodes)
         n_bands = choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
+        n_bands = cap_bands_to_grid(
+            n_bands, n_tiles, tile_barcodes, padded_pg(mixing.shape[1])
+        )
         if n_bands > 1:
             # large genotype tables: band the variant axis so every per-band
             # gather table stays under the fast-path size (DESIGN.md §7).
             # Chunks shrink toward the mean per-(tile, band) call count so
             # the extra per-band padding stays modest.
-            n_tiles = -(-n_barcodes // tile_barcodes)
             tc = choose_banded_chunk_calls(len(cb), n_tiles, n_bands, chunk_calls)
             tiled = tile_barcode_calls_banded(
                 *args, n_variants=n_variants, n_bands=n_bands,
@@ -250,6 +254,7 @@ class Demultiplexer:
                 n_variants,
                 n_barcodes=n_barcodes,
                 n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
+                n_genotypes=n_genotypes,
             )
         else:
             # flat dual-sort layout feeds the XLA segment-sum paths

@@ -322,7 +322,8 @@ class TiledDeviceCalls:
             # budget per grid step applies within the largest band region
             max_band_chunks = int(np.diff(band_chunk_offsets).max())
             subtiles_per_super = choose_subtiles_per_super(
-                tiled.n_tiles, max_band_chunks, tiled.tile_barcodes, pgp
+                tiled.n_tiles, max_band_chunks, tiled.tile_barcodes, pgp,
+                n_bands=n_bands,
             )
         self.subtiles_per_super = subtiles_per_super
         n_super = -(-tiled.n_tiles // subtiles_per_super)

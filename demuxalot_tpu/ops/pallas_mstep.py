@@ -5,21 +5,22 @@ Computes ``addition[v, g] = Σ_{calls c with variant v} (post[cb_c, g]·(1−q_c
 without the XLA gather→power→scatter chain and its [n_calls, n_donors] HBM
 round-trips.
 
-Mirror of the likelihood kernel, one simplification: the segment axis
-(variants) is tiled at TV = one tile per grid step, so no within-tile offset
-bookkeeping is needed — each chunk's scatter-matmul lands on the whole
-resident output block:
+Mirror of the likelihood kernel, including its super-tile grouping: each
+grid step owns SPS variant tiles of TV variants (a resident [D, SPS·TV]
+block), so the launch grid stays under the compile-friendly cap at any
+variant count; each chunk's scatter-matmul lands on its tile's column
+slice via a scalar-prefetched sub-tile offset:
 
-    per grid step (one tile of TV variants):
-      out[D, TV] = 0
-      for each call chunk of the tile (inner fori_loop, double-buffered DMA):
-        w   = (postᵀ[chunk]·(1−q))^p          # [D, TC], VPU
-        out += w · onehot(v_local)ᵀ           # [D, TV]  scatter-matmul, MXU
+    per grid step (one super-tile of SPS·TV variants):
+      out[D, SPS·TV] = 0
+      for each call chunk of the super-tile (inner fori_loop, DMA'd):
+        w   = (postᵀ[chunk]·(1−q))^p                  # [D, TC], VPU
+        out[:, off·TV : +TV] += w · onehot(v_local)ᵀ  # [D, TV]  MXU
 
 Output is produced donor-major [D, n_variants] and transposed once by XLA.
 Calls arrive sorted by variant and padded per TV-variant tile
 (ops/tiling.py layout, segment axis = variants); padding rows carry q = 1 →
-weight 0, an exact no-op. Kernel grid = n_variants / TV stays small.
+weight 0, an exact no-op.
 """
 from __future__ import annotations
 
@@ -37,11 +38,12 @@ LANE = 128
 
 
 def _mstep_kernel(
-    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_tiles + 1)]: chunk ranges
+    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
+    suboff_ref,  # SMEM scalar prefetch [n_chunks]: variant tile within super-tile
     wt_hbm,  # ANY [D, n_chunks*TC] gathered singlet posteriors (call-major lanes)
     vl_hbm,  # ANY [1, n_chunks*TC] variant index within tile
     q_hbm,  # ANY [1, n_chunks*TC]
-    out_ref,  # VMEM [D, TV] — this tile's addition block (resident across bands)
+    out_ref,  # VMEM [D, SPS*TV] — this super-tile's block (resident across bands)
     wt_buf,  # VMEM scratch [2, D, TC]
     vl_buf,  # VMEM scratch [2, 1, TC]
     q_buf,  # VMEM scratch [2, 1, TC]
@@ -53,11 +55,11 @@ def _mstep_kernel(
     tc: int,
     power: float,
     n_words: int,
-    n_tiles: int,
+    n_super: int,
 ):
-    t = pl.program_id(0)
-    band = pl.program_id(1)  # fastest axis: the tile's block stays resident
-    at = band * (n_tiles + 1) + t
+    s = pl.program_id(0)
+    band = pl.program_id(1)  # fastest axis: the super-tile's block stays resident
+    at = band * (n_super + 1) + s
     lo = bounds_ref[at]
     hi = bounds_ref[at + 1]
     n = hi - lo
@@ -100,8 +102,10 @@ def _mstep_kernel(
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, tc), 0)
         onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, TC]
         # one-hot is bf16-exact; w carries the split words (see
-        # pallas_likelihood.dot_words for the precision strategy)
-        out_ref[:] += dot_words(w, onehot, ((1,), (1,)), n_words, split="a")
+        # pallas_likelihood.dot_words for the precision strategy).
+        # TV is a multiple of 128, so the lane-dim slice stays tile-aligned
+        off = pl.multiple_of(suboff_ref[lo + ci] * tv, tv)
+        out_ref[:, pl.ds(off, tv)] += dot_words(w, onehot, ((1,), (1,)), n_words, split="a")
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -112,12 +116,14 @@ def tiled_mstep_impl(
     cb_global,  # i32 [n_chunks * TC] barcode per call, band-LOCAL when banded
     vl,  # i32 [1, n_chunks * TC] variant index within tile
     q,  # f32 [1, n_chunks * TC]
-    chunk_bounds,  # i32 [n_bands * (n_tiles + 1)]
+    chunk_bounds,  # i32 [n_bands * (n_super + 1)]
+    chunk_suboff,  # i32 [n_chunks] variant tile within super-tile
     *,
     n_variants: int,
     n_genotypes: int,
     tv: int,
     tc: int,
+    sps: int,  # variant tiles per super-tile (grid step)
     contribution_power: float,
     band_specs: tuple = (),  # ((b_lo, b_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
@@ -127,13 +133,13 @@ def tiled_mstep_impl(
     ``band_specs`` (optional) bands the BARCODE axis: each band's calls are
     gathered against only its posterior slice, keeping the gather table
     under the fast-path size (docs/DESIGN.md §7); the kernel walks a
-    (variant_tile, band) grid accumulating into the resident block.
+    (super_tile, band) grid accumulating into the resident block.
     """
     n_chunks = q.shape[1] // tc
     if not band_specs:
         band_specs = ((0, posterior.shape[0], 0, n_chunks),)
     n_bands = len(band_specs)
-    n_tiles = chunk_bounds.shape[0] // n_bands - 1
+    n_super = chunk_bounds.shape[0] // n_bands - 1
 
     # slice the singlet columns BEFORE gathering: XLA does not fuse the
     # slice into the gather, and full-row gathering measured ~1000x slower.
@@ -152,14 +158,14 @@ def tiled_mstep_impl(
         wt = jnp.pad(wt, ((0, d - n_genotypes), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles, n_bands),
+        num_scalar_prefetch=2,
+        grid=(n_super, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((d, tv), lambda t, k, *_: (0, t)),
+        out_specs=pl.BlockSpec((d, sps * tv), lambda s, k, *_: (0, s)),
         scratch_shapes=[
             pltpu.VMEM((2, d, tc), jnp.float32),
             pltpu.VMEM((2, 1, tc), jnp.int32),
@@ -172,26 +178,26 @@ def tiled_mstep_impl(
 
     kernel = functools.partial(
         _mstep_kernel, tv=tv, tc=tc, power=contribution_power,
-        n_words=_SPLIT_WORDS[KERNEL_PRECISION], n_tiles=n_tiles,
+        n_words=_SPLIT_WORDS[KERNEL_PRECISION], n_super=n_super,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, n_tiles * tv), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, n_super * sps * tv), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=n_chunks * 2 * d * tc * tv,
-            bytes_accessed=wt.size * 4 + n_tiles * d * tv * 4,
+            bytes_accessed=wt.size * 4 + n_super * sps * d * tv * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bounds, wt, vl, q)
+    )(chunk_bounds, chunk_suboff, wt, vl, q)
     return out[:n_genotypes, :n_variants].T  # [n_variants, D]
 
 
 _tiled_mstep = functools.partial(
     jax.jit,
     static_argnames=(
-        "n_variants", "n_genotypes", "tv", "tc", "contribution_power",
+        "n_variants", "n_genotypes", "tv", "tc", "sps", "contribution_power",
         "band_specs", "interpret",
     ),
 )(tiled_mstep_impl)
@@ -227,6 +233,7 @@ class ShardedMstepLayout:
         chunk_calls: int = 512,
         shard_ids=None,
         n_chunks_floor: int = 0,
+        n_genotypes: int = 0,  # donor count, for VMEM block sizing (0 = conservative)
     ):
         if shard_ids is None:
             shard_ids = list(range(n_shards))
@@ -247,29 +254,48 @@ class ShardedMstepLayout:
                 TiledMstepCalls(
                     vid[sel][order], cb_local[sel][order], q[sel][order],
                     n_variants, tile_variants=tile_variants, chunk_calls=chunk_calls,
+                    n_genotypes=n_genotypes,
                 )
             )
 
         n_chunks = max(max(t.n_chunks for t in per_shard), n_chunks_floor)
+        # bounds are re-derived at one agreed super-tile grouping: all its
+        # inputs are identical on every process (multi-host n_chunks equals
+        # the allgathered floor, an upper bound on any shard's count)
+        from .tiling import choose_subtiles_per_super
+
+        n_tiles = per_shard[0].n_tiles
+        d_pad = -(-max(n_genotypes, 64) // 8) * 8
+        sps = choose_subtiles_per_super(n_tiles, n_chunks, tile_variants, d_pad)
+        n_super = -(-n_tiles // sps)
+
         width = n_chunks * chunk_calls
-        n_tiles = len(np.asarray(per_shard[0].chunk_bounds)) - 1
         n_blocks = len(per_shard)
         self.cb_global = np.zeros((n_blocks, width), np.int32)
         self.vl = np.zeros((n_blocks, 1, width), np.int32)
         self.q = np.ones((n_blocks, 1, width), np.float32)
-        self.chunk_bounds = np.zeros((n_blocks, n_tiles + 1), np.int32)
+        self.chunk_bounds = np.zeros((n_blocks, n_super + 1), np.int32)
+        self.chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
         for s, t in enumerate(per_shard):
             w = t.n_chunks * chunk_calls
             self.cb_global[s, :w] = np.asarray(t.cb_global)
             self.vl[s, 0, :w] = np.asarray(t.vl)[0]
             self.q[s, 0, :w] = np.asarray(t.q)[0]
-            bounds = np.asarray(t.chunk_bounds).copy()
-            bounds[-1] = n_chunks  # padding chunks attach to the last tile
+            chunks_per_tile = np.bincount(t.chunk2tile, minlength=n_tiles)
+            tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+            bounds = tile_starts[::sps].tolist()
+            if len(bounds) < n_super + 1 or bounds[-1] != t.n_chunks:
+                bounds = (bounds + [t.n_chunks] * (n_super + 1))[: n_super + 1]
+            # padding chunks attach to the last super-tile (q=1 rows, no-ops)
+            bounds[-1] = n_chunks
             self.chunk_bounds[s] = bounds
+            self.chunk_suboff[s, : t.n_chunks] = t.chunk2tile % sps
 
         self.n_variants = n_variants
         self.tile_variants = tile_variants
         self.chunk_calls = chunk_calls
+        self.subtiles_per_super = sps
+        self.n_super = n_super
         self.n_chunks = n_chunks
 
 
@@ -303,16 +329,25 @@ class TiledMstepCalls:
         chunk_calls: int = 512,
         n_barcodes: int = 0,
         n_bands: int = 1,
+        n_genotypes: int = 0,  # donor count, for VMEM block sizing (0 = conservative)
+        subtiles_per_super: int = 0,
     ):
-        from .tiling import choose_banded_chunk_calls, tile_barcode_calls_banded
+        from .tiling import (
+            cap_bands_to_grid,
+            choose_banded_chunk_calls,
+            choose_subtiles_per_super,
+            tile_barcode_calls_banded,
+        )
 
         if tile_variants <= 0:
             tile_variants = choose_tile_variants(
                 len(variant_sorted_vid), n_variants, chunk_calls
             )
+        n_tiles = -(-max(n_variants, 1) // tile_variants)
+        d_pad = -(-max(n_genotypes, 64) // 8) * 8
+        n_bands = cap_bands_to_grid(n_bands, n_tiles, tile_variants, d_pad)
         if n_bands > 1:
             assert n_barcodes > 0, "barcode banding needs n_barcodes"
-            n_tiles = -(-n_variants // tile_variants)
             chunk_calls = choose_banded_chunk_calls(
                 len(variant_sorted_vid), n_tiles, n_bands, chunk_calls
             )
@@ -332,6 +367,14 @@ class TiledMstepCalls:
             chunk_calls=chunk_calls,
         )
 
+        if subtiles_per_super <= 0:
+            max_band_chunks = int(np.diff(tiled.band_chunk_offsets).max())
+            subtiles_per_super = choose_subtiles_per_super(
+                tiled.n_tiles, max_band_chunks, tile_variants, d_pad,
+                n_bands=n_bands,
+            )
+        n_super = -(-tiled.n_tiles // subtiles_per_super)
+
         bounds = []
         band_specs = []
         for k in range(n_bands):
@@ -340,7 +383,12 @@ class TiledMstepCalls:
             chunks_per_tile = np.bincount(
                 tiled.chunk2tile[c_lo:c_hi], minlength=tiled.n_tiles
             )
-            bounds.append(c_lo + np.concatenate([[0], np.cumsum(chunks_per_tile)]))
+            tile_starts = c_lo + np.concatenate([[0], np.cumsum(chunks_per_tile)])
+            band_bounds = tile_starts[::subtiles_per_super].tolist()
+            if len(band_bounds) < n_super + 1 or band_bounds[-1] != c_hi:
+                band_bounds = (band_bounds + [c_hi] * (n_super + 1))[: n_super + 1]
+            assert len(band_bounds) == n_super + 1 and band_bounds[-1] == c_hi
+            bounds.extend(band_bounds)
             band_specs.append(
                 (int(tiled.band_edges[k]), int(tiled.band_edges[k + 1]), c_lo, c_hi)
             )
@@ -349,34 +397,42 @@ class TiledMstepCalls:
         self.cb_global = tiled.vid
         self.vl = tiled.cb_local
         self.q = tiled.q
-        self.chunk_bounds = np.concatenate(bounds).astype(np.int32)
+        self.chunk_bounds = np.asarray(bounds, dtype=np.int32)
+        self.chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)
+        self.chunk2tile = tiled.chunk2tile  # ShardedMstepLayout re-derives bounds
         self.band_specs = tuple(band_specs) if n_bands > 1 else ()
         self._device_arrays = None
         self.n_variants = n_variants
+        self.n_tiles = tiled.n_tiles
         self.tile_variants = tile_variants
         self.chunk_calls = chunk_calls
+        self.subtiles_per_super = subtiles_per_super
+        self.n_super = n_super
         self.n_chunks = tiled.n_chunks
 
     def _device(self):
         if self._device_arrays is None:
             self._device_arrays = tuple(
-                jnp.asarray(x) for x in (self.cb_global, self.vl, self.q, self.chunk_bounds)
+                jnp.asarray(x)
+                for x in (self.cb_global, self.vl, self.q, self.chunk_bounds, self.chunk_suboff)
             )
         return self._device_arrays
 
     def addition(self, posterior, n_genotypes: int, contribution_power: float, interpret: bool = False):
         interpret = interpret or jax.default_backend() != "tpu"
-        cb_global, vl, q, chunk_bounds = self._device()
+        cb_global, vl, q, chunk_bounds, chunk_suboff = self._device()
         return _tiled_mstep(
             posterior,
             cb_global,
             vl,
             q,
             chunk_bounds,
+            chunk_suboff,
             n_variants=self.n_variants,
             n_genotypes=n_genotypes,
             tv=self.tile_variants,
             tc=self.chunk_calls,
+            sps=self.subtiles_per_super,
             contribution_power=contribution_power,
             band_specs=self.band_specs,
             interpret=interpret,

@@ -152,10 +152,37 @@ def tile_barcode_calls_banded(
     )
 
 
+# Launch-grid step budget. This environment's remote Mosaic compile cost
+# grows pathologically with grid size (CLAUDE.md): ~450 steps measured fine,
+# 512+ can wedge the shared compiler service for ~10 minutes.
+GRID_CAP = 448
+
+
 def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 12_000_000) -> int:
     """Variant bands so each gather table slice stays under the fast-path size."""
     table_bytes = n_variants * n_donors * 4
     return max(1, -(-table_bytes // table_budget_bytes))
+
+
+def cap_bands_to_grid(
+    n_bands: int,
+    n_tiles: int,
+    tile_rows: int,
+    block_cols: int,
+    max_super_rows_bytes: int = 2_700_000,
+) -> int:
+    """Largest band count keeping the (super_tile, band) grid under GRID_CAP.
+
+    The VMEM budget bounds how many tiles one grid step can absorb
+    (``tile_rows`` rows per tile, a resident block of ``block_cols`` f32
+    lanes per row), which floors the super-tile count; the band count then
+    caps at GRID_CAP / that floor. Fewer bands mean larger gather-table
+    slices — a throughput trade, never a correctness one.
+    """
+    max_rows = max(tile_rows, (max_super_rows_bytes // 4) // block_cols)
+    vmem_sps = max(1, max_rows // tile_rows)
+    n_super_floor = -(-max(n_tiles, 1) // vmem_sps)
+    return max(1, min(n_bands, GRID_CAP // max(1, n_super_floor)))
 
 
 def choose_banded_chunk_calls(n_calls: int, n_tiles: int, n_bands: int, chunk_calls: int) -> int:
@@ -202,17 +229,23 @@ def choose_subtiles_per_super(
     tile_barcodes: int,
     pgp: int,
     max_super_rows_bytes: int = 2_700_000,
+    n_bands: int = 1,
 ) -> int:
     """Super-tile grouping: VMEM row budget + balanced chunk spans per step.
 
-    Single source of truth for both the single-device and sharded layouts.
+    Also enforces the launch-grid budget: the grid is (n_super, n_bands),
+    so subtiles-per-super is raised (VMEM permitting) until
+    ``n_super * n_bands <= GRID_CAP``. Single source of truth for the
+    single-device and sharded layouts.
     """
     from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
 
     max_rows = max(tile_barcodes, (max_super_rows_bytes // 4) // pgp)
-    sps = max(1, max_rows // tile_barcodes)
+    vmem_sps = max(1, max_rows // tile_barcodes)
     n_super_min = -(-n_chunks // MAX_CHUNKS_PER_SUPER)
-    sps = min(sps, max(1, n_tiles // max(1, n_super_min)))
+    sps = min(vmem_sps, max(1, n_tiles // max(1, n_super_min)))
+    grid_sps = -(-n_tiles // max(1, GRID_CAP // max(n_bands, 1)))
+    sps = max(sps, min(grid_sps, vmem_sps))
     return min(sps, n_tiles)
 
 
@@ -389,7 +422,8 @@ def _sharded_banded(
 
     if subtiles_per_super <= 0:
         subtiles_per_super = choose_subtiles_per_super(
-            n_tiles, int(widths.max()), TB, pgp, max_super_rows_bytes
+            n_tiles, int(widths.max()), TB, pgp, max_super_rows_bytes,
+            n_bands=n_bands,
         )
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super

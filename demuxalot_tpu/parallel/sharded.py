@@ -114,11 +114,12 @@ def _build_mstep_pallas(mesh, layout, n_variants, n_genotypes, contribution_powe
     shd = PSpec(BARCODE_AXIS)
     interpret = jax.default_backend() != "tpu"
 
-    def mstep(posterior, cb_global, vl, q, bounds):
+    def mstep(posterior, cb_global, vl, q, bounds, suboff):
         partial_addition = tiled_mstep_impl(
-            posterior, cb_global[0], vl[0], q[0], bounds[0],
+            posterior, cb_global[0], vl[0], q[0], bounds[0], suboff[0],
             n_variants=n_variants, n_genotypes=n_genotypes,
             tv=layout.tile_variants, tc=layout.chunk_calls,
+            sps=layout.subtiles_per_super,
             contribution_power=contribution_power,
             interpret=interpret,
         )
@@ -127,7 +128,7 @@ def _build_mstep_pallas(mesh, layout, n_variants, n_genotypes, contribution_powe
     return shard_map(
         mstep,
         mesh=mesh,
-        in_specs=(PSpec(BARCODE_AXIS, None), shd, shd, shd, shd),
+        in_specs=(PSpec(BARCODE_AXIS, None), shd, shd, shd, shd, shd),
         out_specs=rep,
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
@@ -232,12 +233,20 @@ class ShardedDemultiplexer:
             order = np.argsort(cb, kind="stable")
             pg = mixing.shape[1]
             pgp = padded_pg(pg)
-            from ..ops.tiling import banded_chunk_counts, choose_banded_chunk_calls
+            from ..ops.tiling import (
+                banded_chunk_counts,
+                cap_bands_to_grid,
+                choose_banded_chunk_calls,
+            )
 
+            n_tiles_per_shard = per_shard // self.pallas_tile_barcodes
             n_bands = (
                 choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
             )
-            n_tiles_per_shard = per_shard // self.pallas_tile_barcodes
+            # deterministic across processes: derived only from agreed dims
+            n_bands = cap_bands_to_grid(
+                n_bands, n_tiles_per_shard, self.pallas_tile_barcodes, pgp
+            )
             vid_sorted = barcode_calls["variant_id"].astype(np.int32)[order]
             tc = self.pallas_chunk_calls
             band_floors = None
@@ -310,12 +319,14 @@ class ShardedDemultiplexer:
                 shard_ids=my_shards,
                 # see the E-step layout note: agreed upper bound, multi-host only
                 n_chunks_floor=(chunk_floor + -(-n_variants // tv) if multi else 0),
+                n_genotypes=(mixing.shape[0] if mixing is not None else 0),
             )
             arrays.update(
                 mstep_cb=put_stacked(mlayout.cb_global),
                 mstep_vl=put_stacked(mlayout.vl),
                 mstep_q=put_stacked(mlayout.q),
                 mstep_bounds=put_stacked(mlayout.chunk_bounds),
+                mstep_suboff=put_stacked(mlayout.chunk_suboff),
             )
             arrays["mstep_layout"] = mlayout
 
@@ -430,7 +441,8 @@ class ShardedDemultiplexer:
                 )
             )
             mstep_args = (
-                arrays["mstep_cb"], arrays["mstep_vl"], arrays["mstep_q"], arrays["mstep_bounds"],
+                arrays["mstep_cb"], arrays["mstep_vl"], arrays["mstep_q"],
+                arrays["mstep_bounds"], arrays["mstep_suboff"],
             )
         else:
             mstep = jax.jit(

@@ -187,3 +187,44 @@ def test_mstep_barcode_banding_matches_unbanded():
     a = np.asarray(plain.addition(posterior, n_donors, 2.0, interpret=True))
     b = np.asarray(banded.addition(posterior, n_donors, 2.0, interpret=True))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+def test_launch_grids_stay_under_cap():
+    """Layouts must keep n_super * n_bands under tiling.GRID_CAP at any scale
+
+    (this environment's remote Mosaic compile wedges on large launch grids).
+    Checked at PMBC-like and million-barcode M-step scales via layout math
+    only — no kernel launch.
+    """
+    from demuxalot_tpu.ops.pallas_mstep import (
+        TiledMstepCalls, choose_mstep_bands, choose_tile_variants,
+    )
+    from demuxalot_tpu.ops.tiling import (
+        GRID_CAP, cap_bands_to_grid, choose_n_bands, choose_subtiles_per_super,
+    )
+
+    # E-step at PMBC scale: 655k variants, 32 donors, 65k barcodes, TB=32
+    n_variants, n_donors, n_barcodes, tb, pgp = 655_360, 32, 65_536, 32, 640
+    n_tiles = -(-n_barcodes // tb)
+    n_bands = cap_bands_to_grid(choose_n_bands(n_variants, n_donors), n_tiles, tb, pgp)
+    n_chunks = 9_400_000 // 512 // n_bands
+    sps = choose_subtiles_per_super(n_tiles, n_chunks, tb, pgp, n_bands=n_bands)
+    n_super = -(-n_tiles // sps)
+    assert n_super * n_bands <= GRID_CAP
+    assert n_bands > 1  # cap must not destroy banding at the measured scale
+
+    # M-step at 1M barcodes x 655k variants (layout construction end-to-end)
+    rng = np.random.RandomState(5)
+    n_calls = 50_000
+    vid = np.sort(rng.randint(0, n_variants, n_calls)).astype(np.int32)
+    cb = rng.randint(0, 1_000_000, n_calls).astype(np.int32)
+    q = rng.rand(n_calls).astype(np.float32)
+    layout = TiledMstepCalls(
+        vid, cb, q, n_variants,
+        tile_variants=choose_tile_variants(n_calls, n_variants),
+        n_barcodes=1_000_000,
+        n_bands=choose_mstep_bands(1_000_000, n_donors),
+        n_genotypes=n_donors,
+    )
+    n_bands_m = max(1, len(layout.band_specs))
+    assert layout.n_super * n_bands_m <= GRID_CAP
