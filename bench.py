@@ -60,8 +60,6 @@ def main():
     from functools import partial
 
     from demuxalot_tpu.ops import likelihood as L
-    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls
-    from demuxalot_tpu.ops.tiling import tile_barcode_calls
     from demuxalot_tpu.sim import synthesize_device_workload
 
     backend = jax.default_backend()
@@ -90,10 +88,35 @@ def main():
         best = min(_timed(lambda: float(jnp.sum(fn()))) for _ in range(iters))
         return max(best - latency, 1e-9)
 
+    def chain_time(step, carry0, operands, k, iters=3):
+        """Amortized timing: one jit runs k DEPENDENT steps; (T − latency)/k.
+
+        Single-dispatch timings through this tunnel are unreliable below
+        ~2× the round-trip latency; chaining k iterations inside one jit
+        amortizes dispatch and readback to noise level.
+
+        ``operands`` (a pytree of device arrays) is passed as a jit ARGUMENT:
+        closing over concrete arrays would embed them as compile-time
+        constants, forcing a host readback of the whole table through the
+        tunnel at trace time (observed to fail with FAILED_PRECONDITION).
+        """
+        chain = jax.jit(
+            lambda c, a: jax.lax.fori_loop(0, k, lambda i, c: step(c, a), c)
+        )
+        float(jnp.sum(chain(carry0, operands)))  # compile + warm
+        latency = min(_timed(lambda: float(trivial(small))) for _ in range(5))
+        best = min(
+            _timed(lambda: float(jnp.sum(chain(carry0, operands)))) for _ in range(iters)
+        )
+        return max(best - latency, 1e-9) / k
+
     def _timed(thunk):
         t0 = time.perf_counter()
         thunk()
         return time.perf_counter() - t0
+
+    def _stage(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
     gp_dev = L.probs_from_betas(jnp.asarray(betas), jnp.asarray(variant2snp), N_SNPS, 0.01)
 
@@ -106,40 +129,120 @@ def main():
     def xla_forward(gp, mix, pen, vid, cb, q, *, n_barcodes, call_chunk):
         return L.barcode_logits(gp, mix, pen, vid, cb, q, n_barcodes, call_chunk=call_chunk)
 
-    xla_time = measure(
-        lambda: xla_forward(gp_dev, mix_d, pen_d, vid_d, cb_d, q_d,
-                            n_barcodes=N_BARCODES, call_chunk=512 * 1024)
-    )
+    if backend == "tpu":
+        _stage("XLA path: compiling chained E-step")
 
-    # --- Pallas path (TPU only) -------------------------------------------
+        # tiny dependent perturbation (~1e-22 on values ~0.5, rounds away
+        # in f32) keeps iterations chained without changing the numerics
+        def xla_step(c, a):
+            gp, mix, pen, vid_, cb_, q_ = a
+            return jnp.sum(
+                L.barcode_logits(
+                    gp + c, mix, pen, vid_, cb_, q_, N_BARCODES,
+                    call_chunk=512 * 1024,
+                )
+            ) * 1e-30
+
+        xla_time = chain_time(
+            xla_step, jnp.float32(0.0),
+            (gp_dev, mix_d, pen_d, vid_d, cb_d, q_d), k=4,
+        )
+    else:
+        xla_time = measure(
+            lambda: xla_forward(gp_dev, mix_d, pen_d, vid_d, cb_d, q_d,
+                                n_barcodes=N_BARCODES, call_chunk=512 * 1024)
+        )
+
+    # --- Pallas path (TPU only): the PRODUCTION layout selection ----------
     pallas_time = None
     em_iter_time = None
     mstep_time = None
     if backend == "tpu":
+        from demuxalot_tpu.models.demux import _PallasLogits
+        from demuxalot_tpu.ops.packing import BARCODE_CALLS_DTYPE
+
+        n_variants = betas.shape[0]
+        rec = np.recarray(n_calls, dtype=BARCODE_CALLS_DTYPE)
+        rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
+        rec["snp_id"] = variant2snp[vid]
+
         try:
-            tiled = tile_barcode_calls(cb[order], vid[order], q[order], N_BARCODES)
-            dev = TiledDeviceCalls(mixing, penalties, tiled)
-            pallas_time = measure(lambda: dev.logits(gp_dev))
+            from demuxalot_tpu.ops.pallas_likelihood import tiled_logits_impl
+
+            _stage(f"XLA E-step {xla_time*1e3:.1f} ms; Pallas path: building layout")
+            dev = _PallasLogits(
+                rec, N_BARCODES, mixing, penalties,
+                tile_barcodes=32, chunk_calls=512, n_variants=n_variants,
+            ).device
+            dev_ops = (dev.mixing_sl, dev.penalties_p, dev.vid,
+                       dev.cb_local, dev.q, dev.chunk_bounds, dev.chunk_suboff)
+
+            def pallas_logits(gp, a):
+                out = tiled_logits_impl(
+                    gp, *a,
+                    n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+                    tc=dev.chunk_calls, band_specs=dev.band_specs,
+                )
+                return out[:N_BARCODES, :n_pg]
+
+            pallas_time = chain_time(
+                lambda c, a: jnp.sum(pallas_logits(a[0] + c, a[1])) * 1e-30,
+                jnp.float32(0.0), (gp_dev, dev_ops), k=12,
+            )
+            _stage(f"Pallas E-step {pallas_time*1e3:.1f} ms; M-step path")
         except Exception as e:
             print(f"# pallas path failed: {e}", file=sys.stderr)
 
         try:
-            from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
+            from demuxalot_tpu.ops.pallas_mstep import (
+                TiledMstepCalls,
+                choose_mstep_bands,
+                tiled_mstep_impl,
+            )
 
             vorder = np.argsort(vid, kind="stable")
             mlayout = TiledMstepCalls(
-                vid[vorder], cb[vorder], q[vorder], betas.shape[0]
+                vid[vorder], cb[vorder], q[vorder], n_variants,
+                n_barcodes=N_BARCODES,
+                n_bands=choose_mstep_bands(N_BARCODES, N_DONORS),
+                n_genotypes=N_DONORS,
             )
+            m_ops = tuple(jnp.asarray(x) for x in (
+                mlayout.cb_global, mlayout.vl, mlayout.q,
+                mlayout.chunk_bounds, mlayout.chunk_suboff,
+            ))
+
+            def mstep_addition(posterior, a):
+                return tiled_mstep_impl(
+                    posterior, *a,
+                    n_variants=n_variants, n_genotypes=N_DONORS,
+                    tv=mlayout.tile_variants, tc=mlayout.chunk_calls,
+                    sps=mlayout.subtiles_per_super, contribution_power=2.0,
+                    band_specs=mlayout.band_specs,
+                )
 
             probs_fixed = jax.nn.softmax(dev.logits(gp_dev), axis=-1)
-            mstep_time = measure(lambda: mlayout.addition(probs_fixed, N_DONORS, 2.0))
+            mstep_time = chain_time(
+                lambda c, a: jnp.sum(mstep_addition(a[0] + c, a[1])) * 1e-30,
+                jnp.float32(0.0), (probs_fixed, m_ops), k=12,
+            )
 
-            def em_iteration():
-                logits = dev.logits(gp_dev)
-                probs = jax.nn.softmax(logits, axis=-1)
-                return mlayout.addition(probs, N_DONORS, 2.0)
+            # the true production chain: addition feeds the next iteration's
+            # betas (includes probs_from_betas, unlike a fixed-gp loop)
+            betas_dev = jnp.asarray(betas)
+            v2s_dev = jnp.asarray(variant2snp)
 
-            em_iter_time = measure(em_iteration)
+            def em_iteration(addition, a):
+                betas_a, v2s_a, e_ops, m_a = a
+                gp = L.probs_from_betas(betas_a + addition, v2s_a, N_SNPS, 0.01)
+                probs = jax.nn.softmax(pallas_logits(gp, e_ops), axis=-1)
+                return mstep_addition(probs, m_a)
+
+            em_iter_time = chain_time(
+                em_iteration, jnp.zeros_like(betas_dev),
+                (betas_dev, v2s_dev, dev_ops, m_ops), k=8,
+            )
+            _stage(f"EM iteration {em_iter_time*1e3:.1f} ms")
         except Exception as e:
             print(f"# em path failed: {e}", file=sys.stderr)
 
@@ -177,6 +280,7 @@ def main():
             "n_calls": n_calls,
             "n_snps": N_SNPS,
             "xla_time_s": round(xla_time, 4),
+            "estep_bands": (max(1, len(dev.band_specs)) if pallas_time else None),
             "pallas_time_s": round(pallas_time, 4) if pallas_time else None,
             "mstep_time_s": round(mstep_time, 4) if mstep_time else None,
             "em_iteration_s": round(em_iter_time, 4) if em_iter_time else None,
