@@ -170,12 +170,15 @@ def main():
             from demuxalot_tpu.ops.pallas_likelihood import tiled_logits_impl
 
             _stage(f"XLA E-step {xla_time*1e3:.1f} ms; Pallas path: building layout")
+            from demuxalot_tpu.models.demux import Demultiplexer
+
             dev = _PallasLogits(
                 rec, N_BARCODES, mixing, penalties,
-                tile_barcodes=32, chunk_calls=512, n_variants=n_variants,
+                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                n_variants=n_variants,
             ).device
             dev_ops = (dev.mixing_sl, dev.penalties_p, dev.vid,
-                       dev.cb_local, dev.q, dev.chunk_bounds, dev.chunk_suboff)
+                       dev.seg_group, dev.q, dev.chunk_bounds, dev.chunk_suboff)
 
             def pallas_logits(gp, a):
                 out = tiled_logits_impl(

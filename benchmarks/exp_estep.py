@@ -266,7 +266,8 @@ def main():
     penalties_p = np.zeros((1, pgp), np.float32)
     penalties_p[0, :pg] = penalties
     penalties_p = jnp.asarray(penalties_p)
-    cb_local = jnp.asarray(tiled.cb_local)
+    from demuxalot_tpu.ops.tiling import per_call_segments
+    cb_local = jnp.asarray(per_call_segments(tiled).reshape(1, -1))
 
     run = jax.jit(
         functools.partial(

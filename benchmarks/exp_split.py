@@ -187,7 +187,8 @@ def main():
     pen_p = jnp.asarray(pen_p)
     one_minus_q = jnp.asarray((1.0 - tiled.q).astype(np.float32))
     qt = jnp.asarray(np.maximum(tiled.q, 1e-4).astype(np.float32))
-    cb_local = jnp.asarray(tiled.cb_local)
+    from demuxalot_tpu.ops.tiling import per_call_segments
+    cb_local = jnp.asarray(per_call_segments(tiled).reshape(1, -1))
 
     run = jax.jit(
         functools.partial(

@@ -157,8 +157,10 @@ class Demultiplexer:
     # device knobs (framework-specific): calls per scan chunk, Pallas kernel toggle
     call_chunk = L.DEFAULT_CALL_CHUNK
     use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
-    pallas_tile_barcodes = 32  # barcode rows per logits tile held in VMEM
-    pallas_chunk_calls = 512  # calls per kernel grid step
+    # (64, 1024) measured best on v5e at the bench shape (benchmarks/
+    # exp_group.py sweep); banded layouts shrink chunk_calls adaptively
+    pallas_tile_barcodes = 64  # barcode rows per logits tile held in VMEM
+    pallas_chunk_calls = 1024  # calls per kernel grid step
 
     # -- public API --------------------------------------------------------
     @staticmethod

@@ -266,7 +266,8 @@ def genotype_addition_from_posteriors(
 
     def chunk_stats(vid_c, cb_c, q_c):
         w = singlet_posterior[cb_c] * (1.0 - q_c)[:, None]
-        contrib = jnp.where(q_c[:, None] >= 1.0, 0.0, w**contribution_power)
+        wp = w * w if contribution_power == 2.0 else w**contribution_power
+        contrib = jnp.where(q_c[:, None] >= 1.0, 0.0, wp)
         return jax.ops.segment_sum(contrib, vid_c, num_segments=n_variants, indices_are_sorted=True)
 
     return _accumulate_in_chunks(

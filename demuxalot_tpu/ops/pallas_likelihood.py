@@ -26,11 +26,15 @@ Two measured design points (benchmarks/exp_estep.py, exp_split.py, v5e):
       for each call chunk of the super-tile (inner fori_loop, DMA'd):
         args = mix_slᵀ-free dot: [PG_sl, TC] = mix_sl[PG_sl, D]·U[D, TC]
         vals = log(args)                       # VPU, no lane padding
-        out[subtile·TB : +TB, :PG_sl] += onehot(cb_local)·valsᵀ  # MXU
+        gs   = Σ_j vals[:, j·GPC : (j+1)·GPC]  # per-group sums, G−1 adds
+        out[subtile·TB : +TB, :PG_sl] += onehot(seg_group)·gsᵀ  # MXU, K=GPC
 
-Calls are pre-sorted by barcode and padded per TB-barcode sub-tile
-(ops/tiling.py); sub-tiles are grouped into super-tiles so the launch grid
-stays small (important: this environment's remote Mosaic compile cost grows
+Calls are pre-sorted by barcode, padded per barcode to whole groups of
+G = TC/128 and per TB-barcode sub-tile to whole chunks (ops/tiling.py);
+the group structure shrinks the scatter matmul's contraction from TC to
+GPC = 128 columns (measured ~7% E-step at the bench shape, more at large
+TC). Sub-tiles are grouped into super-tiles so the launch grid stays
+small (important: this environment's remote Mosaic compile cost grows
 with grid size). Chunk bounds and chunk→sub-tile offsets arrive via scalar
 prefetch.
 
@@ -116,14 +120,14 @@ def _likelihood_kernel(
     bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: sub-tile index within super-tile
     u_hbm,  # ANY [D, n_chunks*TC] pre-folded log arguments (call-major lanes)
-    cbl_hbm,  # ANY [1, n_chunks*TC] local barcode index within sub-tile
+    sg_hbm,  # ANY [1, n_chunks*GPC] barcode index within sub-tile per group
     mix_ref,  # VMEM [PG_sl, D] mixing with pseudogenotypes on sublanes
     pen_ref,  # VMEM [1, PGp]
     out_ref,  # VMEM [TBS, PGp] — this super-tile's logits (resident across bands)
     u_buf,  # VMEM scratch [2, D, TC]
-    cbl_buf,  # VMEM scratch [2, 1, TC]
+    sg_buf,  # VMEM scratch [2, 1, GPC]
     u_sem,  # DMA sems [2]
-    cbl_sem,
+    sg_sem,
     *,
     tb: int,
     tc: int,
@@ -131,6 +135,8 @@ def _likelihood_kernel(
     n_words: int,
     n_super: int,
 ):
+    group = max(1, tc // 128)
+    gpc = tc // group
     s = pl.program_id(0)
     band = pl.program_id(1)  # iterates fastest: out block stays resident
     at = band * (n_super + 1) + s
@@ -139,10 +145,13 @@ def _likelihood_kernel(
     n = hi - lo
 
     def dmas(slot, ci):
-        base = (lo + ci) * tc
         return (
-            pltpu.make_async_copy(u_hbm.at[:, pl.ds(base, tc)], u_buf.at[slot], u_sem.at[slot]),
-            pltpu.make_async_copy(cbl_hbm.at[:, pl.ds(base, tc)], cbl_buf.at[slot], cbl_sem.at[slot]),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((lo + ci) * tc, tc)], u_buf.at[slot], u_sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                sg_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], sg_buf.at[slot], sg_sem.at[slot]
+            ),
         )
 
     @pl.when(band == 0)
@@ -174,10 +183,17 @@ def _likelihood_kernel(
         args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)  # [PG_sl, TC]
         vals = jnp.log(jnp.maximum(args, 1e-30))
 
-        cbl = cbl_buf[slot][0, :]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
-        onehot = (row_ids == cbl[None, :]).astype(jnp.float32)  # [TB, TC]
-        contribution = dot_words(onehot, vals, ((1,), (1,)), n_words)  # [TB, PG_sl]
+        # per-group sums: group a's G calls sit at lane a of G GPC-lane
+        # blocks (ops/tiling.py layout), so G-1 aligned adds fold the
+        # scatter's contraction from TC down to GPC columns
+        gs = vals[:, 0:gpc]
+        for j in range(1, group):
+            gs = gs + vals[:, j * gpc : (j + 1) * gpc]  # [PG_sl, GPC]
+
+        sg = sg_buf[slot][0, :]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
+        onehot = (row_ids == sg[None, :]).astype(jnp.float32)  # [TB, GPC]
+        contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)  # [TB, PG_sl]
 
         off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
         out_ref[pl.ds(off, tb), :pg_sl] += contribution
@@ -191,7 +207,7 @@ def tiled_logits_impl(
     mixing_sl,  # f32 [PG_sl, Dp] (pseudogenotypes on sublanes, donors 8-padded)
     penalties_p,  # f32 [1, PGp]
     vid,  # i32 [n_chunks * TC], band-LOCAL variant ids
-    cb_local,  # i32 [1, n_chunks * TC]
+    seg_group,  # i32 [1, n_chunks * GPC] tile-local barcode per group
     q,  # f32 [1, n_chunks * TC]
     chunk_bounds,  # i32 [n_bands * (n_super + 1)]
     chunk_suboff,  # i32 [n_chunks]
@@ -218,6 +234,7 @@ def tiled_logits_impl(
     pgp = penalties_p.shape[1]
     d = genotype_prob.shape[1]
     n_chunks = chunk_suboff.shape[0]
+    gpc = tc // max(1, tc // 128)  # groups per chunk (ops/tiling.py)
     if not band_specs:
         band_specs = ((0, genotype_prob.shape[0], 0, n_chunks),)
     n_bands = len(band_specs)
@@ -248,7 +265,7 @@ def tiled_logits_impl(
         out_specs=pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, tc), jnp.float32),
-            pltpu.VMEM((2, 1, tc), jnp.int32),
+            pltpu.VMEM((2, 1, gpc), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -258,7 +275,7 @@ def tiled_logits_impl(
         _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words, n_super=n_super
     )
     passes = max(n_words, 1)
-    flops_per_chunk = (2 * tc * d_pad * pg_sl + 2 * tb * tc * pg_sl) * passes
+    flops_per_chunk = (2 * tc * d_pad * pg_sl + 2 * tb * gpc * pg_sl) * passes
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -269,7 +286,7 @@ def tiled_logits_impl(
             transcendentals=n_chunks * tc * pg_sl,
         ),
         interpret=interpret,
-    )(chunk_bounds, chunk_suboff, u, cb_local, mixing_sl, penalties_p)
+    )(chunk_bounds, chunk_suboff, u, seg_group, mixing_sl, penalties_p)
     return out
 
 
@@ -356,7 +373,7 @@ class TiledDeviceCalls:
         self.mixing_sl = jnp.asarray(build_mixing_sl(mixing))
         self.penalties_p = jnp.asarray(penalties_p)
         self.vid = jnp.asarray(tiled.vid)
-        self.cb_local = jnp.asarray(tiled.cb_local)
+        self.seg_group = jnp.asarray(tiled.seg_group)
         self.q = jnp.asarray(tiled.q)
         self.chunk_bounds = jnp.asarray(np.asarray(bounds, dtype=np.int32))
         self.chunk_suboff = jnp.asarray(chunk_suboff)
@@ -376,7 +393,7 @@ class TiledDeviceCalls:
             self.mixing_sl,
             self.penalties_p,
             self.vid,
-            self.cb_local,
+            self.seg_group,
             self.q,
             self.chunk_bounds,
             self.chunk_suboff,

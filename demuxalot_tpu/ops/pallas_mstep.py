@@ -41,11 +41,11 @@ def _mstep_kernel(
     bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: variant tile within super-tile
     wt_hbm,  # ANY [D, n_chunks*TC] gathered singlet posteriors (call-major lanes)
-    vl_hbm,  # ANY [1, n_chunks*TC] variant index within tile
+    vl_hbm,  # ANY [1, n_chunks*GPC] variant index within tile per group
     q_hbm,  # ANY [1, n_chunks*TC]
     out_ref,  # VMEM [D, SPS*TV] — this super-tile's block (resident across bands)
     wt_buf,  # VMEM scratch [2, D, TC]
-    vl_buf,  # VMEM scratch [2, 1, TC]
+    vl_buf,  # VMEM scratch [2, 1, GPC]
     q_buf,  # VMEM scratch [2, 1, TC]
     wt_sem,  # DMA sems [2]
     vl_sem,
@@ -57,6 +57,8 @@ def _mstep_kernel(
     n_words: int,
     n_super: int,
 ):
+    group = max(1, tc // 128)
+    gpc = tc // group
     s = pl.program_id(0)
     band = pl.program_id(1)  # fastest axis: the super-tile's block stays resident
     at = band * (n_super + 1) + s
@@ -68,7 +70,9 @@ def _mstep_kernel(
         base = (lo + ci) * tc
         return (
             pltpu.make_async_copy(wt_hbm.at[:, pl.ds(base, tc)], wt_buf.at[slot], wt_sem.at[slot]),
-            pltpu.make_async_copy(vl_hbm.at[:, pl.ds(base, tc)], vl_buf.at[slot], vl_sem.at[slot]),
+            pltpu.make_async_copy(
+                vl_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], vl_buf.at[slot], vl_sem.at[slot]
+            ),
             pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
         )
 
@@ -95,17 +99,26 @@ def _mstep_kernel(
 
         q = q_buf[slot][0, :]
         w = wt_buf[slot] * (1.0 - q)[None, :]
-        # padding rows (q == 1) must stay exactly zero for any power
-        w = jnp.where(q[None, :] >= 1.0, 0.0, w**power)  # [D, TC]
+        # padding rows (q == 1) must stay exactly zero for any power;
+        # integer powers stay on the VPU multiply path (a float exponent
+        # would lower as exp/log transcendentals)
+        wp = w * w if power == 2.0 else (w if power == 1.0 else w**power)
+        w = jnp.where(q[None, :] >= 1.0, 0.0, wp)  # [D, TC]
+
+        # per-group sums (each group is one variant's run of G calls,
+        # ops/tiling.py): the scatter contracts GPC columns instead of TC
+        gw = w[:, 0:gpc]
+        for j in range(1, group):
+            gw = gw + w[:, j * gpc : (j + 1) * gpc]  # [D, GPC]
 
         vl = vl_buf[slot][0, :]
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, tc), 0)
-        onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, TC]
-        # one-hot is bf16-exact; w carries the split words (see
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, gpc), 0)
+        onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, GPC]
+        # one-hot is bf16-exact; gw carries the split words (see
         # pallas_likelihood.dot_words for the precision strategy).
         # TV is a multiple of 128, so the lane-dim slice stays tile-aligned
         off = pl.multiple_of(suboff_ref[lo + ci] * tv, tv)
-        out_ref[:, pl.ds(off, tv)] += dot_words(w, onehot, ((1,), (1,)), n_words, split="a")
+        out_ref[:, pl.ds(off, tv)] += dot_words(gw, onehot, ((1,), (1,)), n_words, split="a")
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -114,7 +127,7 @@ def _mstep_kernel(
 def tiled_mstep_impl(
     posterior,  # f32 [n_barcodes(+pad), n_pseudogenotypes]
     cb_global,  # i32 [n_chunks * TC] barcode per call, band-LOCAL when banded
-    vl,  # i32 [1, n_chunks * TC] variant index within tile
+    vl,  # i32 [1, n_chunks * GPC] variant index within tile per group
     q,  # f32 [1, n_chunks * TC]
     chunk_bounds,  # i32 [n_bands * (n_super + 1)]
     chunk_suboff,  # i32 [n_chunks] variant tile within super-tile
@@ -168,7 +181,7 @@ def tiled_mstep_impl(
         out_specs=pl.BlockSpec((d, sps * tv), lambda s, k, *_: (0, s)),
         scratch_shapes=[
             pltpu.VMEM((2, d, tc), jnp.float32),
-            pltpu.VMEM((2, 1, tc), jnp.int32),
+            pltpu.VMEM((2, 1, tc // max(1, tc // 128)), jnp.int32),
             pltpu.VMEM((2, 1, tc), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -270,16 +283,17 @@ class ShardedMstepLayout:
         n_super = -(-n_tiles // sps)
 
         width = n_chunks * chunk_calls
+        gpc = chunk_calls // max(1, chunk_calls // 128)
         n_blocks = len(per_shard)
         self.cb_global = np.zeros((n_blocks, width), np.int32)
-        self.vl = np.zeros((n_blocks, 1, width), np.int32)
+        self.vl = np.zeros((n_blocks, 1, n_chunks * gpc), np.int32)
         self.q = np.ones((n_blocks, 1, width), np.float32)
         self.chunk_bounds = np.zeros((n_blocks, n_super + 1), np.int32)
         self.chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
         for s, t in enumerate(per_shard):
             w = t.n_chunks * chunk_calls
             self.cb_global[s, :w] = np.asarray(t.cb_global)
-            self.vl[s, 0, :w] = np.asarray(t.vl)[0]
+            self.vl[s, 0, : t.n_chunks * gpc] = np.asarray(t.vl)[0]
             self.q[s, 0, :w] = np.asarray(t.q)[0]
             chunks_per_tile = np.bincount(t.chunk2tile, minlength=n_tiles)
             tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
@@ -355,7 +369,7 @@ class TiledMstepCalls:
         # layout reuses the banded segment-tiling machinery with the axes
         # swapped: the segment (tiled) axis is VARIANTS, the banded payload
         # axis is BARCODES — so the returned ``vid`` slot carries band-local
-        # barcodes and ``cb_local`` the within-tile variant index
+        # barcodes and ``seg_group`` the within-tile variant index per group
         tiled = tile_barcode_calls_banded(
             variant_sorted_vid,
             variant_sorted_cb,
@@ -395,7 +409,7 @@ class TiledMstepCalls:
 
         # host copies; uploaded lazily (and only once) on first use
         self.cb_global = tiled.vid
-        self.vl = tiled.cb_local
+        self.vl = tiled.seg_group
         self.q = tiled.q
         self.chunk_bounds = np.asarray(bounds, dtype=np.int32)
         self.chunk_suboff = (tiled.chunk2tile % subtiles_per_super).astype(np.int32)

@@ -6,6 +6,17 @@ walks chunks in order, accumulating each chunk into its tile's logits block
 held in VMEM — chunk→tile ownership rides along as a scalar-prefetch array.
 Every tile gets at least one chunk so all output blocks are initialized.
 
+**Group structure** (the key to a small scatter): with ``G = TC // 128``
+each segment's (barcode's / variant's) calls are padded to a multiple of
+G and chunk slot ``i`` is stored at lane ``(i % G) * GPC + i // G``
+(``GPC = TC // G``), so *group a* — slots ``aG..aG+G-1``, all one
+segment — occupies lane ``a`` of G consecutive GPC-lane blocks. The
+kernel folds the per-call values into per-group sums with G−1 aligned
+vector adds and the scatter matmul contracts only GPC (=128) one-hot
+columns per chunk instead of TC. ``seg_group`` maps each group to its
+segment index within the tile. Cost: ~(G−1)/2 padding slots per segment
+(q = 1 rows, exact no-ops).
+
 Layout note: per-call vectors are stored ``[1, n_chunks*TC]`` so kernel
 blocks of ``(1, TC)`` satisfy Mosaic's tiling rule (sublane dim equals the
 full array dim, lane dim a multiple of 128).
@@ -17,10 +28,15 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def chunk_group(chunk_calls: int) -> int:
+    """Calls per group: G = TC // 128 (1 for sub-128 test chunks)."""
+    return max(1, chunk_calls // 128)
+
+
 @dataclass
 class TiledCalls:
     vid: np.ndarray  # i32 [n_chunks * TC] variant id per call (padding → 0)
-    cb_local: np.ndarray  # i32 [1, n_chunks * TC] barcode index within tile (padding → 0)
+    seg_group: np.ndarray  # i32 [1, n_chunks * GPC] segment index within tile per group
     q: np.ndarray  # f32 [1, n_chunks * TC] p_base_wrong (padding → 1)
     chunk2tile: np.ndarray  # i32 [n_chunks]
     n_barcodes: int
@@ -32,6 +48,26 @@ class TiledCalls:
     def n_chunks(self) -> int:
         return len(self.chunk2tile)
 
+    @property
+    def group(self) -> int:
+        return chunk_group(self.chunk_calls)
+
+    @property
+    def groups_per_chunk(self) -> int:
+        return self.chunk_calls // self.group
+
+
+def per_call_segments(tiled) -> np.ndarray:
+    """Tile-local segment index per call slot ([n_chunks * TC] i32).
+
+    Inverts the group lane mapping (slot at lane ``j·GPC + a`` belongs to
+    group ``a``) — used by layout round-trip tests and diagnostics.
+    """
+    gpc = tiled.groups_per_chunk
+    seg = np.asarray(tiled.seg_group).reshape(-1, gpc)  # [n_chunks, gpc]
+    lane_group = np.arange(tiled.chunk_calls) % gpc
+    return seg[:, lane_group].reshape(-1)
+
 
 def tile_barcode_calls(
     cb_sorted: np.ndarray,
@@ -41,33 +77,46 @@ def tile_barcode_calls(
     tile_barcodes: int = 32,
     chunk_calls: int = 512,
 ) -> TiledCalls:
-    """Lay out barcode-sorted calls into per-tile padded chunks (vectorized)."""
+    """Lay out barcode-sorted calls into per-tile padded, grouped chunks."""
     TB, TC = tile_barcodes, chunk_calls
+    G = chunk_group(TC)
+    GPC = TC // G
+    assert TC % G == 0
     n_tiles = max(1, -(-n_barcodes // TB))
+    nb_pad = n_tiles * TB
     n_calls = len(cb_sorted)
 
-    tile_of_call = (cb_sorted // TB).astype(np.int64)
-    boundaries = np.searchsorted(tile_of_call, np.arange(n_tiles + 1))
-    counts = boundaries[1:] - boundaries[:-1]
-    chunks_per_tile = np.maximum(1, -(-counts // TC))
+    counts = np.bincount(cb_sorted, minlength=nb_pad).astype(np.int64)
+    padded = -(-counts // G) * G  # per-segment slots, group-aligned
+    tile_slots = padded.reshape(n_tiles, TB).sum(axis=1)
+    chunks_per_tile = np.maximum(1, -(-tile_slots // TC))
     n_chunks = int(chunks_per_tile.sum())
+    chunk_start = np.concatenate([[0], np.cumsum(chunks_per_tile)[:-1]])
 
     vid = np.zeros(n_chunks * TC, dtype=np.int32)
-    cb_local = np.zeros(n_chunks * TC, dtype=np.int32)
+    seg_group = np.zeros(n_chunks * GPC, dtype=np.int32)
     q = np.ones(n_chunks * TC, dtype=np.float32)
     chunk2tile = np.repeat(np.arange(n_tiles, dtype=np.int32), chunks_per_tile)
 
-    chunk_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)[:-1]])
     if n_calls:
-        within_tile = np.arange(n_calls, dtype=np.int64) - boundaries[tile_of_call]
-        dst = chunk_starts[tile_of_call] * TC + within_tile
-        vid[dst] = vid_sorted
-        cb_local[dst] = cb_sorted - tile_of_call * TB
-        q[dst] = q_sorted
+        slot_cum = np.concatenate([[0], np.cumsum(padded)])
+        tile_of_b = np.arange(nb_pad, dtype=np.int64) // TB
+        b_offset = slot_cum[:-1] - slot_cum[tile_of_b * TB]
+        call_start = np.concatenate([[0], np.cumsum(counts)])
+
+        b = cb_sorted.astype(np.int64)
+        rank = np.arange(n_calls, dtype=np.int64) - call_start[b]
+        s = b_offset[b] + rank  # slot within the tile's call stream
+        c_global = chunk_start[tile_of_b[b]] + s // TC
+        i_in = s % TC
+        lane = (i_in % G) * GPC + i_in // G
+        vid[c_global * TC + lane] = vid_sorted
+        q[c_global * TC + lane] = q_sorted
+        seg_group[c_global * GPC + i_in // G] = (b - tile_of_b[b] * TB).astype(np.int32)
 
     return TiledCalls(
         vid=vid,
-        cb_local=cb_local.reshape(1, -1),
+        seg_group=seg_group.reshape(1, -1),
         q=q.reshape(1, -1),
         chunk2tile=chunk2tile,
         n_barcodes=n_barcodes,
@@ -92,7 +141,7 @@ class BandedTiledCalls:
     """
 
     vid: np.ndarray  # i32 [n_chunks * TC], local to the call's band
-    cb_local: np.ndarray  # i32 [1, n_chunks * TC]
+    seg_group: np.ndarray  # i32 [1, n_chunks * GPC]
     q: np.ndarray  # f32 [1, n_chunks * TC]
     chunk2tile: np.ndarray  # i32 [n_chunks]
     band_chunk_offsets: np.ndarray  # i64 [n_bands + 1] chunk index of each band's region
@@ -106,6 +155,14 @@ class BandedTiledCalls:
     @property
     def n_chunks(self) -> int:
         return len(self.chunk2tile)
+
+    @property
+    def group(self) -> int:
+        return chunk_group(self.chunk_calls)
+
+    @property
+    def groups_per_chunk(self) -> int:
+        return self.chunk_calls // self.group
 
 
 def tile_barcode_calls_banded(
@@ -139,7 +196,7 @@ def tile_barcode_calls_banded(
     ).astype(np.int64)
     return BandedTiledCalls(
         vid=np.concatenate([p.vid for p in parts]),
-        cb_local=np.concatenate([p.cb_local for p in parts], axis=1),
+        seg_group=np.concatenate([p.seg_group for p in parts], axis=1),
         q=np.concatenate([p.q for p in parts], axis=1),
         chunk2tile=np.concatenate([p.chunk2tile for p in parts]),
         band_chunk_offsets=band_chunk_offsets,
@@ -158,8 +215,15 @@ def tile_barcode_calls_banded(
 GRID_CAP = 448
 
 
-def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 12_000_000) -> int:
-    """Variant bands so each gather table slice stays under the fast-path size."""
+def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 17_000_000) -> int:
+    """Variant bands so each gather table slice stays under the fast-path size.
+
+    Measured on v5e (benchmarks/exp_gather harnesses): the gather is
+    index-count bound (~2.6 ns/row) for tables up to ~17 MB — banding below
+    that size buys nothing and costs chunk padding — while at the PMBC
+    SNP-array scale (84 MB table) unbanded gathers degrade ~10x, so bands
+    sized to ≤17 MB slices stay on the flat part of the curve.
+    """
     table_bytes = n_variants * n_donors * 4
     return max(1, -(-table_bytes // table_budget_bytes))
 
@@ -210,16 +274,21 @@ def banded_chunk_counts(
     """Chunks each (shard, band) region needs ([n_shards, n_bands] int64).
 
     Cheap pre-pass (one bincount over the calls) so multi-host layouts can
-    agree on per-band chunk widths before any array is built.
+    agree on per-band chunk widths before any array is built. Mirrors the
+    real layout exactly, including per-segment group padding (each
+    barcode's calls round up to multiples of G = TC/128).
     """
+    G = chunk_group(chunk_calls)
     n_tiles = n_barcodes_per_shard // tile_barcodes
     edges = np.linspace(0, n_variants, n_bands + 1).astype(np.int64)
     band = np.clip(np.searchsorted(edges, vid_sorted, side="right") - 1, 0, n_bands - 1)
     shard = cb_sorted.astype(np.int64) // n_barcodes_per_shard
-    tile = (cb_sorted.astype(np.int64) % n_barcodes_per_shard) // tile_barcodes
-    key = (shard * n_bands + band) * n_tiles + tile
-    per_tile = np.bincount(key, minlength=n_shards * n_bands * n_tiles)
-    chunks = np.maximum(1, -(-per_tile // chunk_calls)).reshape(n_shards, n_bands, n_tiles)
+    local_b = cb_sorted.astype(np.int64) % n_barcodes_per_shard
+    key = (shard * n_bands + band) * n_barcodes_per_shard + local_b
+    per_barcode = np.bincount(key, minlength=n_shards * n_bands * n_barcodes_per_shard)
+    padded = -(-per_barcode // G) * G
+    per_tile = padded.reshape(n_shards, n_bands, n_tiles, tile_barcodes).sum(axis=3)
+    chunks = np.maximum(1, -(-per_tile // chunk_calls))
     return chunks.sum(axis=2)
 
 
@@ -265,7 +334,7 @@ class ShardedTiledCalls:
     """
 
     vid: np.ndarray  # i32 [S, n_chunks * TC]
-    cb_local: np.ndarray  # i32 [S, 1, n_chunks * TC]
+    seg_group: np.ndarray  # i32 [S, 1, n_chunks * GPC]
     q: np.ndarray  # f32 [S, 1, n_chunks * TC]
     chunk_bounds: np.ndarray  # i32 [S, n_bands * (n_super + 1)]
     chunk_suboff: np.ndarray  # i32 [S, n_chunks]
@@ -352,8 +421,9 @@ def tile_barcode_calls_sharded(
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super
     n_blocks = len(per_shard)
+    GPC = TC // chunk_group(TC)
     vid = np.zeros((n_blocks, n_chunks * TC), np.int32)
-    cb_local = np.zeros((n_blocks, 1, n_chunks * TC), np.int32)
+    seg_group = np.zeros((n_blocks, 1, n_chunks * GPC), np.int32)
     q = np.ones((n_blocks, 1, n_chunks * TC), np.float32)
     chunk_bounds = np.zeros((n_blocks, n_super + 1), np.int32)
     chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
@@ -361,7 +431,7 @@ def tile_barcode_calls_sharded(
     for s, local in enumerate(per_shard):
         m = local.n_chunks
         vid[s, : m * TC] = local.vid
-        cb_local[s, 0, : m * TC] = local.cb_local[0]
+        seg_group[s, 0, : m * GPC] = local.seg_group[0]
         q[s, 0, : m * TC] = local.q[0]
         chunks_per_tile = np.bincount(local.chunk2tile, minlength=n_tiles)
         tile_starts = np.concatenate([[0], np.cumsum(chunks_per_tile)])
@@ -375,7 +445,7 @@ def tile_barcode_calls_sharded(
         # padded chunks keep suboff 0 (their calls contribute nothing)
 
     return ShardedTiledCalls(
-        vid=vid, cb_local=cb_local, q=q,
+        vid=vid, seg_group=seg_group, q=q,
         chunk_bounds=chunk_bounds, chunk_suboff=chunk_suboff,
         n_barcodes=n_barcodes,
         n_barcodes_per_shard=per_shard_b,
@@ -428,8 +498,9 @@ def _sharded_banded(
     n_super = -(-n_tiles // subtiles_per_super)
     tbs = TB * subtiles_per_super
     n_blocks = len(per_shard)
+    GPC = TC // chunk_group(TC)
     vid = np.zeros((n_blocks, n_chunks * TC), np.int32)
-    cb_local = np.zeros((n_blocks, 1, n_chunks * TC), np.int32)
+    seg_group = np.zeros((n_blocks, 1, n_chunks * GPC), np.int32)
     q = np.ones((n_blocks, 1, n_chunks * TC), np.float32)
     chunk_bounds = np.zeros((n_blocks, n_bands * (n_super + 1)), np.int32)
     chunk_suboff = np.zeros((n_blocks, n_chunks), np.int32)
@@ -441,7 +512,7 @@ def _sharded_banded(
             m = c_hi - c_lo
             dst = int(dst_offsets[k])
             vid[i, dst * TC : (dst + m) * TC] = t.vid[c_lo * TC : c_hi * TC]
-            cb_local[i, 0, dst * TC : (dst + m) * TC] = t.cb_local[0, c_lo * TC : c_hi * TC]
+            seg_group[i, 0, dst * GPC : (dst + m) * GPC] = t.seg_group[0, c_lo * GPC : c_hi * GPC]
             q[i, 0, dst * TC : (dst + m) * TC] = t.q[0, c_lo * TC : c_hi * TC]
             chunks_per_tile = np.bincount(t.chunk2tile[c_lo:c_hi], minlength=n_tiles)
             starts = dst + np.concatenate([[0], np.cumsum(chunks_per_tile)])
@@ -459,7 +530,7 @@ def _sharded_banded(
         for k in range(n_bands)
     )
     return ShardedTiledCalls(
-        vid=vid, cb_local=cb_local, q=q,
+        vid=vid, seg_group=seg_group, q=q,
         chunk_bounds=chunk_bounds, chunk_suboff=chunk_suboff,
         n_barcodes=n_barcodes,
         n_barcodes_per_shard=per_shard_b,

@@ -65,11 +65,11 @@ def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
     st = sharded_tiled
     interpret = jax.default_backend() != "tpu"
 
-    def estep(betas, variant2snp, mixing_sl, penalties_p, vid, cb_local, q, bounds, suboff):
+    def estep(betas, variant2snp, mixing_sl, penalties_p, vid, seg_group, q, bounds, suboff):
         genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
         out = tiled_logits_impl(
             genotype_prob, mixing_sl, penalties_p,
-            vid[0], cb_local[0], q[0], bounds[0], suboff[0],
+            vid[0], seg_group[0], q[0], bounds[0], suboff[0],
             n_super=st.n_super, tbs=st.tbs, tb=st.tile_barcodes, tc=st.chunk_calls,
             band_specs=st.band_specs,
             interpret=interpret,
@@ -140,8 +140,12 @@ class ShardedDemultiplexer:
     contribution_power = 2.0
     call_chunk = L.DEFAULT_CALL_CHUNK
     use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
-    pallas_tile_barcodes = 32
-    pallas_chunk_calls = 512
+    # E-step tiles: (64, 1024) measured best on v5e (benchmarks/exp_group.py)
+    pallas_tile_barcodes = 64
+    pallas_chunk_calls = 1024
+    # M-step chunk: variants average fewer calls per segment than barcodes,
+    # so the smaller chunk keeps group padding modest
+    mstep_chunk_calls = 512
 
     def __init__(self, mesh: Optional[Mesh] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -194,6 +198,7 @@ class ShardedDemultiplexer:
         local_max_calls = int(counts[my_shards].max()) if len(my_shards) else 0
         (max_calls_per_shard,) = allreduce_max_dims([local_max_calls])
         chunk_floor = -(-max(max_calls_per_shard, 1) // self.pallas_chunk_calls)
+        mstep_chunk_floor = -(-max(max_calls_per_shard, 1) // self.mstep_chunk_calls)
 
         shd = jax.sharding.NamedSharding(self.mesh, PSpec(BARCODE_AXIS))
 
@@ -227,7 +232,7 @@ class ShardedDemultiplexer:
         tiled = None
         if use_pallas:
             from ..ops.pallas_likelihood import padded_pg
-            from ..ops.tiling import choose_n_bands, tile_barcode_calls_sharded
+            from ..ops.tiling import choose_n_bands, chunk_group, tile_barcode_calls_sharded
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             order = np.argsort(cb, kind="stable")
@@ -275,10 +280,16 @@ class ShardedDemultiplexer:
                 pgp=pgp,
                 barcodes_per_shard=per_shard,
                 shard_ids=my_shards,
-                # multi-host: consistent upper bounds (each of the shard's
-                # tiles can round one chunk up) replace the cross-shard max
-                # no single process can see; single-host keeps the exact max
-                n_chunks_floor=(chunk_floor + n_tiles_per_shard if multi else 0),
+                # multi-host: consistent upper bounds (each tile can round
+                # one chunk up, plus per-barcode group padding of up to
+                # TB*(G-1) slots per tile) replace the cross-shard max no
+                # single process can see; single-host keeps the exact max
+                n_chunks_floor=(
+                    chunk_floor
+                    + n_tiles_per_shard
+                    * (1 + (self.pallas_tile_barcodes * (chunk_group(tc) - 1) + tc - 1) // tc)
+                    if multi else 0
+                ),
                 n_variants=n_variants or 0,
                 n_bands=n_bands,
                 band_width_floors=band_floors,
@@ -289,7 +300,7 @@ class ShardedDemultiplexer:
             penalties_p[0, :pg] = penalties
             arrays.update(
                 pallas_vid=put_stacked(tiled.vid),
-                pallas_cbl=put_stacked(tiled.cb_local),
+                pallas_cbl=put_stacked(tiled.seg_group),
                 pallas_q=put_stacked(tiled.q),
                 pallas_bounds=put_stacked(tiled.chunk_bounds),
                 pallas_suboff=put_stacked(tiled.chunk_suboff),
@@ -301,11 +312,12 @@ class ShardedDemultiplexer:
         if self._resolve_use_pallas() and build_mstep and n_variants is not None:
             # M-step kernel layout (variant-tiled per shard, local barcodes)
             from ..ops.pallas_mstep import ShardedMstepLayout, choose_tile_variants
+            from ..ops.tiling import chunk_group
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             shard_of_call = cb // per_shard
             tv = choose_tile_variants(
-                max_calls_per_shard, n_variants, chunk_calls=self.pallas_chunk_calls
+                max_calls_per_shard, n_variants, chunk_calls=self.mstep_chunk_calls
             )
             mlayout = ShardedMstepLayout(
                 cb_local=(cb - shard_of_call * per_shard).astype(np.int32),
@@ -315,10 +327,17 @@ class ShardedDemultiplexer:
                 n_shards=self.n_shards,
                 n_variants=n_variants,
                 tile_variants=tv,
-                chunk_calls=self.pallas_chunk_calls,
+                chunk_calls=self.mstep_chunk_calls,
                 shard_ids=my_shards,
-                # see the E-step layout note: agreed upper bound, multi-host only
-                n_chunks_floor=(chunk_floor + -(-n_variants // tv) if multi else 0),
+                # see the E-step layout note: agreed upper bound (tile
+                # rounding + per-variant group padding), multi-host only
+                n_chunks_floor=(
+                    mstep_chunk_floor
+                    + -(-n_variants // tv)
+                    * (1 + (tv * (chunk_group(self.mstep_chunk_calls) - 1)
+                            + self.mstep_chunk_calls - 1) // self.mstep_chunk_calls)
+                    if multi else 0
+                ),
                 n_genotypes=(mixing.shape[0] if mixing is not None else 0),
             )
             arrays.update(

@@ -39,7 +39,7 @@ from demuxalot_tpu.sim import synthesize_device_workload
 assert jax.device_count() == 8, jax.devices()
 assert jax.local_device_count() == 4
 
-N_B, N_D, N_S, CPB = 256, 4, 64, 8
+N_B, N_D, N_S, CPB = 1024, 4, 64, 8
 betas, v2s, vid, cb, q, _ = synthesize_device_workload(N_B, N_D, N_S, CPB, seed=11)
 mixing, _names = L.pseudogenotype_mixing([f"D{i}" for i in range(N_D)], 0.25)
 pen = L.doublet_penalties(N_D, 0.25)

@@ -51,7 +51,7 @@ def test_two_process_distributed_em(tmp_path):
     from demuxalot_tpu.sim import synthesize_device_workload
     import jax
 
-    N_B, N_D, N_S, CPB = 256, 4, 64, 8
+    N_B, N_D, N_S, CPB = 1024, 4, 64, 8
     np.random.seed(0)
     betas, v2s, vid, cb, q, _ = synthesize_device_workload(N_B, N_D, N_S, CPB, seed=11)
     mixing, _names = L.pseudogenotype_mixing([f"D{i}" for i in range(N_D)], 0.25)

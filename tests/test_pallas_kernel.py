@@ -34,10 +34,12 @@ def test_tiling_layout_roundtrip():
     tiled = tile_barcode_calls(cb, vid, q, B, tile_barcodes=32, chunk_calls=128)
     assert tiled.n_tiles == -(-B // 32)
     # every real call appears exactly once with the right tile-local barcode
+    from demuxalot_tpu.ops.tiling import per_call_segments
+
     real = tiled.q.reshape(-1) < 1.0
     got_global_cb = (
         np.repeat(tiled.chunk2tile, tiled.chunk_calls) * tiled.tile_barcodes
-        + tiled.cb_local.reshape(-1)
+        + per_call_segments(tiled)
     )[real]
     np.testing.assert_array_equal(np.sort(got_global_cb), np.sort(cb[q < 1.0]))
     # padding rows are exact no-ops (q == 1)

@@ -242,7 +242,7 @@ def test_sharded_banded_estep_matches_plain():
         pen_p[0, :pg] = pen
         logits, _probs = estep(
             put_r(betas), put_r(v2s), put_r(build_mixing_sl(mixing)), put_r(pen_p),
-            put_s(st.vid), put_s(st.cb_local), put_s(st.q),
+            put_s(st.vid), put_s(st.seg_group), put_s(st.q),
             put_s(st.chunk_bounds), put_s(st.chunk_suboff),
         )
         results.append(np.asarray(logits)[:n_barcodes])
