@@ -24,10 +24,12 @@ from demuxalot_tpu.utils.platform import honor_jax_platforms_env
 
 honor_jax_platforms_env()
 
-BARCODES_PER_SHARD = 8192
-N_DONORS = 16
-N_SNPS = 16384
-CALLS_PER_BARCODE = 32
+# default shard size matches a realistic per-chip serving slice; small
+# shards under-amortize fixed dispatch overhead and understate efficiency
+BARCODES_PER_SHARD = int(os.environ.get("DEMUX_SCALING_BARCODES_PER_SHARD", 32768))
+N_DONORS = int(os.environ.get("DEMUX_SCALING_DONORS", 16))
+N_SNPS = int(os.environ.get("DEMUX_SCALING_SNPS", 16384))
+CALLS_PER_BARCODE = int(os.environ.get("DEMUX_SCALING_CALLS_PER_BARCODE", 32))
 DOUBLET_PRIOR = 0.0  # EM default
 
 
@@ -70,7 +72,8 @@ def measure_em(mesh_devices, n_barcodes):
         mstep = jax.jit(_build_mstep_pallas(
             sh.mesh, arrays["mstep_layout"], n_variants, n_genotypes, 2.0
         ))
-        margs = (arrays["mstep_cb"], arrays["mstep_vl"], arrays["mstep_q"], arrays["mstep_bounds"])
+        margs = (arrays["mstep_cb"], arrays["mstep_vl"], arrays["mstep_q"],
+                 arrays["mstep_bounds"], arrays["mstep_suboff"])
     else:
         mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))
         margs = (arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
@@ -102,27 +105,81 @@ def measure_em(mesh_devices, n_barcodes):
     return em_time, n_barcodes / em_time
 
 
+def _run_one(n: int):
+    """Measure one mesh size in-process and print its result JSON."""
+    import jax
+
+    devices = jax.devices()[:n]
+    n_barcodes = BARCODES_PER_SHARD * n
+    em_time, rate = measure_em(devices, n_barcodes)
+    print(json.dumps({"devices": n, "n_barcodes": n_barcodes,
+                      "em_iteration_s": round(em_time, 4),
+                      "barcodes_per_s": round(rate, 1)}), flush=True)
+
+
+def _measure_subprocess(n: int, n_cores: int):
+    """Run one mesh size in a child pinned to ``n_cores`` physical cores.
+
+    On a CPU host the 1-device XLA run already spreads across every core, so
+    in-process weak scaling conflates core oversubscription with collective
+    overhead. Pinning the n-device measurement to n cores emulates "each
+    device owns equal hardware", which is the quantity weak scaling is
+    supposed to track (a real TPU slice gives every chip its own silicon).
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+    cores = ",".join(str(c) for c in range(n_cores))
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, __file__, "--one", str(n)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"scaling child (n={n}) failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     import jax
 
-    devices = jax.devices()
+    backend = jax.default_backend()
+    n_devices = len(jax.devices())
+    # CPU children spawn their own virtual device meshes, so the parent's
+    # visible device count does not cap the sweep there
+    sizes = [1, 2, 4, 8] if backend == "cpu" else [
+        n for n in (1, 2, 4, 8) if n <= n_devices
+    ]
     results = []
-    sizes = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
-    if len(devices) >= 4:
-        sizes = sorted(set(sizes) | {4})
+    host_cores = os.cpu_count() or 1
     for n in sizes:
-        n_barcodes = BARCODES_PER_SHARD * n
-        em_time, rate = measure_em(devices[:n], n_barcodes)
-        results.append({"devices": n, "n_barcodes": n_barcodes,
-                        "em_iteration_s": round(em_time, 4),
-                        "barcodes_per_s": round(rate, 1)})
-        print(json.dumps(results[-1]), flush=True)
+        if backend == "cpu":
+            r = _measure_subprocess(n, min(n, host_cores))
+        else:
+            n_barcodes = BARCODES_PER_SHARD * n
+            em_time, rate = measure_em(jax.devices()[:n], n_barcodes)
+            r = {"devices": n, "n_barcodes": n_barcodes,
+                 "em_iteration_s": round(em_time, 4),
+                 "barcodes_per_s": round(rate, 1)}
+        results.append(r)
+        print(json.dumps(r), flush=True)
 
     base = results[0]["barcodes_per_s"]
     for r in results:
         r["weak_scaling_efficiency"] = round(r["barcodes_per_s"] / (base * r["devices"]), 3)
-    print(json.dumps({"backend": jax.default_backend(), "weak_scaling": results}))
+    out = {"backend": backend, "weak_scaling": results}
+    if backend == "cpu":
+        out["method"] = (
+            f"each N-device point runs in a child process pinned to min(N, {host_cores}) "
+            "host cores so every virtual device owns equal hardware; points with "
+            f"N > {host_cores} devices oversubscribe the host and understate efficiency"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        _run_one(int(sys.argv[2]))
+    else:
+        main()
