@@ -97,7 +97,9 @@ class _PallasLogits:
             # gather table stays under the fast-path size (DESIGN.md §7).
             # Chunks shrink toward the mean per-(tile, band) call count so
             # the extra per-band padding stays modest.
-            tc = choose_banded_chunk_calls(len(cb), n_tiles, n_bands, chunk_calls)
+            tc = choose_banded_chunk_calls(
+                len(cb), n_tiles, n_bands, chunk_calls, seg_rows=tile_barcodes
+            )
             tiled = tile_barcode_calls_banded(
                 *args, n_variants=n_variants, n_bands=n_bands,
                 tile_barcodes=tile_barcodes, chunk_calls=tc,

@@ -116,6 +116,31 @@ def dot_words(a, b, dims, n_words: int, split: str = "b"):
     return total
 
 
+def dot_words_stacked(a, b_split, n_words: int):
+    """One-pass variant of :func:`dot_words` for skinny contractions.
+
+    Splits ``b_split`` (contracted on its axis 0) into bf16 words and stacks
+    them along the contraction axis instead of summing separate passes —
+    ``a`` must already be tiled ``n_words`` times along its contraction axis
+    (axis 1). With K ≤ 64 donors the MXU pads the contraction to its full
+    128 depth anyway, so one stacked pass costs what one word-pass does —
+    halving the expansion matmul at f32x2 precision. Numerically identical
+    to the summed passes up to f32 accumulation order.
+    """
+    words = []
+    remainder = b_split
+    for _ in range(n_words):
+        word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
+        remainder = remainder - word
+        words.append(word)
+    stacked = jnp.concatenate(words, axis=0)
+    return jax.lax.dot_general(
+        a, stacked, dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
 def _likelihood_kernel(
     bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: sub-tile index within super-tile
@@ -134,6 +159,7 @@ def _likelihood_kernel(
     pg_sl: int,
     n_words: int,
     n_super: int,
+    stack_k: bool,
 ):
     group = max(1, tc // 128)
     gpc = tc // group
@@ -180,7 +206,10 @@ def _likelihood_kernel(
         # Real rows satisfy args >= 1e-4 (U >= q~, mixing columns sum to 1);
         # the floor only catches the all-zero sublane-padding rows, whose
         # log(0) = -inf would otherwise turn into NaN in the split words.
-        args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)  # [PG_sl, TC]
+        if stack_k:
+            args = dot_words_stacked(mix_ref[:], u_buf[slot], n_words)  # [PG_sl, TC]
+        else:
+            args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)
         vals = jnp.log(jnp.maximum(args, 1e-30))
 
         # per-group sums: group a's G calls sit at lane a of G GPC-lane
@@ -219,6 +248,7 @@ def tiled_logits_impl(
     band_specs: tuple = (),  # ((v_lo, v_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
     n_words: int | None = None,
+    stack_k: bool | None = None,
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -231,6 +261,12 @@ def tiled_logits_impl(
     if n_words is None:
         n_words = _SPLIT_WORDS[KERNEL_PRECISION]
     pg_sl, d_pad = mixing_sl.shape
+    if stack_k is None:
+        # stacking pays off while the stacked contraction still fits one
+        # 128-deep MXU pass (d_pad * n_words <= 128, i.e. <= 64 donors at f32x2)
+        stack_k = n_words >= 2 and d_pad * n_words <= 128
+    stack_k = stack_k and n_words >= 2
+    mix_block = mixing_sl if not stack_k else jnp.tile(mixing_sl, (1, n_words))
     pgp = penalties_p.shape[1]
     d = genotype_prob.shape[1]
     n_chunks = chunk_suboff.shape[0]
@@ -259,7 +295,7 @@ def tiled_logits_impl(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((pg_sl, d_pad), lambda s, k, *_: (0, 0)),
+            pl.BlockSpec(mix_block.shape, lambda s, k, *_: (0, 0)),
             pl.BlockSpec((1, pgp), lambda s, k, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0)),
@@ -272,10 +308,12 @@ def tiled_logits_impl(
     )
 
     kernel = functools.partial(
-        _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words, n_super=n_super
+        _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words,
+        n_super=n_super, stack_k=stack_k,
     )
     passes = max(n_words, 1)
-    flops_per_chunk = (2 * tc * d_pad * pg_sl + 2 * tb * gpc * pg_sl) * passes
+    exp_passes = 1 if stack_k else passes
+    flops_per_chunk = 2 * tc * d_pad * pg_sl * exp_passes + 2 * tb * gpc * pg_sl * passes
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -286,13 +324,14 @@ def tiled_logits_impl(
             transcendentals=n_chunks * tc * pg_sl,
         ),
         interpret=interpret,
-    )(chunk_bounds, chunk_suboff, u, seg_group, mixing_sl, penalties_p)
+    )(chunk_bounds, chunk_suboff, u, seg_group, mix_block, penalties_p)
     return out
 
 
 _tiled_logits = functools.partial(
     jax.jit,
-    static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret", "n_words"),
+    static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret",
+                     "n_words", "stack_k"),
 )(tiled_logits_impl)
 
 

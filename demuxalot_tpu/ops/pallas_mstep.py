@@ -363,7 +363,8 @@ class TiledMstepCalls:
         if n_bands > 1:
             assert n_barcodes > 0, "barcode banding needs n_barcodes"
             chunk_calls = choose_banded_chunk_calls(
-                len(variant_sorted_vid), n_tiles, n_bands, chunk_calls
+                len(variant_sorted_vid), n_tiles, n_bands, chunk_calls,
+                seg_rows=tile_variants,
             )
 
         # layout reuses the banded segment-tiling machinery with the axes

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 
@@ -214,6 +216,13 @@ def tile_barcode_calls_banded(
 # 512+ can wedge the shared compiler service for ~10 minutes.
 GRID_CAP = 448
 
+# VMEM budget for one grid step's resident rows (logits / addition block).
+# Larger budgets mean bigger super-tiles -> fewer grid steps -> more variant
+# bands fit under GRID_CAP (each gather-table slice stays on the fast side
+# of the cliff, docs/DESIGN.md §7). 5.4 MB keeps total VMEM use well under
+# the 128 MB/core of v5e alongside the double-buffered call scratch.
+SUPER_ROWS_BUDGET = int(os.environ.get("DEMUX_SUPER_ROWS_BUDGET", 5_400_000))
+
 
 def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 17_000_000) -> int:
     """Variant bands so each gather table slice stays under the fast-path size.
@@ -233,7 +242,7 @@ def cap_bands_to_grid(
     n_tiles: int,
     tile_rows: int,
     block_cols: int,
-    max_super_rows_bytes: int = 2_700_000,
+    max_super_rows_bytes: int | None = None,
 ) -> int:
     """Largest band count keeping the (super_tile, band) grid under GRID_CAP.
 
@@ -243,22 +252,43 @@ def cap_bands_to_grid(
     caps at GRID_CAP / that floor. Fewer bands mean larger gather-table
     slices — a throughput trade, never a correctness one.
     """
+    if max_super_rows_bytes is None:
+        max_super_rows_bytes = SUPER_ROWS_BUDGET
     max_rows = max(tile_rows, (max_super_rows_bytes // 4) // block_cols)
     vmem_sps = max(1, max_rows // tile_rows)
     n_super_floor = -(-max(n_tiles, 1) // vmem_sps)
     return max(1, min(n_bands, GRID_CAP // max(1, n_super_floor)))
 
 
-def choose_banded_chunk_calls(n_calls: int, n_tiles: int, n_bands: int, chunk_calls: int) -> int:
-    """Chunk size shrunk toward the mean per-(tile, band) fill.
+def choose_banded_chunk_calls(
+    n_calls: int, n_tiles: int, n_bands: int, chunk_calls: int, seg_rows: int = 0
+) -> int:
+    """Chunk size minimizing estimated padded slots per (tile, band) region.
 
-    Banding splits each tile's calls n_bands ways; a full-size chunk would
-    then be mostly padding. The nearest 128-multiple of ~1.15x the mean
-    fill keeps padding modest while overflow tiles just take extra chunks.
-    Single source of truth for the E-step, M-step, and sharded layouts.
+    Banding splits each tile's calls ``n_bands`` ways, so a full-size chunk
+    would be mostly padding — but shrinking the chunk also shrinks the group
+    G = tc // 128, and each segment (barcode / variant row) pads to whole
+    groups: the two padding sources trade against each other. With
+    ``seg_rows`` (segments per tile) the estimate per (tile, band) region is
+    ``mean_fill + seg_rows·(G−1)/2`` rounded up to whole chunks; candidates
+    are the 128-multiples up to ``chunk_calls``, near-ties going to the
+    larger chunk (fewer DMAs per super-tile). ``seg_rows = 0`` keeps the
+    legacy mean-fill rule. Deterministic across processes: uses only
+    allgather-agreed scalars. Single source of truth for the E-step,
+    M-step, and sharded layouts.
     """
     mean_fill = n_calls / max(n_tiles * n_bands, 1)
-    return int(np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls))
+    if seg_rows <= 0:
+        return int(np.clip(round(mean_fill * 1.15 / 128) * 128, 128, chunk_calls))
+    best_tc, best_key = 128, None
+    for tc in range(128, max(chunk_calls, 128) + 1, 128):
+        g = chunk_group(tc)
+        est = mean_fill + seg_rows * (g - 1) / 2
+        slots = max(1, -(-int(np.ceil(est)) // tc)) * tc
+        key = slots * (1.0 - 0.02 * tc / chunk_calls)
+        if best_key is None or key < best_key:
+            best_tc, best_key = tc, key
+    return best_tc
 
 
 def banded_chunk_counts(
@@ -297,7 +327,7 @@ def choose_subtiles_per_super(
     n_chunks: int,
     tile_barcodes: int,
     pgp: int,
-    max_super_rows_bytes: int = 2_700_000,
+    max_super_rows_bytes: int | None = None,
     n_bands: int = 1,
 ) -> int:
     """Super-tile grouping: VMEM row budget + balanced chunk spans per step.
@@ -309,6 +339,8 @@ def choose_subtiles_per_super(
     """
     from .pallas_likelihood import MAX_CHUNKS_PER_SUPER
 
+    if max_super_rows_bytes is None:
+        max_super_rows_bytes = SUPER_ROWS_BUDGET
     max_rows = max(tile_barcodes, (max_super_rows_bytes // 4) // pgp)
     vmem_sps = max(1, max_rows // tile_barcodes)
     n_super_min = -(-n_chunks // MAX_CHUNKS_PER_SUPER)
@@ -358,7 +390,7 @@ def tile_barcode_calls_sharded(
     tile_barcodes: int = 32,
     chunk_calls: int = 512,
     subtiles_per_super: int = 0,
-    max_super_rows_bytes: int = 2_700_000,
+    max_super_rows_bytes: int | None = None,
     pgp: int = 640,
     barcodes_per_shard: int = 0,
     shard_ids=None,

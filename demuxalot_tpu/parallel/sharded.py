@@ -259,7 +259,8 @@ class ShardedDemultiplexer:
                 # chunk size and per-band widths derive from allgathered
                 # values so every process builds identical static shapes
                 tc = choose_banded_chunk_calls(
-                    max_calls_per_shard, n_tiles_per_shard, n_bands, self.pallas_chunk_calls
+                    max_calls_per_shard, n_tiles_per_shard, n_bands,
+                    self.pallas_chunk_calls, seg_rows=self.pallas_tile_barcodes,
                 )
                 if multi:
                     local_counts = banded_chunk_counts(

@@ -91,6 +91,28 @@ def test_bd_rhapsody_plugin_uses_ma_tag():
     assert cr_parse(read3) is None
 
 
+def test_classify_read_labels_first_disqualifier():
+    from demuxalot_tpu.frontend import cellranger as cr
+
+    assert cr.classify_read(_read(0, "A" * 20)) == cr.USABLE
+    assert cr.classify_read(_read(0, "A" * 20, as_score=5)) == cr.SCORE_BELOW_FLOOR
+    assert cr.classify_read(_read(0, "A" * 20, nh=3)) == cr.MULTIMAPPED
+
+    no_umi = _read(0, "A" * 20)
+    no_umi.tags = tuple(t for t in no_umi.tags if t[0] != "UB")
+    assert cr.classify_read(no_umi) == cr.MISSING_UMI
+
+    low_mapq = _read(0, "A" * 20)
+    low_mapq.mapping_quality = 3
+    assert cr.classify_read(low_mapq) == cr.LOW_MAPQ
+    # parse_read must agree with the verdict on accept/reject
+    assert cr.parse_read(low_mapq) is None
+    assert cr.parse_read(_read(0, "A" * 20)) is not None
+    # evaluation order: a read failing several checks gets the FIRST label
+    multi_bad = _read(0, "A" * 20, as_score=5, nh=3)
+    assert cr.classify_read(multi_bad) == cr.SCORE_BELOW_FLOOR
+
+
 def _write_bam(path, reads, ln=500):
     with BamWriter(path, {"HD": {"VN": "1.0"}, "SQ": [dict(LN=ln, SN="chr1")]}) as w:
         for r in reads:
