@@ -237,7 +237,9 @@ def main():
 
             def em_iteration(addition, a):
                 betas_a, v2s_a, e_ops, m_a = a
-                gp = L.probs_from_betas(betas_a + addition, v2s_a, N_SNPS, 0.01)
+                # sim's variant2snp is SNP-sorted (2 variants per SNP), so
+                # the production windowed-denominator path applies
+                gp = L.probs_from_betas(betas_a + addition, v2s_a, N_SNPS, 0.01, max_per_snp=2)
                 probs = jax.nn.softmax(pallas_logits(gp, e_ops), axis=-1)
                 return mstep_addition(probs, m_a)
 

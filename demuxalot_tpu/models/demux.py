@@ -36,7 +36,7 @@ from .genotypes import ProbabilisticGenotypes
 
 @partial(
     jax.jit,
-    static_argnames=("n_snps", "n_barcodes", "p_genotype_clip", "call_chunk"),
+    static_argnames=("n_snps", "n_barcodes", "p_genotype_clip", "call_chunk", "max_per_snp"),
 )
 def _logits_forward(
     betas,
@@ -51,16 +51,21 @@ def _logits_forward(
     n_barcodes: int,
     p_genotype_clip: float,
     call_chunk: int,
+    max_per_snp: int = 0,
 ):
-    genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+    genotype_prob = L.probs_from_betas(
+        betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
+    )
     return L.barcode_logits(
         genotype_prob, mixing, penalties, vid, cb, q, n_barcodes, call_chunk=call_chunk
     )
 
 
-@partial(jax.jit, static_argnames=("n_snps", "p_genotype_clip"))
-def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float):
-    return L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+@partial(jax.jit, static_argnames=("n_snps", "p_genotype_clip", "max_per_snp"))
+def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float, max_per_snp: int = 0):
+    return L.probs_from_betas(
+        betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
+    )
 
 
 class _PallasLogits:
@@ -110,9 +115,10 @@ class _PallasLogits:
             )
         self.device = TiledDeviceCalls(mixing, penalties, tiled)
 
-    def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip):
+    def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0):
         genotype_prob = _genotype_probs(
-            betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip
+            betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip,
+            max_per_snp=max_per_snp,
         )
         return self.device.logits(genotype_prob)
 
@@ -236,7 +242,19 @@ class Demultiplexer:
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
 
-        variant2snp_dev = jnp.asarray(variant2snp)
+        # device EM space uses SNP-sorted variant rows (windowed genotype-prob
+        # denominators); results are mapped back to registry order at yield
+        reindex = P.VariantReindex.build(variant2snp)
+        max_per_snp = reindex.windowed_max_per_snp
+        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
+        if Demultiplexer.aggregate_on_snps:
+            from dataclasses import replace as _dc_replace
+
+            molecule_calls = _dc_replace(
+                molecule_calls,
+                variant_id=reindex.remap_variant_ids(molecule_calls.variant_id),
+            )
+        variant2snp_dev = jnp.asarray(reindex.variant2snp)
 
         pallas_forward = None
         pallas_mstep = None
@@ -272,7 +290,7 @@ class Demultiplexer:
                 jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
             )
 
-        prior_betas_dev = jnp.asarray(prior_betas)
+        prior_betas_dev = jnp.asarray(reindex.permute_rows(prior_betas))
         prior_logits_dev = (
             jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
         )
@@ -285,6 +303,7 @@ class Demultiplexer:
                     L.probs_from_betas(
                         prior_betas_dev + genotype_addition_dev,
                         variant2snp_dev, n_snps, p_genotype_clip,
+                        max_per_snp=max_per_snp,
                     )
                 )
                 logits_dev = jnp.asarray(
@@ -295,7 +314,7 @@ class Demultiplexer:
             elif pallas_forward is not None:
                 logits_dev = pallas_forward(
                     prior_betas_dev + genotype_addition_dev,
-                    variant2snp_dev, n_snps, p_genotype_clip,
+                    variant2snp_dev, n_snps, p_genotype_clip, max_per_snp,
                 )
             else:
                 logits_dev = _logits_forward(
@@ -305,6 +324,7 @@ class Demultiplexer:
                     n_snps=n_snps, n_barcodes=n_barcodes,
                     p_genotype_clip=p_genotype_clip,
                     call_chunk=Demultiplexer.call_chunk,
+                    max_per_snp=max_per_snp,
                 )
             if _iteration == 0 and prior_logits_dev is not None:
                 assert prior_logits_dev.shape == logits_dev.shape, "mismatching priors passed"
@@ -319,7 +339,9 @@ class Demultiplexer:
             debug_information = {
                 "barcode_logits": np.asarray(logits_dev),
                 "genotype_prior": prior_betas,
-                "genotype_addition": np.asarray(genotype_addition_dev),
+                "genotype_addition": reindex.unpermute_rows(
+                    np.asarray(genotype_addition_dev)
+                ),
             }
             # yielding here provides aligned posteriors for genotypes and barcodes
             yield barcode_posterior_probs_df, debug_information
@@ -364,10 +386,25 @@ class Demultiplexer:
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
 
+        # SNP-sorted device variant space (see staged_genotype_learning);
+        # logits are invariant to the renumbering, so nothing maps back
+        reindex = P.VariantReindex.build(variant2snp)
+        max_per_snp = reindex.windowed_max_per_snp
+        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
+        prior_betas_sorted = reindex.permute_rows(prior_betas)
+        v2s_sorted = reindex.variant2snp
+
         if Demultiplexer.aggregate_on_snps:
+            from dataclasses import replace as _dc_replace
+
+            molecule_calls = _dc_replace(
+                molecule_calls,
+                variant_id=reindex.remap_variant_ids(molecule_calls.variant_id),
+            )
             genotype_prob = np.asarray(
                 L.probs_from_betas(
-                    jnp.asarray(prior_betas), jnp.asarray(variant2snp), n_snps, p_genotype_clip
+                    jnp.asarray(prior_betas_sorted), jnp.asarray(v2s_sorted),
+                    n_snps, p_genotype_clip, max_per_snp=max_per_snp,
                 )
             )
             assert np.isfinite(genotype_prob).all()
@@ -382,15 +419,16 @@ class Demultiplexer:
             )
             barcode_posterior_logits = np.asarray(
                 pallas_forward(
-                    jnp.asarray(prior_betas), jnp.asarray(variant2snp), n_snps, p_genotype_clip
+                    jnp.asarray(prior_betas_sorted), jnp.asarray(v2s_sorted),
+                    n_snps, p_genotype_clip, max_per_snp,
                 )
             )
         else:
             device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
             barcode_posterior_logits = np.asarray(
                 _logits_forward(
-                    jnp.asarray(prior_betas),
-                    jnp.asarray(variant2snp),
+                    jnp.asarray(prior_betas_sorted),
+                    jnp.asarray(v2s_sorted),
                     jnp.asarray(mixing),
                     jnp.asarray(penalties),
                     jnp.asarray(device.vid_b),
@@ -400,6 +438,7 @@ class Demultiplexer:
                     n_barcodes=n_barcodes,
                     p_genotype_clip=p_genotype_clip,
                     call_chunk=Demultiplexer.call_chunk,
+                    max_per_snp=max_per_snp,
                 )
             )
 

@@ -106,16 +106,40 @@ def pseudogenotype_mixing(
 # Device ops
 # ---------------------------------------------------------------------------
 
+# windowed denominators stay cheap only while SNP runs are short; genuine
+# data has at most 4 variants (bases) per site, so anything past this cap
+# falls back to the segment-sum path
+MAX_WINDOWED_RUN = 6
+
+
 def probs_from_betas(
     betas: jnp.ndarray,  # f32 [n_variants, n_donors]
     variant2snp: jnp.ndarray,  # i32 [n_variants]
     n_snps: int,
     p_genotype_clip: float,
+    max_per_snp: int = 0,
 ) -> jnp.ndarray:
     """Per-donor variant probability: beta / Σ betas of the same SNP, clipped.
 
+    ``max_per_snp > 0`` asserts (statically) that ``variant2snp`` is
+    non-decreasing with at most that many variants per SNP — the layout
+    :class:`ops.packing.VariantReindex` produces. The denominator then
+    becomes a windowed sum of shifted rows: pure elementwise work instead of
+    a segment-sum scatter plus a gather, which dominate EM iterations at
+    SNP-array scale (655k variants: 17.5 ms → ~1 ms on v5e,
+    benchmarks/exp_em_decompose.py). 0 = no ordering assumption.
+
     (reference: demuxalot/demux.py:267-274)
     """
+    if 0 < max_per_snp <= MAX_WINDOWED_RUN:
+        n = betas.shape[0]
+        denom = betas
+        for d in range(1, min(max_per_snp, max(n, 1))):
+            same = (variant2snp[d:] == variant2snp[:-d])[:, None]
+            denom = denom.at[: n - d].add(jnp.where(same, betas[d:], 0.0))
+            denom = denom.at[d:].add(jnp.where(same, betas[:-d], 0.0))
+        probs = betas / jnp.clip(denom, min=1e-7)
+        return jnp.clip(probs, p_genotype_clip, 1 - p_genotype_clip)
     denom = jax.ops.segment_sum(betas, variant2snp, num_segments=n_snps)
     probs = betas / jnp.clip(denom[variant2snp], min=1e-7)
     return jnp.clip(probs, p_genotype_clip, 1 - p_genotype_clip)

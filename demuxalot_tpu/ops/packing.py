@@ -245,6 +245,64 @@ def pack_calls(
 # Device layout
 # ---------------------------------------------------------------------------
 
+@dataclass
+class VariantReindex:
+    """SNP-sorted renumbering of the variant axis for the device EM space.
+
+    Variants sharing a SNP become contiguous rows, so the per-iteration
+    genotype-prob normalization runs as windowed elementwise sums instead of
+    a segment-sum scatter (``ops.likelihood.probs_from_betas`` with
+    ``max_per_snp``). Registry-facing results (the learnt beta addition) are
+    mapped back with :meth:`unpermute_rows`; the renumbering itself is
+    invisible to callers of the public API.
+
+    Deterministic across processes: built with a stable argsort of the
+    (replicated) variant→snp table only.
+    """
+
+    order: np.ndarray  # i64 [n_variants]; device row j holds registry row order[j]
+    inverse: np.ndarray  # i32 [n_variants]; registry row i lives at device row inverse[i]
+    variant2snp: np.ndarray  # i32 [n_variants], non-decreasing
+    max_per_snp: int  # longest same-SNP run (window size for the denominators)
+
+    @classmethod
+    def build(cls, variant2snp: np.ndarray) -> "VariantReindex":
+        v2s = np.asarray(variant2snp)
+        order = np.argsort(v2s, kind="stable")
+        inverse = np.empty(len(order), dtype=np.int32)
+        inverse[order] = np.arange(len(order), dtype=np.int32)
+        sorted_v2s = np.ascontiguousarray(v2s[order].astype(np.int32))
+        max_per_snp = int(np.bincount(sorted_v2s).max()) if len(sorted_v2s) else 1
+        return cls(order=order, inverse=inverse, variant2snp=sorted_v2s, max_per_snp=max_per_snp)
+
+    @property
+    def windowed_max_per_snp(self) -> int:
+        """`max_per_snp` when the windowed denominator path applies, else 0."""
+        from .likelihood import MAX_WINDOWED_RUN
+
+        return self.max_per_snp if self.max_per_snp <= MAX_WINDOWED_RUN else 0
+
+    def remap_variant_ids(self, vid: np.ndarray) -> np.ndarray:
+        """Registry variant ids → device (SNP-sorted) variant ids."""
+        return self.inverse[np.asarray(vid)]
+
+    def permute_rows(self, table: np.ndarray) -> np.ndarray:
+        """Registry-ordered [n_variants, ...] rows → device order."""
+        return np.ascontiguousarray(np.asarray(table)[self.order])
+
+    def unpermute_rows(self, table: np.ndarray) -> np.ndarray:
+        """Device-ordered [n_variants, ...] rows → registry order."""
+        return np.ascontiguousarray(np.asarray(table)[self.inverse])
+
+    def remap_barcode_calls(self, barcode_calls: np.recarray) -> np.recarray:
+        """Copy of the call table with variant ids in device order."""
+        remapped = barcode_calls.copy()
+        remapped["variant_id"] = self.remap_variant_ids(
+            barcode_calls["variant_id"].astype(np.int64)
+        )
+        return remapped
+
+
 def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 

@@ -35,12 +35,14 @@ from .mesh import (
 )
 
 
-def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk):
+def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk, max_per_snp=0):
     rep = PSpec()
     shd = PSpec(BARCODE_AXIS)
 
     def estep(betas, variant2snp, mixing, penalties, vid_b, cb_b, q_b):
-        genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+        genotype_prob = L.probs_from_betas(
+            betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
+        )
         logits = L.barcode_logits(
             genotype_prob, mixing, penalties, vid_b, cb_b, q_b,
             n_local_barcodes, call_chunk=call_chunk,
@@ -56,7 +58,7 @@ def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk):
     )
 
 
-def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
+def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg, max_per_snp=0):
     """E-step with the fused Pallas kernel running per shard."""
     from ..ops.pallas_likelihood import tiled_logits_impl
 
@@ -66,7 +68,9 @@ def _build_estep_pallas(mesh, n_snps, p_genotype_clip, sharded_tiled, pg):
     interpret = jax.default_backend() != "tpu"
 
     def estep(betas, variant2snp, mixing_sl, penalties_p, vid, seg_group, q, bounds, suboff):
-        genotype_prob = L.probs_from_betas(betas, variant2snp, n_snps, p_genotype_clip)
+        genotype_prob = L.probs_from_betas(
+            betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
+        )
         out = tiled_logits_impl(
             genotype_prob, mixing_sl, penalties_p,
             vid[0], seg_group[0], q[0], bounds[0], suboff[0],
@@ -356,14 +360,17 @@ class ShardedDemultiplexer:
         rep = jax.sharding.NamedSharding(self.mesh, PSpec())
         return [put_global(np.asarray(x), rep) for x in xs]
 
-    def _make_estep(self, device, arrays, tiled, n_snps, p_genotype_clip, pg, mix_r=None, pen_r=None):
+    def _make_estep(self, device, arrays, tiled, n_snps, p_genotype_clip, pg, mix_r=None, pen_r=None,
+                    max_per_snp=0):
         """Build the jitted E-step and its trailing argument list.
 
         The returned callable takes (betas, variant2snp, *args).
         """
         if tiled is not None:
             estep = jax.jit(
-                _build_estep_pallas(self.mesh, n_snps, p_genotype_clip, tiled, pg)
+                _build_estep_pallas(
+                    self.mesh, n_snps, p_genotype_clip, tiled, pg, max_per_snp=max_per_snp
+                )
             )
             args = (
                 arrays["pallas_mixing_sl"], arrays["pallas_penalties_p"],
@@ -374,7 +381,7 @@ class ShardedDemultiplexer:
             estep = jax.jit(
                 _build_estep(
                     self.mesh, n_snps, device.n_barcodes_per_shard,
-                    p_genotype_clip, self.call_chunk,
+                    p_genotype_clip, self.call_chunk, max_per_snp=max_per_snp,
                 )
             )
             args = (mix_r, pen_r, arrays["vid_b"], arrays["cb_b"], arrays["q_b"])
@@ -397,14 +404,24 @@ class ShardedDemultiplexer:
         )
         n_snps = int(variant2snp.max()) + 1 if len(variant2snp) else 0
         n_barcodes = barcode_handler.n_barcodes
+
+        # SNP-sorted device variant space (windowed genotype-prob
+        # denominators); logits are invariant to the renumbering
+        reindex = P.VariantReindex.build(variant2snp)
+        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
+        prior_betas_sorted = reindex.permute_rows(prior_betas)
+
         device, arrays, tiled = self._shard_inputs(
             barcode_calls, n_barcodes, mixing, penalties,
             n_variants=prior_betas.shape[0], build_mstep=False,
         )
-        betas_r, v2s_r, mix_r, pen_r = self._replicate(prior_betas, variant2snp, mixing, penalties)
+        betas_r, v2s_r, mix_r, pen_r = self._replicate(
+            prior_betas_sorted, reindex.variant2snp, mixing, penalties
+        )
 
         estep, estep_args = self._make_estep(
-            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r
+            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r,
+            max_per_snp=reindex.windowed_max_per_snp,
         )
         logits, probs = estep(betas_r, v2s_r, *estep_args)
         logits = to_host(logits)[:n_barcodes]
@@ -445,13 +462,22 @@ class ShardedDemultiplexer:
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
 
+        # SNP-sorted device variant space; the learnt addition maps back to
+        # registry order at yield (reindex.unpermute_rows)
+        reindex = P.VariantReindex.build(variant2snp)
+        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
+        prior_betas_sorted = reindex.permute_rows(prior_betas)
+
         device, arrays, tiled = self._shard_inputs(
             barcode_calls, n_barcodes, mixing, penalties, n_variants=n_variants
         )
-        betas_r, v2s_r, mix_r, pen_r = self._replicate(prior_betas, variant2snp, mixing, penalties)
+        betas_r, v2s_r, mix_r, pen_r = self._replicate(
+            prior_betas_sorted, reindex.variant2snp, mixing, penalties
+        )
 
         estep, estep_args = self._make_estep(
-            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r
+            device, arrays, tiled, n_snps, p_genotype_clip, mixing.shape[1], mix_r, pen_r,
+            max_per_snp=reindex.windowed_max_per_snp,
         )
         if "mstep_layout" in arrays:
             mstep = jax.jit(
@@ -496,7 +522,7 @@ class ShardedDemultiplexer:
                 debug_information = {
                     "barcode_logits": to_host(logits_dev)[:n_barcodes],
                     "genotype_prior": prior_betas,
-                    "genotype_addition": to_host(addition_r),
+                    "genotype_addition": reindex.unpermute_rows(to_host(addition_r)),
                 }
                 yield probs_df, debug_information
             else:

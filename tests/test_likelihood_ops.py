@@ -62,6 +62,55 @@ def test_probs_from_betas_matches_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("run_lengths", [[1], [2], [1, 2, 3, 4], [4, 1, 1, 4, 2]])
+def test_probs_from_betas_windowed_matches_segment_path(run_lengths):
+    # irregular same-SNP run lengths, repeated to a few hundred variants
+    rng = np.random.RandomState(7)
+    reps = list(run_lengths) * 60
+    variant2snp = np.repeat(np.arange(len(reps), dtype=np.int32), reps)
+    n_variants, n_snps = len(variant2snp), len(reps)
+    betas = (rng.rand(n_variants, 5) * 80).astype(np.float32)
+    ref = np.asarray(
+        L.probs_from_betas(jnp.asarray(betas), jnp.asarray(variant2snp), n_snps, 0.01)
+    )
+    windowed = np.asarray(
+        L.probs_from_betas(
+            jnp.asarray(betas), jnp.asarray(variant2snp), n_snps, 0.01,
+            max_per_snp=max(run_lengths),
+        )
+    )
+    np.testing.assert_allclose(windowed, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_variant_reindex_roundtrip():
+    rng = np.random.RandomState(3)
+    # insertion-order variant2snp: deliberately shuffled SNP assignment
+    variant2snp = rng.randint(0, 40, size=97).astype(np.int32)
+    reindex = P.VariantReindex.build(variant2snp)
+    assert (np.diff(reindex.variant2snp) >= 0).all()
+    assert reindex.max_per_snp == int(np.bincount(variant2snp).max())
+    table = rng.rand(97, 6).astype(np.float32)
+    np.testing.assert_array_equal(
+        reindex.unpermute_rows(reindex.permute_rows(table)), table
+    )
+    # remapped ids point at the same rows of the permuted table
+    vid = rng.randint(0, 97, size=500)
+    np.testing.assert_array_equal(
+        reindex.permute_rows(table)[reindex.remap_variant_ids(vid)], table[vid]
+    )
+    # the permuted space feeds the windowed denominator path exactly
+    n_snps = int(variant2snp.max()) + 1
+    ref = oracle_probs_from_betas(variant2snp, table, 0.01)
+    windowed = np.asarray(
+        L.probs_from_betas(
+            jnp.asarray(reindex.permute_rows(table)),
+            jnp.asarray(reindex.variant2snp),
+            n_snps, 0.01, max_per_snp=reindex.max_per_snp,
+        )
+    )
+    np.testing.assert_allclose(reindex.unpermute_rows(windowed), ref, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("doublet_prior", [0.0, 0.35])
 @pytest.mark.parametrize("call_chunk", [4096, 100_000])
 def test_barcode_logits_matches_oracle(doublet_prior, call_chunk):
