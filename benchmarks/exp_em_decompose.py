@@ -83,30 +83,55 @@ def main():
     z = jnp.zeros_like(jnp.asarray(betas))
     args = (jnp.asarray(betas), jnp.asarray(v2s), e_ops, m_ops)
 
-    # every stage feeds back a [n_variants, D]-shaped carry so each chain
+    # donor-major chain: the whole genotype state stays [D, V] — no
+    # full-table transposes between the M-step output and the next E-step
+    def estep_dm(gp_dm, a):
+        out = tiled_logits_impl(
+            gp_dm, *a[2], n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+            tc=dev.chunk_calls, band_specs=dev.band_specs, donor_major=True)
+        return out[:N_B, :pg]
+
+    def mstep_dm(probs, a):
+        return tiled_mstep_impl(
+            probs, *a[3], n_variants=n_variants, n_genotypes=N_D,
+            tv=mlayout.tile_variants, tc=mlayout.chunk_calls,
+            sps=mlayout.subtiles_per_super, contribution_power=2.0,
+            band_specs=mlayout.band_specs, donor_major_out=True)
+
+    def em_dm(c_dm, a):
+        gp_dm = L.probs_from_betas_donor_major(a[4] + c_dm, a[1], 0.01, max_per_snp=2)
+        probs = jax.nn.softmax(estep_dm(gp_dm, a), axis=-1)
+        return mstep_dm(probs, a)
+
+    z_dm = jnp.zeros((N_D, n_variants), jnp.float32)
+    args = args + (jnp.asarray(betas.T.copy()),)
+
+    # every stage feeds back a variant-table-shaped carry so each chain
     # stays dependent and comparable
     stages = {
-        "pfb": lambda c, a: pfb(c, a)[:, :N_D] * 1e-30,
-        "pfb+estep": lambda c, a: jnp.sum(estep(pfb(c, a), a)) * 1e-30 + z,
-        "pfb+estep+softmax": lambda c, a: jnp.sum(
-            jax.nn.softmax(estep(pfb(c, a), a), axis=-1)) * 1e-30 + z,
-        "full EM": lambda c, a: mstep(jax.nn.softmax(estep(pfb(c, a), a), axis=-1), a),
+        "pfb": (lambda c, a: pfb(c, a)[:, :N_D] * 1e-30, z),
+        "pfb+estep": (lambda c, a: jnp.sum(estep(pfb(c, a), a)) * 1e-30 + z, z),
+        "pfb+estep+softmax": (lambda c, a: jnp.sum(
+            jax.nn.softmax(estep(pfb(c, a), a), axis=-1)) * 1e-30 + z, z),
+        "full EM": (
+            lambda c, a: mstep(jax.nn.softmax(estep(pfb(c, a), a), axis=-1), a), z),
+        "full EM donor-major": (em_dm, z_dm),
     }
 
     trivial = jax.jit(lambda x: jnp.sum(x) * 1.0000001)
     small = jnp.ones((8,))
     float(trivial(small))
     prev = 0.0
-    for name, step in stages.items():
+    for name, (step, carry0) in stages.items():
         chain = jax.jit(lambda c, a, s=step: jax.lax.fori_loop(
             0, K, lambda i, c: s(c, a), c))
-        float(jnp.sum(chain(z, args)))
+        float(jnp.sum(chain(carry0, args)))
         lat = min((lambda t0: (float(trivial(small)), time.perf_counter() - t0)[1])(
             time.perf_counter()) for _ in range(5))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jnp.sum(chain(z, args)))
+            float(jnp.sum(chain(carry0, args)))
             best = min(best, time.perf_counter() - t0)
         ms = max(best - lat, 0) / K * 1e3
         print(f"{name:20s} {ms:8.2f} ms  (+{ms - prev:6.2f})", flush=True)

@@ -55,7 +55,7 @@ def main():
 
     def full(posterior, a):
         return jnp.sum(tiled_mstep_impl(
-            posterior, *a, n_variants=n_variants, n_genotypes=N_D,
+            posterior, *a[:5], n_variants=n_variants, n_genotypes=N_D,
             tv=mlayout.tile_variants, tc=mlayout.chunk_calls,
             sps=mlayout.subtiles_per_super, contribution_power=2.0,
             band_specs=mlayout.band_specs)) * 1e-30

@@ -145,6 +145,30 @@ def probs_from_betas(
     return jnp.clip(probs, p_genotype_clip, 1 - p_genotype_clip)
 
 
+def probs_from_betas_donor_major(
+    betas_dm: jnp.ndarray,  # f32 [n_donors, n_variants]
+    variant2snp: jnp.ndarray,  # i32 [n_variants], non-decreasing
+    p_genotype_clip: float,
+    max_per_snp: int,
+) -> jnp.ndarray:
+    """Windowed :func:`probs_from_betas` on the donor-major [D, V] layout.
+
+    The production EM loops keep the whole genotype state donor-major — the
+    layout the E-step gather consumes and the M-step kernel produces — so
+    the per-iteration normalization runs without any full-table transpose.
+    Requires the SNP-sorted variant order (``ops.packing.VariantReindex``).
+    """
+    assert 0 < max_per_snp <= MAX_WINDOWED_RUN, "donor-major path needs SNP-sorted variants"
+    n = betas_dm.shape[1]
+    denom = betas_dm
+    for d in range(1, min(max_per_snp, max(n, 1))):
+        same = (variant2snp[d:] == variant2snp[:-d])[None, :]
+        denom = denom.at[:, : n - d].add(jnp.where(same, betas_dm[:, d:], 0.0))
+        denom = denom.at[:, d:].add(jnp.where(same, betas_dm[:, :-d], 0.0))
+    probs = betas_dm / jnp.clip(denom, min=1e-7)
+    return jnp.clip(probs, p_genotype_clip, 1 - p_genotype_clip)
+
+
 def _pad_chunks(n: int, chunk: int) -> int:
     return -(-n // chunk)
 

@@ -232,7 +232,7 @@ def _likelihood_kernel(
 
 
 def tiled_logits_impl(
-    genotype_prob,  # f32 [V, D]
+    genotype_prob,  # f32 [V, D] (or [D, V] with donor_major=True)
     mixing_sl,  # f32 [PG_sl, Dp] (pseudogenotypes on sublanes, donors 8-padded)
     penalties_p,  # f32 [1, PGp]
     vid,  # i32 [n_chunks * TC], band-LOCAL variant ids
@@ -249,6 +249,7 @@ def tiled_logits_impl(
     interpret: bool = False,
     n_words: int | None = None,
     stack_k: bool | None = None,
+    donor_major: bool = False,
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -257,6 +258,10 @@ def tiled_logits_impl(
     slice — keeping every gather table under the fast-path size
     (docs/DESIGN.md §7) — and the kernel walks a (super_tile, band) grid
     accumulating into the resident logits block.
+
+    ``donor_major=True`` takes ``genotype_prob`` as [D, V] — the layout the
+    gather wants natively and the M-step kernel produces — skipping the
+    per-iteration [V, D]→[D, V] relayout of the whole table inside EM loops.
     """
     if n_words is None:
         n_words = _SPLIT_WORDS[KERNEL_PRECISION]
@@ -268,19 +273,26 @@ def tiled_logits_impl(
     stack_k = stack_k and n_words >= 2
     mix_block = mixing_sl if not stack_k else jnp.tile(mixing_sl, (1, n_words))
     pgp = penalties_p.shape[1]
-    d = genotype_prob.shape[1]
+    d = genotype_prob.shape[0] if donor_major else genotype_prob.shape[1]
+    n_variants = genotype_prob.shape[1] if donor_major else genotype_prob.shape[0]
     n_chunks = chunk_suboff.shape[0]
     gpc = tc // max(1, tc // 128)  # groups per chunk (ops/tiling.py)
     if not band_specs:
-        band_specs = ((0, genotype_prob.shape[0], 0, n_chunks),)
+        band_specs = ((0, n_variants, 0, n_chunks),)
     n_bands = len(band_specs)
 
+    # barrier: keep the genotype-prob producer OUT of the gather (fused,
+    # XLA recomputes it per gathered element; see pallas_mstep.py)
+    genotype_prob = jax.lax.optimization_barrier(genotype_prob)
     # XLA side: per-band column gathers fused with the fold; donor axis
     # padded to the 8-sublane granularity Mosaic DMAs need (zero mixing
     # columns null the extra rows)
     u_parts = []
     for v_lo, v_hi, c_lo, c_hi in band_specs:
-        table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=0).T
+        if donor_major:
+            table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=1)
+        else:
+            table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=0).T
         vid_k = jax.lax.slice_in_dim(vid, c_lo * tc, c_hi * tc, axis=0)
         q_k = jax.lax.slice_in_dim(q, c_lo * tc, c_hi * tc, axis=1)
         gathered = table_t[:, vid_k]  # [D, band_calls]
@@ -331,7 +343,7 @@ def tiled_logits_impl(
 _tiled_logits = functools.partial(
     jax.jit,
     static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret",
-                     "n_words", "stack_k"),
+                     "n_words", "stack_k", "donor_major"),
 )(tiled_logits_impl)
 
 
@@ -423,7 +435,7 @@ class TiledDeviceCalls:
         self.chunk_calls = tiled.chunk_calls
         self.n_chunks = tiled.n_chunks
 
-    def logits(self, genotype_prob, interpret: bool = False):
+    def logits(self, genotype_prob, interpret: bool = False, donor_major: bool = False):
         """Fused-kernel logits [n_barcodes, n_pseudogenotypes]."""
         # Mosaic kernels only compile for TPU; elsewhere run the interpreter
         interpret = interpret or jax.default_backend() != "tpu"
@@ -442,6 +454,7 @@ class TiledDeviceCalls:
             tc=self.chunk_calls,
             band_specs=self.band_specs,
             interpret=interpret,
+            donor_major=donor_major,
         )
         return out[: self.n_barcodes, : self.n_pseudogenotypes]
 

@@ -140,6 +140,7 @@ def tiled_mstep_impl(
     contribution_power: float,
     band_specs: tuple = (),  # ((b_lo, b_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
+    donor_major_out: bool = False,
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -147,6 +148,10 @@ def tiled_mstep_impl(
     gathered against only its posterior slice, keeping the gather table
     under the fast-path size (docs/DESIGN.md §7); the kernel walks a
     (super_tile, band) grid accumulating into the resident block.
+
+    ``donor_major_out=True`` returns [D, n_variants] — the kernel's native
+    layout and what the E-step gather consumes — skipping the full-table
+    transpose, which EM loops would otherwise pay every iteration.
     """
     n_chunks = q.shape[1] // tc
     if not band_specs:
@@ -158,6 +163,10 @@ def tiled_mstep_impl(
     # slice into the gather, and full-row gathering measured ~1000x slower.
     # Band slices cut contiguous posterior ROWS before the transpose so the
     # transpose-gather fusion pattern stays intact.
+    # barrier: keep the producer (softmax / E-step epilogue) OUT of the
+    # gather — fused, XLA recomputes it per gathered element (measured
+    # ~+20 ms/EM iteration at SNP-array scale, benchmarks/exp_em_decompose.py)
+    posterior = jax.lax.optimization_barrier(posterior)
     wt_parts = []
     for b_lo, b_hi, c_lo, c_hi in band_specs:
         table = jax.lax.slice_in_dim(posterior, b_lo, b_hi, axis=0)[:, :n_genotypes]
@@ -204,14 +213,15 @@ def tiled_mstep_impl(
         ),
         interpret=interpret,
     )(chunk_bounds, chunk_suboff, wt, vl, q)
-    return out[:n_genotypes, :n_variants].T  # [n_variants, D]
+    block = out[:n_genotypes, :n_variants]
+    return block if donor_major_out else block.T  # [n_variants, D] by default
 
 
 _tiled_mstep = functools.partial(
     jax.jit,
     static_argnames=(
         "n_variants", "n_genotypes", "tv", "tc", "sps", "contribution_power",
-        "band_specs", "interpret",
+        "band_specs", "interpret", "donor_major_out",
     ),
 )(tiled_mstep_impl)
 
@@ -433,7 +443,8 @@ class TiledMstepCalls:
             )
         return self._device_arrays
 
-    def addition(self, posterior, n_genotypes: int, contribution_power: float, interpret: bool = False):
+    def addition(self, posterior, n_genotypes: int, contribution_power: float,
+                 interpret: bool = False, donor_major_out: bool = False):
         interpret = interpret or jax.default_backend() != "tpu"
         cb_global, vl, q, chunk_bounds, chunk_suboff = self._device()
         return _tiled_mstep(
@@ -451,4 +462,5 @@ class TiledMstepCalls:
             contribution_power=contribution_power,
             band_specs=self.band_specs,
             interpret=interpret,
+            donor_major_out=donor_major_out,
         )

@@ -107,6 +107,51 @@ def test_demultiplexer_pallas_path_matches_xla(tmp_path):
     np.testing.assert_allclose(lp.variant_betas, lx.variant_betas, rtol=1e-4, atol=1e-2)
 
 
+def test_donor_major_layouts_match_row_major():
+    """[D, V] genotype tables / M-step outputs equal the [V, D] paths."""
+    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls
+    from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
+
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, ref_logits = _problem()
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    dev = TiledDeviceCalls(mixing, penalties, tiled)
+    row = np.asarray(dev.logits(jnp.asarray(gprob), interpret=True))
+    dm = np.asarray(
+        dev.logits(jnp.asarray(np.ascontiguousarray(gprob.T)), interpret=True, donor_major=True)
+    )
+    np.testing.assert_allclose(dm, row, rtol=1e-6, atol=1e-6)
+
+    rng = np.random.RandomState(5)
+    n_variants, n_donors = gprob.shape
+    n_pg = mixing.shape[1]
+    post = rng.rand(n_barcodes, n_pg).astype(np.float32)
+    order = np.argsort(vid, kind="stable")
+    layout = TiledMstepCalls(
+        vid[order], cb[order], q[order], n_variants, tile_variants=64, chunk_calls=128
+    )
+    row_m = np.asarray(layout.addition(jnp.asarray(post), n_genotypes=n_donors,
+                                       contribution_power=2.0, interpret=True))
+    dm_m = np.asarray(layout.addition(jnp.asarray(post), n_genotypes=n_donors,
+                                      contribution_power=2.0, interpret=True,
+                                      donor_major_out=True))
+    np.testing.assert_array_equal(dm_m.T, row_m)
+
+    # donor-major windowed genotype probs equal the row-major op
+    variant2snp = np.repeat(np.arange(n_variants // 2, dtype=np.int32), 2)
+    betas = (rng.rand(n_variants, n_donors) * 50).astype(np.float32)
+    row_p = np.asarray(
+        L.probs_from_betas(jnp.asarray(betas), jnp.asarray(variant2snp),
+                           n_variants // 2, 0.01, max_per_snp=2)
+    )
+    dm_p = np.asarray(
+        L.probs_from_betas_donor_major(
+            jnp.asarray(np.ascontiguousarray(betas.T)), jnp.asarray(variant2snp),
+            0.01, max_per_snp=2,
+        )
+    )
+    np.testing.assert_allclose(dm_p.T, row_p, rtol=1e-6, atol=1e-7)
+
+
 def test_pallas_mstep_matches_oracle():
     from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls
     from oracle import oracle_mstep
