@@ -108,11 +108,28 @@ def main():
 
     # every stage feeds back a variant-table-shaped carry so each chain
     # stays dependent and comparable
+    def gather_only(probs, a):
+        # the M-step's XLA-side posterior gather without the scatter kernel
+        import jax as _jax
+        probs = _jax.lax.optimization_barrier(probs)
+        cb_global = a[3][0]
+        wt = probs[:, :N_D].T[:, cb_global]
+        return jnp.sum(wt) * 1e-30 + z
+
+    def estep_const(c, a):
+        # E-step gathering from a loop-invariant genotype table: measures the
+        # kernel as the standalone harnesses see it, inside this chain rig
+        gp = a[0] * (1.0 + jnp.sum(c) * 1e-30)
+        return jnp.sum(estep(gp, a)) * 1e-30 + z
+
     stages = {
         "pfb": (lambda c, a: pfb(c, a)[:, :N_D] * 1e-30, z),
+        "estep(const table)": (estep_const, z),
         "pfb+estep": (lambda c, a: jnp.sum(estep(pfb(c, a), a)) * 1e-30 + z, z),
         "pfb+estep+softmax": (lambda c, a: jnp.sum(
             jax.nn.softmax(estep(pfb(c, a), a), axis=-1)) * 1e-30 + z, z),
+        "...+gather (no scatter)": (lambda c, a: gather_only(
+            jax.nn.softmax(estep(pfb(c, a), a), axis=-1), a), z),
         "full EM": (
             lambda c, a: mstep(jax.nn.softmax(estep(pfb(c, a), a), axis=-1), a), z),
         "full EM donor-major": (em_dm, z_dm),

@@ -148,6 +148,188 @@ def _default_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+class _EMRun:
+    """Device-resident EM loop state shared by the learning entry points.
+
+    ``device_iterations`` yields per-iteration device arrays only;
+    ``materialize`` converts one yielded state into the reference-shaped
+    (posterior df, debug dict). Splitting the two lets ``learn_genotypes``
+    transfer exactly one iteration to the host while
+    ``staged_genotype_learning`` keeps the reference's per-iteration
+    generator semantics (demuxalot/demux.py:68-118) unchanged.
+    """
+
+    def __init__(
+        self,
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        n_iterations: int,
+        p_genotype_clip: float,
+        doublet_prior: float,
+        barcode_prior_logits: Optional[np.ndarray],
+    ):
+        assert 0 <= doublet_prior < 1
+        self.mixing, self.column_names = L.pseudogenotype_mixing(
+            genotypes.genotype_names, doublet_prior
+        )
+        self.penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
+        if barcode_prior_logits is not None:
+            n_options = len(self.penalties)
+            assert barcode_prior_logits.shape == (
+                barcode_handler.n_barcodes,
+                n_options,
+            ), "wrong shape of priors"
+
+        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
+            chromosome2compressed_snp_calls, genotypes, add_data_prior=True
+        )
+        self.prior_betas = prior_betas
+        self.barcode_handler = barcode_handler
+        self.n_iterations = n_iterations
+        self.p_genotype_clip = p_genotype_clip
+        self.n_variants, self.n_genotypes = prior_betas.shape
+        self.n_snps = int(variant2snp.max()) + 1 if self.n_variants else 0
+        n_barcodes = barcode_handler.n_barcodes
+        self.n_barcodes = n_barcodes
+
+        # device EM space uses SNP-sorted variant rows (windowed genotype-prob
+        # denominators); results are mapped back to registry order at yield
+        self.reindex = P.VariantReindex.build(variant2snp)
+        self.max_per_snp = self.reindex.windowed_max_per_snp
+        barcode_calls = self.reindex.remap_barcode_calls(barcode_calls)
+        self.molecule_calls = molecule_calls
+        if Demultiplexer.aggregate_on_snps:
+            from dataclasses import replace as _dc_replace
+
+            self.molecule_calls = _dc_replace(
+                molecule_calls,
+                variant_id=self.reindex.remap_variant_ids(molecule_calls.variant_id),
+            )
+        self.variant2snp_dev = jnp.asarray(self.reindex.variant2snp)
+
+        self.pallas_forward = None
+        self.pallas_mstep = None
+        if Demultiplexer._resolve_use_pallas() and not Demultiplexer.aggregate_on_snps:
+            from ..ops.pallas_mstep import TiledMstepCalls, choose_mstep_bands
+
+            self.pallas_forward = _PallasLogits(
+                barcode_calls, n_barcodes, self.mixing, self.penalties,
+                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                n_variants=self.n_variants,
+            )
+            vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
+            self.pallas_mstep = TiledMstepCalls(
+                barcode_calls["variant_id"].astype(np.int32)[vorder],
+                barcode_calls["compressed_cb"].astype(np.int32)[vorder],
+                barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
+                self.n_variants,
+                n_barcodes=n_barcodes,
+                n_bands=choose_mstep_bands(n_barcodes, self.n_genotypes),
+                n_genotypes=self.n_genotypes,
+            )
+        elif not Demultiplexer.aggregate_on_snps:
+            # flat dual-sort layout feeds the XLA segment-sum paths
+            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+            self.mixing_dev = jnp.asarray(self.mixing)
+            self.penalties_dev = jnp.asarray(self.penalties)
+            self.vid_b, self.cb_b, self.q_b = (
+                jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
+            )
+            self.vid_v, self.cb_v, self.q_v = (
+                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
+            )
+        else:
+            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+            self.vid_v, self.cb_v, self.q_v = (
+                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
+            )
+
+        self.prior_betas_dev = jnp.asarray(self.reindex.permute_rows(prior_betas))
+        self.prior_logits_dev = (
+            jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
+        )
+
+    def device_iterations(self):
+        """Yield (probs_dev, logits_dev, addition_dev) per EM iteration.
+
+        ``addition_dev`` is the state *entering* the iteration (the last
+        iteration performs no M-step), in the SNP-sorted device row order.
+        """
+        genotype_addition_dev = jnp.zeros_like(self.prior_betas_dev)
+        for _iteration in range(self.n_iterations):
+            is_last = _iteration == self.n_iterations - 1
+            betas_dev = self.prior_betas_dev + genotype_addition_dev
+            if Demultiplexer.aggregate_on_snps:
+                genotype_prob = np.asarray(
+                    L.probs_from_betas(
+                        betas_dev, self.variant2snp_dev, self.n_snps,
+                        self.p_genotype_clip, max_per_snp=self.max_per_snp,
+                    )
+                )
+                logits_dev = jnp.asarray(
+                    Demultiplexer._compute_logits_aggregating_on_snps(
+                        genotype_prob, self.mixing, self.penalties,
+                        self.molecule_calls, self.n_barcodes,
+                    )
+                )
+            elif self.pallas_forward is not None:
+                logits_dev = self.pallas_forward(
+                    betas_dev, self.variant2snp_dev, self.n_snps,
+                    self.p_genotype_clip, self.max_per_snp,
+                )
+            else:
+                logits_dev = _logits_forward(
+                    betas_dev,
+                    self.variant2snp_dev, self.mixing_dev, self.penalties_dev,
+                    self.vid_b, self.cb_b, self.q_b,
+                    n_snps=self.n_snps, n_barcodes=self.n_barcodes,
+                    p_genotype_clip=self.p_genotype_clip,
+                    call_chunk=Demultiplexer.call_chunk,
+                    max_per_snp=self.max_per_snp,
+                )
+            if _iteration == 0 and self.prior_logits_dev is not None:
+                assert self.prior_logits_dev.shape == logits_dev.shape, (
+                    "mismatching priors passed"
+                )
+                logits_dev = logits_dev + self.prior_logits_dev
+
+            probs_dev = jax.nn.softmax(logits_dev, axis=-1)
+            yield probs_dev, logits_dev, genotype_addition_dev
+            if is_last:
+                continue
+
+            if self.pallas_mstep is not None:
+                genotype_addition_dev = self.pallas_mstep.addition(
+                    probs_dev,
+                    n_genotypes=self.n_genotypes,
+                    contribution_power=float(Demultiplexer.contribution_power),
+                )
+            else:
+                genotype_addition_dev = _mstep(
+                    probs_dev,
+                    self.vid_v, self.cb_v, self.q_v,
+                    n_variants=self.n_variants, n_genotypes=self.n_genotypes,
+                    contribution_power=float(Demultiplexer.contribution_power),
+                    call_chunk=Demultiplexer.call_chunk,
+                )
+
+    def materialize(self, state) -> Tuple[pd.DataFrame, dict]:
+        """One device state → (posterior probs df, debug dict) on the host."""
+        probs_dev, logits_dev, addition_dev = state
+        barcode_posterior_probs_df = pd.DataFrame(
+            data=np.asarray(probs_dev),
+            index=self.barcode_handler.ordered_barcodes,
+            columns=self.column_names,
+        )
+        debug_information = {
+            "barcode_logits": np.asarray(logits_dev),
+            "genotype_prior": self.prior_betas,
+            "genotype_addition": self.reindex.unpermute_rows(np.asarray(addition_dev)),
+        }
+        return barcode_posterior_probs_df, debug_information
+
+
 _snp_aggregated_logits_jit = partial(
     jax.jit,
     static_argnames=("n_groups", "n_barcodes", "compensation", "p_bad_snp", "call_chunk"),
@@ -194,16 +376,17 @@ class Demultiplexer:
             assignment logits, applied at the first iteration only
         :return: (learnt genotypes, last-iteration barcode posterior probs)
         """
-        *_, last_iteration_output = Demultiplexer.staged_genotype_learning(
-            chromosome2compressed_snp_calls=chromosome2compressed_snp_calls,
-            genotypes=genotypes,
-            barcode_handler=barcode_handler,
-            n_iterations=n_iterations,
-            p_genotype_clip=p_genotype_clip,
-            doublet_prior=doublet_prior,
-            barcode_prior_logits=barcode_prior_logits,
+        # device-resident loop: unlike the staged generator, only the LAST
+        # iteration's posteriors/addition ever cross to the host
+        run = _EMRun(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
         )
-        last_iteration_barcode_probs, debug_information = last_iteration_output
+        state = None
+        for state in run.device_iterations():
+            pass
+        assert state is not None, "n_iterations must be >= 1"
+        last_iteration_barcode_probs, debug_information = run.materialize(state)
         learnt_genotypes = genotypes._with_betas(
             genotypes.get_betas() + debug_information["genotype_addition"]
         )
@@ -225,143 +408,13 @@ class Demultiplexer:
         additive term (``genotype_addition``), and only singlet posterior
         columns drive the M-step (reference: demuxalot/demux.py:68-118).
         """
-        assert 0 <= doublet_prior < 1
-        mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
-        penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
-        if barcode_prior_logits is not None:
-            n_options = len(penalties)
-            assert barcode_prior_logits.shape == (
-                barcode_handler.n_barcodes,
-                n_options,
-            ), "wrong shape of priors"
-
-        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
-            chromosome2compressed_snp_calls, genotypes, add_data_prior=True
+        run = _EMRun(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
         )
-        n_variants, n_genotypes = prior_betas.shape
-        n_snps = int(variant2snp.max()) + 1 if n_variants else 0
-        n_barcodes = barcode_handler.n_barcodes
-
-        # device EM space uses SNP-sorted variant rows (windowed genotype-prob
-        # denominators); results are mapped back to registry order at yield
-        reindex = P.VariantReindex.build(variant2snp)
-        max_per_snp = reindex.windowed_max_per_snp
-        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
-        if Demultiplexer.aggregate_on_snps:
-            from dataclasses import replace as _dc_replace
-
-            molecule_calls = _dc_replace(
-                molecule_calls,
-                variant_id=reindex.remap_variant_ids(molecule_calls.variant_id),
-            )
-        variant2snp_dev = jnp.asarray(reindex.variant2snp)
-
-        pallas_forward = None
-        pallas_mstep = None
-        if Demultiplexer._resolve_use_pallas() and not Demultiplexer.aggregate_on_snps:
-            from ..ops.pallas_mstep import TiledMstepCalls
-
-            pallas_forward = _PallasLogits(
-                barcode_calls, n_barcodes, mixing, penalties,
-                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-                n_variants=n_variants,
-            )
-            from ..ops.pallas_mstep import choose_mstep_bands
-
-            vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
-            pallas_mstep = TiledMstepCalls(
-                barcode_calls["variant_id"].astype(np.int32)[vorder],
-                barcode_calls["compressed_cb"].astype(np.int32)[vorder],
-                barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
-                n_variants,
-                n_barcodes=n_barcodes,
-                n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
-                n_genotypes=n_genotypes,
-            )
-        else:
-            # flat dual-sort layout feeds the XLA segment-sum paths
-            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-            mixing_dev = jnp.asarray(mixing)
-            penalties_dev = jnp.asarray(penalties)
-            vid_b, cb_b, q_b = (
-                jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
-            )
-            vid_v, cb_v, q_v = (
-                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
-            )
-
-        prior_betas_dev = jnp.asarray(reindex.permute_rows(prior_betas))
-        prior_logits_dev = (
-            jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
-        )
-        genotype_addition_dev = jnp.zeros_like(prior_betas_dev)
-
-        for _iteration in range(n_iterations):
-            is_last = _iteration == n_iterations - 1
-            if Demultiplexer.aggregate_on_snps:
-                genotype_prob = np.asarray(
-                    L.probs_from_betas(
-                        prior_betas_dev + genotype_addition_dev,
-                        variant2snp_dev, n_snps, p_genotype_clip,
-                        max_per_snp=max_per_snp,
-                    )
-                )
-                logits_dev = jnp.asarray(
-                    Demultiplexer._compute_logits_aggregating_on_snps(
-                        genotype_prob, mixing, penalties, molecule_calls, n_barcodes
-                    )
-                )
-            elif pallas_forward is not None:
-                logits_dev = pallas_forward(
-                    prior_betas_dev + genotype_addition_dev,
-                    variant2snp_dev, n_snps, p_genotype_clip, max_per_snp,
-                )
-            else:
-                logits_dev = _logits_forward(
-                    prior_betas_dev + genotype_addition_dev,
-                    variant2snp_dev, mixing_dev, penalties_dev,
-                    vid_b, cb_b, q_b,
-                    n_snps=n_snps, n_barcodes=n_barcodes,
-                    p_genotype_clip=p_genotype_clip,
-                    call_chunk=Demultiplexer.call_chunk,
-                    max_per_snp=max_per_snp,
-                )
-            if _iteration == 0 and prior_logits_dev is not None:
-                assert prior_logits_dev.shape == logits_dev.shape, "mismatching priors passed"
-                logits_dev = logits_dev + prior_logits_dev
-
-            probs_dev = jax.nn.softmax(logits_dev, axis=-1)
-            barcode_posterior_probs_df = pd.DataFrame(
-                data=np.asarray(probs_dev),
-                index=barcode_handler.ordered_barcodes,
-                columns=column_names,
-            )
-            debug_information = {
-                "barcode_logits": np.asarray(logits_dev),
-                "genotype_prior": prior_betas,
-                "genotype_addition": reindex.unpermute_rows(
-                    np.asarray(genotype_addition_dev)
-                ),
-            }
+        for state in run.device_iterations():
             # yielding here provides aligned posteriors for genotypes and barcodes
-            yield barcode_posterior_probs_df, debug_information
-            if is_last:
-                continue
-
-            if pallas_mstep is not None:
-                genotype_addition_dev = pallas_mstep.addition(
-                    probs_dev,
-                    n_genotypes=n_genotypes,
-                    contribution_power=float(Demultiplexer.contribution_power),
-                )
-            else:
-                genotype_addition_dev = _mstep(
-                    probs_dev,
-                    vid_v, cb_v, q_v,
-                    n_variants=n_variants, n_genotypes=n_genotypes,
-                    contribution_power=float(Demultiplexer.contribution_power),
-                    call_chunk=Demultiplexer.call_chunk,
-                )
+            yield run.materialize(state)
 
     @staticmethod
     def predict_posteriors(
