@@ -68,6 +68,13 @@ def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float, 
     )
 
 
+@partial(jax.jit, static_argnames=("p_genotype_clip", "max_per_snp"))
+def _genotype_probs_dm(betas_dm, variant2snp, *, p_genotype_clip: float, max_per_snp: int):
+    return L.probs_from_betas_donor_major(
+        betas_dm, variant2snp, p_genotype_clip, max_per_snp
+    )
+
+
 class _PallasLogits:
     """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
 
@@ -115,7 +122,19 @@ class _PallasLogits:
             )
         self.device = TiledDeviceCalls(mixing, penalties, tiled)
 
-    def __call__(self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0):
+    def __call__(
+        self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0,
+        donor_major=False,
+    ):
+        if donor_major:
+            # [D, V] state end to end: the gather's native orientation, no
+            # full-table transposes between EM stages (requires the windowed
+            # SNP-sorted denominator path, max_per_snp > 0)
+            genotype_prob = _genotype_probs_dm(
+                betas_dev, variant2snp_dev, p_genotype_clip=p_genotype_clip,
+                max_per_snp=max_per_snp,
+            )
+            return self.device.logits(genotype_prob, donor_major=True)
         genotype_prob = _genotype_probs(
             betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip,
             max_per_snp=max_per_snp,
@@ -245,7 +264,14 @@ class _EMRun:
                 jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
             )
 
-        self.prior_betas_dev = jnp.asarray(self.reindex.permute_rows(prior_betas))
+        # with the Pallas kernels and the windowed denominator both available,
+        # the EM state stays donor-major [D, V] across iterations (the
+        # layouts both kernels natively want; saves full-table transposes)
+        self.donor_major = self.pallas_forward is not None and self.max_per_snp > 0
+        prior_sorted = self.reindex.permute_rows(prior_betas)
+        self.prior_betas_dev = jnp.asarray(
+            np.ascontiguousarray(prior_sorted.T) if self.donor_major else prior_sorted
+        )
         self.prior_logits_dev = (
             jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
         )
@@ -277,6 +303,7 @@ class _EMRun:
                 logits_dev = self.pallas_forward(
                     betas_dev, self.variant2snp_dev, self.n_snps,
                     self.p_genotype_clip, self.max_per_snp,
+                    donor_major=self.donor_major,
                 )
             else:
                 logits_dev = _logits_forward(
@@ -304,6 +331,7 @@ class _EMRun:
                     probs_dev,
                     n_genotypes=self.n_genotypes,
                     contribution_power=float(Demultiplexer.contribution_power),
+                    donor_major_out=self.donor_major,
                 )
             else:
                 genotype_addition_dev = _mstep(
@@ -322,10 +350,13 @@ class _EMRun:
             index=self.barcode_handler.ordered_barcodes,
             columns=self.column_names,
         )
+        addition = np.asarray(addition_dev)
+        if self.donor_major:
+            addition = addition.T
         debug_information = {
             "barcode_logits": np.asarray(logits_dev),
             "genotype_prior": self.prior_betas,
-            "genotype_addition": self.reindex.unpermute_rows(np.asarray(addition_dev)),
+            "genotype_addition": self.reindex.unpermute_rows(addition),
         }
         return barcode_posterior_probs_df, debug_information
 

@@ -98,6 +98,13 @@ def test_demultiplexer_pallas_path_matches_xla(tmp_path):
         logits_x, probs_x = Demultiplexer.predict_posteriors(calls, genotypes, bh, doublet_prior=0.25)
         lx, px = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
         Demultiplexer.use_pallas = True
+        # the production Pallas EM keeps its state donor-major [D, V]
+        # whenever the windowed denominator applies — pin that here so this
+        # parity test is known to cover the donor-major path
+        from demuxalot_tpu.models.demux import _EMRun
+
+        run = _EMRun(calls, genotypes, bh, 2, 0.01, 0.0, None)
+        assert run.donor_major, "expected the donor-major EM state here"
         logits_p, probs_p = Demultiplexer.predict_posteriors(calls, genotypes, bh, doublet_prior=0.25)
         lp, pp = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
     finally:
