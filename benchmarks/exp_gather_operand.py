@@ -99,4 +99,70 @@ def phase2():
             time.perf_counter()) for _ in range(3))
         print(f"{name:26s} {max(best - l, 0) / K * 1e3:8.2f} ms", flush=True)
 
-phase2()
+
+# --- phase 3: characterize the after-pallas gather penalty ----------------
+# Kernel-then-gather measured 3x gather cost even with an INDEPENDENT
+# operand. Vary: order, kernel size, gather count.
+def phase3():
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def tiny_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    tiny_in = jnp.ones((8, 128), jnp.float32)
+    def tiny(t):
+        return pl.pallas_call(
+            tiny_kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(tiny_in * (1.0 + t * 1e-30))
+
+    from demuxalot_tpu.models.demux import Demultiplexer, _PallasLogits
+    from demuxalot_tpu.ops import likelihood as L
+    from demuxalot_tpu.ops.packing import BARCODE_CALLS_DTYPE
+    from demuxalot_tpu.ops.pallas_likelihood import tiled_logits_impl
+    from demuxalot_tpu.sim import synthesize_device_workload
+
+    N_S, CPB = 327680, 72
+    betas, v2s, vid, cbv, q, _ = synthesize_device_workload(N_B, N_D, N_S, CPB, seed=0)
+    mixing, _n = L.pseudogenotype_mixing([f"D{i:02}" for i in range(N_D)], 0.35)
+    pen = L.doublet_penalties(N_D, 0.35)
+    rec = np.recarray(len(vid), dtype=BARCODE_CALLS_DTYPE)
+    rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cbv, q
+    rec["snp_id"] = v2s[vid]
+    dev = _PallasLogits(
+        rec, N_B, mixing, pen, Demultiplexer.pallas_tile_barcodes,
+        Demultiplexer.pallas_chunk_calls, n_variants=betas.shape[0],
+    ).device
+    gp = jnp.asarray(np.random.default_rng(1).random(betas.shape, np.float32))
+    pg = mixing.shape[1]
+
+    def estep(t):
+        out = tiled_logits_impl(
+            gp * (1.0 + t * 1e-30), dev.mixing_sl, dev.penalties_p, dev.vid,
+            dev.seg_group, dev.q, dev.chunk_bounds, dev.chunk_suboff,
+            n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+            tc=dev.chunk_calls, band_specs=dev.band_specs)
+        return jnp.sum(out[:N_B, :pg]) * 1e-30
+
+    def gaz(c, a):  # one gather, scalar-dependent operand
+        return g((a + c * 1e-30)[:, :N_D].T, None)
+
+    stages = {
+        "gather alone": lambda c, a: gaz(c, a) + c,
+        "gather THEN estep": lambda c, a: estep(gaz(c, a) * 1e30 + c) + gaz(c, a) * 0.0 + c,
+        "tiny pallas + gather": lambda c, a: jnp.sum(tiny(c)) * 1e-30 + gaz(c, a) + c,
+        "estep + 2 gathers": lambda c, a: estep(c) + gaz(c, a) + gaz(c + 1e-12, a) + c,
+    }
+    for name, step in stages.items():
+        chain = jax.jit(lambda c, a, s=step: jax.lax.fori_loop(0, K, lambda i, c: s(c, a), c))
+        float(chain(jnp.float32(0.0), post))
+        l = lat()
+        best = min((lambda t0: (float(chain(jnp.float32(0.0), post)), time.perf_counter() - t0)[1])(
+            time.perf_counter()) for _ in range(3))
+        print(f"{name:24s} {max(best - l, 0) / K * 1e3:8.2f} ms", flush=True)
+
+if os.environ.get("PHASE") == "3":
+    phase3()
+elif os.environ.get("PHASE") == "2":
+    phase2()

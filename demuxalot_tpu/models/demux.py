@@ -492,8 +492,10 @@ class Demultiplexer:
                 )
             )
             assert np.isfinite(genotype_prob).all()
-            barcode_posterior_logits = Demultiplexer._compute_logits_aggregating_on_snps(
-                genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+            logits_dev = jnp.asarray(
+                Demultiplexer._compute_logits_aggregating_on_snps(
+                    genotype_prob, mixing, penalties, molecule_calls, n_barcodes
+                )
             )
         elif Demultiplexer._resolve_use_pallas():
             pallas_forward = _PallasLogits(
@@ -501,32 +503,30 @@ class Demultiplexer:
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
                 n_variants=n_variants,
             )
-            barcode_posterior_logits = np.asarray(
-                pallas_forward(
-                    jnp.asarray(prior_betas_sorted), jnp.asarray(v2s_sorted),
-                    n_snps, p_genotype_clip, max_per_snp,
-                )
+            logits_dev = pallas_forward(
+                jnp.asarray(prior_betas_sorted), jnp.asarray(v2s_sorted),
+                n_snps, p_genotype_clip, max_per_snp,
             )
         else:
             device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-            barcode_posterior_logits = np.asarray(
-                _logits_forward(
-                    jnp.asarray(prior_betas_sorted),
-                    jnp.asarray(v2s_sorted),
-                    jnp.asarray(mixing),
-                    jnp.asarray(penalties),
-                    jnp.asarray(device.vid_b),
-                    jnp.asarray(device.cb_b),
-                    jnp.asarray(device.q_b),
-                    n_snps=n_snps,
-                    n_barcodes=n_barcodes,
-                    p_genotype_clip=p_genotype_clip,
-                    call_chunk=Demultiplexer.call_chunk,
-                    max_per_snp=max_per_snp,
-                )
+            logits_dev = _logits_forward(
+                jnp.asarray(prior_betas_sorted),
+                jnp.asarray(v2s_sorted),
+                jnp.asarray(mixing),
+                jnp.asarray(penalties),
+                jnp.asarray(device.vid_b),
+                jnp.asarray(device.cb_b),
+                jnp.asarray(device.q_b),
+                n_snps=n_snps,
+                n_barcodes=n_barcodes,
+                p_genotype_clip=p_genotype_clip,
+                call_chunk=Demultiplexer.call_chunk,
+                max_per_snp=max_per_snp,
             )
 
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(barcode_posterior_logits), axis=1))
+        # softmax on device while the logits are still there (no host round trip)
+        probs = np.asarray(jax.nn.softmax(logits_dev, axis=1))
+        barcode_posterior_logits = np.asarray(logits_dev)
         logits_df = pd.DataFrame(
             data=barcode_posterior_logits,
             index=list(barcode_handler.ordered_barcodes),
