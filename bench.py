@@ -231,21 +231,35 @@ def main():
             )
 
             # the true production chain: addition feeds the next iteration's
-            # betas (includes probs_from_betas, unlike a fixed-gp loop)
-            betas_dev = jnp.asarray(betas)
+            # betas (includes probs_from_betas, unlike a fixed-gp loop).
+            # Production keeps the whole state donor-major [D, V]
+            # (models/demux.py _EMRun) — mirror that here.
+            betas_dm = jnp.asarray(np.ascontiguousarray(betas.T))
             v2s_dev = jnp.asarray(variant2snp)
 
-            def em_iteration(addition, a):
+            def em_iteration(addition_dm, a):
                 betas_a, v2s_a, e_ops, m_a = a
                 # sim's variant2snp is SNP-sorted (2 variants per SNP), so
                 # the production windowed-denominator path applies
-                gp = L.probs_from_betas(betas_a + addition, v2s_a, N_SNPS, 0.01, max_per_snp=2)
-                probs = jax.nn.softmax(pallas_logits(gp, e_ops), axis=-1)
-                return mstep_addition(probs, m_a)
+                gp = L.probs_from_betas_donor_major(betas_a + addition_dm, v2s_a, 0.01, max_per_snp=2)
+                out = tiled_logits_impl(
+                    gp, *e_ops,
+                    n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+                    tc=dev.chunk_calls, band_specs=dev.band_specs,
+                    donor_major=True,
+                )
+                probs = jax.nn.softmax(out[:N_BARCODES, :n_pg], axis=-1)
+                return tiled_mstep_impl(
+                    probs, *m_a,
+                    n_variants=n_variants, n_genotypes=N_DONORS,
+                    tv=mlayout.tile_variants, tc=mlayout.chunk_calls,
+                    sps=mlayout.subtiles_per_super, contribution_power=2.0,
+                    band_specs=mlayout.band_specs, donor_major_out=True,
+                )
 
             em_iter_time = chain_time(
-                em_iteration, jnp.zeros_like(betas_dev),
-                (betas_dev, v2s_dev, dev_ops, m_ops), k=8,
+                em_iteration, jnp.zeros_like(betas_dm),
+                (betas_dm, v2s_dev, dev_ops, m_ops), k=8,
             )
             _stage(f"EM iteration {em_iter_time*1e3:.1f} ms")
         except Exception as e:

@@ -153,9 +153,13 @@ def main():
     ]
     results = []
     host_cores = os.cpu_count() or 1
+    # this is a shared VM: repeat each point and keep the fastest child run
+    # (min-of-repeats, same discipline as every timing harness in this repo)
+    repeats = int(os.environ.get("DEMUX_SCALING_REPEATS", 3))
     for n in sizes:
         if backend == "cpu":
-            r = _measure_subprocess(n, min(n, host_cores))
+            runs = [_measure_subprocess(n, min(n, host_cores)) for _ in range(repeats)]
+            r = min(runs, key=lambda x: x["em_iteration_s"])
         else:
             n_barcodes = BARCODES_PER_SHARD * n
             em_time, rate = measure_em(jax.devices()[:n], n_barcodes)

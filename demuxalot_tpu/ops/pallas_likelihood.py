@@ -281,9 +281,6 @@ def tiled_logits_impl(
         band_specs = ((0, n_variants, 0, n_chunks),)
     n_bands = len(band_specs)
 
-    # barrier: keep the genotype-prob producer OUT of the gather (fused,
-    # XLA recomputes it per gathered element; see pallas_mstep.py)
-    genotype_prob = jax.lax.optimization_barrier(genotype_prob)
     # XLA side: per-band column gathers fused with the fold; donor axis
     # padded to the 8-sublane granularity Mosaic DMAs need (zero mixing
     # columns null the extra rows)

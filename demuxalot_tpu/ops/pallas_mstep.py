@@ -163,10 +163,6 @@ def tiled_mstep_impl(
     # slice into the gather, and full-row gathering measured ~1000x slower.
     # Band slices cut contiguous posterior ROWS before the transpose so the
     # transpose-gather fusion pattern stays intact.
-    # barrier: keep the producer (softmax / E-step epilogue) OUT of the
-    # gather — fused, XLA recomputes it per gathered element (measured
-    # ~+20 ms/EM iteration at SNP-array scale, benchmarks/exp_em_decompose.py)
-    posterior = jax.lax.optimization_barrier(posterior)
     wt_parts = []
     for b_lo, b_hi, c_lo, c_hi in band_specs:
         table = jax.lax.slice_in_dim(posterior, b_lo, b_hi, axis=0)[:, :n_genotypes]
