@@ -61,17 +61,43 @@ def _logits_forward(
     )
 
 
-@partial(jax.jit, static_argnames=("n_snps", "p_genotype_clip", "max_per_snp"))
-def _genotype_probs(betas, variant2snp, *, n_snps: int, p_genotype_clip: float, max_per_snp: int = 0):
-    return L.probs_from_betas(
-        betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
-    )
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_snps", "p_genotype_clip", "max_per_snp", "donor_major",
+        "n_super", "tbs", "tb", "tc", "band_specs", "interpret",
+    ),
+)
+def _pfb_tiled_logits(
+    prior_betas, addition, variant2snp,
+    mixing_sl, penalties_p, vid, seg_group, q, chunk_bounds, chunk_suboff,
+    *,
+    n_snps: int, p_genotype_clip: float, max_per_snp: int, donor_major: bool,
+    n_super: int, tbs: int, tb: int, tc: int, band_specs: tuple, interpret: bool,
+):
+    """One program: betas → genotype probs → fused likelihood kernel.
 
+    Keeping the genotype-prob table a compiler-scheduled INTERMEDIATE (not a
+    cross-program parameter) matters doubly: the gather source keeps a
+    layout XLA can pick freely — a materialized [D, V] entry parameter
+    would gather along lanes, measured ~15x slower
+    (benchmarks/exp_group.py) — and each E-step costs one dispatch, not two.
+    """
+    from ..ops.pallas_likelihood import tiled_logits_impl
 
-@partial(jax.jit, static_argnames=("p_genotype_clip", "max_per_snp"))
-def _genotype_probs_dm(betas_dm, variant2snp, *, p_genotype_clip: float, max_per_snp: int):
-    return L.probs_from_betas_donor_major(
-        betas_dm, variant2snp, p_genotype_clip, max_per_snp
+    betas = prior_betas + addition
+    if donor_major:
+        gp = L.probs_from_betas_donor_major(
+            betas, variant2snp, p_genotype_clip, max_per_snp
+        )
+    else:
+        gp = L.probs_from_betas(
+            betas, variant2snp, n_snps, p_genotype_clip, max_per_snp=max_per_snp
+        )
+    return tiled_logits_impl(
+        gp, mixing_sl, penalties_p, vid, seg_group, q, chunk_bounds, chunk_suboff,
+        n_super=n_super, tbs=tbs, tb=tb, tc=tc, band_specs=band_specs,
+        interpret=interpret, donor_major=donor_major,
     )
 
 
@@ -124,22 +150,28 @@ class _PallasLogits:
 
     def __call__(
         self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0,
-        donor_major=False,
+        donor_major=False, addition_dev=None,
     ):
-        if donor_major:
-            # [D, V] state end to end: the gather's native orientation, no
-            # full-table transposes between EM stages (requires the windowed
-            # SNP-sorted denominator path, max_per_snp > 0)
-            genotype_prob = _genotype_probs_dm(
-                betas_dev, variant2snp_dev, p_genotype_clip=p_genotype_clip,
-                max_per_snp=max_per_snp,
-            )
-            return self.device.logits(genotype_prob, donor_major=True)
-        genotype_prob = _genotype_probs(
-            betas_dev, variant2snp_dev, n_snps=n_snps, p_genotype_clip=p_genotype_clip,
-            max_per_snp=max_per_snp,
+        """Logits from (prior betas [+ addition]) in a single fused program.
+
+        ``donor_major=True`` takes (and expects ``addition_dev`` in) the
+        [D, V] orientation: no full-table transposes between EM stages
+        (requires the windowed SNP-sorted denominator path, max_per_snp > 0).
+        """
+        dev = self.device
+        interpret = jax.default_backend() != "tpu"
+        if addition_dev is None:
+            addition_dev = jnp.float32(0.0)  # scalar no-op addition
+        out = _pfb_tiled_logits(
+            betas_dev, addition_dev, variant2snp_dev,
+            dev.mixing_sl, dev.penalties_p, dev.vid, dev.seg_group, dev.q,
+            dev.chunk_bounds, dev.chunk_suboff,
+            n_snps=n_snps, p_genotype_clip=p_genotype_clip,
+            max_per_snp=max_per_snp, donor_major=donor_major,
+            n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+            tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=interpret,
         )
-        return self.device.logits(genotype_prob)
+        return out[: dev.n_barcodes, : dev.n_pseudogenotypes]
 
 
 @partial(
@@ -285,11 +317,11 @@ class _EMRun:
         genotype_addition_dev = jnp.zeros_like(self.prior_betas_dev)
         for _iteration in range(self.n_iterations):
             is_last = _iteration == self.n_iterations - 1
-            betas_dev = self.prior_betas_dev + genotype_addition_dev
             if Demultiplexer.aggregate_on_snps:
                 genotype_prob = np.asarray(
                     L.probs_from_betas(
-                        betas_dev, self.variant2snp_dev, self.n_snps,
+                        self.prior_betas_dev + genotype_addition_dev,
+                        self.variant2snp_dev, self.n_snps,
                         self.p_genotype_clip, max_per_snp=self.max_per_snp,
                     )
                 )
@@ -301,13 +333,14 @@ class _EMRun:
                 )
             elif self.pallas_forward is not None:
                 logits_dev = self.pallas_forward(
-                    betas_dev, self.variant2snp_dev, self.n_snps,
+                    self.prior_betas_dev, self.variant2snp_dev, self.n_snps,
                     self.p_genotype_clip, self.max_per_snp,
                     donor_major=self.donor_major,
+                    addition_dev=genotype_addition_dev,
                 )
             else:
                 logits_dev = _logits_forward(
-                    betas_dev,
+                    self.prior_betas_dev + genotype_addition_dev,
                     self.variant2snp_dev, self.mixing_dev, self.penalties_dev,
                     self.vid_b, self.cb_b, self.q_b,
                     n_snps=self.n_snps, n_barcodes=self.n_barcodes,

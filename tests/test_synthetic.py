@@ -157,3 +157,21 @@ def test_aggregate_on_snps_path(synthetic_data):
     print("aggregate_on_snps loss:", loss)
     assert loss < 1.0
     assert np.allclose(probs.sum(axis=1), 1, atol=1e-3)
+
+
+def test_aggregate_on_snps_em_loop(synthetic_data):
+    """EM learning also runs through the per-SNP aggregation branch."""
+    _f, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+    try:
+        Demultiplexer.aggregate_on_snps = True
+        learnt, probs = Demultiplexer.learn_genotypes(
+            calls, genotypes, barcode_handler=barcode_handler, n_iterations=2
+        )
+    finally:
+        Demultiplexer.aggregate_on_snps = False
+    assert np.allclose(probs.sum(axis=1).values, 1, atol=1e-3)
+    loss = compute_loss(barcode2correct_donor, probs)
+    print("aggregate_on_snps EM loss:", loss)
+    assert loss < 1.0
+    # learning only ever adds information on top of the frozen prior
+    assert np.all(learnt.get_betas() >= genotypes.get_betas() - 1e-6)
