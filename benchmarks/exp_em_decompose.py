@@ -109,12 +109,18 @@ def main():
     # every stage feeds back a variant-table-shaped carry so each chain
     # stays dependent and comparable
     def gather_only(probs, a):
-        # the M-step's XLA-side posterior gather without the scatter kernel
-        import jax as _jax
-        probs = _jax.lax.optimization_barrier(probs)
+        # the M-step's XLA-side posterior gather without the scatter kernel,
+        # replicating tiled_mstep_impl's per-band slicing (cb ids are
+        # band-LOCAL whenever the layout is barcode-banded)
         cb_global = a[3][0]
-        wt = probs[:, :N_D].T[:, cb_global]
-        return jnp.sum(wt) * 1e-30 + z
+        tc_m = mlayout.chunk_calls
+        specs = mlayout.band_specs or ((0, probs.shape[0], 0, mlayout.n_chunks),)
+        total = 0.0
+        for b_lo, b_hi, c_lo, c_hi in specs:
+            table = jax.lax.slice_in_dim(probs, b_lo, b_hi, axis=0)[:, :N_D]
+            cb_k = jax.lax.slice_in_dim(cb_global, c_lo * tc_m, c_hi * tc_m, axis=0)
+            total = total + jnp.sum(table.T[:, cb_k])
+        return total * 1e-30 + z
 
     def estep_const(c, a):
         # E-step gathering from a loop-invariant genotype table: measures the
