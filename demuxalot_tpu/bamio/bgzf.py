@@ -62,9 +62,11 @@ def decompress_block(data: bytes, offset: int) -> Tuple[bytes, int]:
     cdata_start = offset + 12 + xlen
     cdata_end = offset + bsize - 8
     payload = zlib.decompress(data[cdata_start:cdata_end], wbits=-15)
-    (isize,) = struct.unpack_from("<I", data, offset + bsize - 4)
+    crc, isize = struct.unpack_from("<II", data, offset + bsize - 8)
     if len(payload) != isize:
         raise ValueError(f"BGZF ISIZE mismatch: {len(payload)} != {isize}")
+    if zlib.crc32(payload) != crc:
+        raise ValueError("BGZF block CRC32 mismatch (corrupt data)")
     return payload, bsize
 
 
@@ -123,9 +125,11 @@ class BgzfReader:
         cdata = fh.read(cdata_len)
         trailer = fh.read(8)
         payload = zlib.decompress(cdata, wbits=-15)
-        (isize,) = struct.unpack_from("<I", trailer, 4)
+        crc, isize = struct.unpack_from("<II", trailer, 0)
         if len(payload) != isize:
             raise ValueError(f"BGZF ISIZE mismatch: {len(payload)} != {isize}")
+        if zlib.crc32(payload) != crc:
+            raise ValueError("BGZF block CRC32 mismatch (corrupt data)")
         return payload, bsize
 
     def _load_block(self, coffset: int) -> None:

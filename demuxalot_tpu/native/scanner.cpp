@@ -89,8 +89,9 @@ struct BgzfStream {
     std::vector<uint8_t> cdata(cdata_len);
     fseek(fp, (long)(coffset + 12 + xlen), SEEK_SET);
     if (fread(cdata.data(), 1, cdata_len, fp) != cdata_len) return false;
-    uint32_t isize;
-    fseek(fp, (long)(coffset + bsize - 4), SEEK_SET);
+    uint32_t crc_expect, isize;
+    fseek(fp, (long)(coffset + bsize - 8), SEEK_SET);
+    if (fread(&crc_expect, 4, 1, fp) != 1) return false;
     if (fread(&isize, 4, 1, fp) != 1) return false;
 
     payload.resize(isize);
@@ -104,6 +105,9 @@ struct BgzfStream {
       int ret = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
       if (ret != Z_STREAM_END) return false;
+      // bit-flipped cdata can still inflate to isize bytes; the gzip CRC32
+      // trailer is the only check that catches silent corruption
+      if (crc32(0L, payload.data(), isize) != crc_expect) return false;
     }
     block_coffset = coffset;
     block_csize = bsize;

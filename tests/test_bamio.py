@@ -272,3 +272,88 @@ def test_our_bai_matches_htslib_bai(tmp_path):
     ha = {s.contig: (s.mapped, s.unmapped) for s in htslib_reader.get_index_statistics()}
     oa = {s.contig: (s.mapped, s.unmapped) for s in our_reader.get_index_statistics()}
     assert ha == oa
+
+
+# -- corruption robustness: fail loudly, never silently short-read ----------
+
+def _bgzf_bytes(payload: bytes) -> bytes:
+    import io
+    buf = io.BytesIO()
+    with BgzfWriter(buf) as w:
+        w.write(payload)
+    return buf.getvalue()
+
+
+def test_bgzf_rejects_garbage_prefix():
+    with pytest.raises(ValueError, match="not a BGZF"):
+        BgzfReader(b"\x00garbage" * 10)
+
+
+def test_bgzf_truncated_block_raises(tmp_path):
+    rng = np.random.RandomState(1)
+    payload = rng.bytes(200_000)  # several blocks
+    data = _bgzf_bytes(payload)
+    r = BgzfReader(data[: len(data) // 2])  # cut mid-stream
+    with pytest.raises((EOFError, ValueError, Exception)):
+        got = r.read_all()
+        # a short read without an exception would be silent corruption
+        assert len(got) == len(payload), "truncated file must not read fully"
+        raise AssertionError("truncation neither raised nor shortened")
+
+
+def test_bgzf_corrupt_deflate_bytes_raise(tmp_path):
+    import zlib as _zlib
+    rng = np.random.RandomState(2)
+    payload = rng.bytes(150_000)
+    data = bytearray(_bgzf_bytes(payload))
+    # flip bytes in the middle of the second block's compressed data
+    data[len(data) // 2] ^= 0xFF
+    data[len(data) // 2 + 1] ^= 0xFF
+    r = BgzfReader(bytes(data))
+    with pytest.raises((_zlib.error, ValueError)):
+        r.read_all()
+
+
+def test_bgzf_isize_mismatch_raises():
+    rng = np.random.RandomState(3)
+    payload = rng.bytes(1000)
+    data = bytearray(_bgzf_bytes(payload))
+    # ISIZE is the last 4 bytes of the first (only data-carrying) block;
+    # find the first block size from its header and corrupt its ISIZE
+    from demuxalot_tpu.bamio.bgzf import _parse_block_header
+    _xlen, bsize = _parse_block_header(bytes(data), 0)
+    data[bsize - 1] ^= 0x55
+    with pytest.raises(ValueError, match="ISIZE"):
+        BgzfReader(bytes(data)).read_all()
+
+
+def test_bgzf_seek_past_eof_raises():
+    data = _bgzf_bytes(b"hello world")
+    r = BgzfReader(data)
+    with pytest.raises(ValueError, match="corrupt virtual offset"):
+        r.seek_virtual(((len(data) + 4096) << 16) | 5)
+
+
+def test_bam_corrupt_record_lengths_raise(tmp_path):
+    """Bit-flipped BAM payloads must raise, not yield phantom reads."""
+    path = tmp_path / "c.bam"
+    with BamWriter(path, {"chr1": 1000}) as w:
+        for i in range(50):
+            w.write(_make_read(f"r{i}", 0, i * 3, "A" * 30))
+    raw = BgzfReader(str(path)).read_all()
+    bad = bytearray(raw)
+    # corrupt block_size fields region in the middle of the record stream
+    bad[len(bad) // 2] = 0xFF
+    bad[len(bad) // 2 + 1] = 0xFF
+    import io
+    buf = io.BytesIO()
+    with BgzfWriter(buf) as w:
+        w.write(bytes(bad))
+    corrupted = tmp_path / "corrupt.bam"
+    corrupted.write_bytes(buf.getvalue())
+    reader = None
+    with pytest.raises(Exception):
+        reader = BamReader(str(corrupted))
+        n = sum(1 for _ in reader)
+        assert n == 50, f"corruption silently changed the read count to {n}"
+        raise AssertionError("corruption neither raised nor changed output")
