@@ -13,6 +13,12 @@ Public API mirrors the reference's five names
 
 __version__ = "0.1.0"
 
+from .utils.platform import tune_numpy_allocator as _tune_numpy_allocator
+
+# hosts where THP faults stall make every large numpy buffer ~100x slower;
+# harmless elsewhere (see utils/platform.py, opt out: DEMUX_NUMPY_HUGEPAGE=1)
+_tune_numpy_allocator()
+
 from .frontend.snp_counter import count_snps
 from .models.demux import Demultiplexer
 from .models.genotypes import ProbabilisticGenotypes
