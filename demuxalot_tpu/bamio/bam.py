@@ -26,6 +26,10 @@ BAM_MAGIC = b"BAM\x01"
 SEQ_DECODE = "=ACMGRSVTWYHKDBN"
 SEQ_ENCODE = {c: i for i, c in enumerate(SEQ_DECODE)}
 SEQ_ENCODE["N"] = 15
+# byte-level translation table: ASCII base -> 4-bit code (unknown -> N=15)
+_SEQ_TRANS = bytes(
+    SEQ_ENCODE.get(chr(b), 15) for b in range(256)
+)
 
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_ENCODE = {c: i for i, c in enumerate(CIGAR_OPS)}
@@ -594,13 +598,13 @@ def encode_record(read: AlignedRead) -> bytes:
     cigar_raw = b"".join(struct.pack("<I", (l << 4) | op) for op, l in ct)
     seq = read.query_sequence or ""
     l_seq = len(seq)
-    seq_raw = bytearray((l_seq + 1) // 2)
-    for i, c in enumerate(seq):
-        code = SEQ_ENCODE.get(c, 15)
-        if i % 2 == 0:
-            seq_raw[i >> 1] |= code << 4
-        else:
-            seq_raw[i >> 1] |= code
+    # nibble-pack via a byte translation + vectorized shift (the per-char
+    # dict loop dominated write profiles at ~50 us/read)
+    codes = seq.encode("ascii").translate(_SEQ_TRANS)
+    if l_seq % 2:
+        codes += b"\x00"
+    arr = np.frombuffer(codes, dtype=np.uint8)
+    seq_raw = ((arr[0::2] << 4) | arr[1::2]).astype(np.uint8).tobytes()
     qual = read.query_qualities
     if qual is None:
         qual_raw = b"\xff" * l_seq
@@ -630,7 +634,7 @@ def encode_record(read: AlignedRead) -> bytes:
         )
         + name_b
         + cigar_raw
-        + bytes(seq_raw)
+        + seq_raw
         + qual_raw
         + tags_raw
     )
@@ -640,17 +644,25 @@ def encode_record(read: AlignedRead) -> bytes:
 def sort_bam(in_path: Union[str, Path], out_path: Union[str, Path]) -> None:
     """Coordinate-sort a BAM in memory (``pysam.sort`` work-alike).
 
+    Sorts RAW record bytes — (refID, pos) live at fixed offsets 0/4 of
+    each record body, so no record is ever decoded or re-encoded.
     In-memory sort is fine for test fixtures; production inputs arrive
     already coordinate-sorted from cellranger/STARsolo.
     """
-    reader = BamReader(in_path)
+    reader = BamReader(in_path)  # parses the header and positions the stream
+    bgzf = reader._bgzf
     records = []
-    for read in reader:
-        key = (
-            read.reference_id if read.reference_id >= 0 else 2**31,
-            read.reference_start,
-        )
-        records.append((key, encode_record(read)))
+    while True:
+        head = bgzf.read(4)
+        if len(head) < 4:
+            break
+        (block_size,) = struct.unpack("<I", head)
+        body = bgzf.read(block_size)
+        if len(body) < block_size:
+            raise ValueError("truncated BAM record during sort")
+        ref_id, pos = struct.unpack_from("<ii", body, 0)
+        key = (ref_id if ref_id >= 0 else 2**31, pos)
+        records.append((key, head + body))
     records.sort(key=lambda kv: kv[0])
     writer = BamWriter(str(out_path) + ".sorting.tmp", reader.header)
     for _, raw in records:
