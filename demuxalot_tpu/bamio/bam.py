@@ -600,7 +600,9 @@ def encode_record(read: AlignedRead) -> bytes:
     l_seq = len(seq)
     # nibble-pack via a byte translation + vectorized shift (the per-char
     # dict loop dominated write profiles at ~50 us/read)
-    codes = seq.encode("ascii").translate(_SEQ_TRANS)
+    # errors="replace" turns non-ASCII codepoints into '?', which the table
+    # maps to N — matching the old per-char loop's unknown-base handling
+    codes = seq.encode("ascii", errors="replace").translate(_SEQ_TRANS)
     if l_seq % 2:
         codes += b"\x00"
     arr = np.frombuffer(codes, dtype=np.uint8)

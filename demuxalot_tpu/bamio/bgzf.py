@@ -124,7 +124,12 @@ class BgzfReader:
         cdata_len = bsize - 12 - xlen - 8
         cdata = fh.read(cdata_len)
         trailer = fh.read(8)
-        payload = zlib.decompress(cdata, wbits=-15)
+        if len(cdata) < cdata_len or len(trailer) < 8:
+            raise EOFError(f"truncated BGZF block at offset {coffset}")
+        try:
+            payload = zlib.decompress(cdata, wbits=-15)
+        except zlib.error as e:
+            raise ValueError(f"corrupt BGZF block at offset {coffset}: {e}") from e
         crc, isize = struct.unpack_from("<II", trailer, 0)
         if len(payload) != isize:
             raise ValueError(f"BGZF ISIZE mismatch: {len(payload)} != {isize}")

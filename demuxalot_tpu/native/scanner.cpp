@@ -39,6 +39,10 @@ struct BgzfStream {
   std::vector<uint8_t> payload;
   size_t upos = 0;  // position within payload
   uint64_t file_size = 0;
+  // set when a block that exists on disk fails to parse/inflate/CRC-check;
+  // distinguishes corruption from clean EOF so entry points can report an
+  // error instead of silently returning partial results
+  bool corrupt = false;
 
   bool open(const char* path) {
     fp = fopen(path, "rb");
@@ -49,6 +53,16 @@ struct BgzfStream {
   }
   ~BgzfStream() {
     if (fp) fclose(fp);
+  }
+
+  // a block that exists on disk but cannot be parsed is corruption, not
+  // EOF: poison the stream so reads stop AND the caller can tell the two
+  // apart (silent partial results are the failure mode this prevents)
+  bool fail_corrupt() {
+    corrupt = true;
+    payload.clear();
+    upos = 0;
+    return false;
   }
 
   // load the BGZF block starting at compressed offset `coffset`
@@ -62,15 +76,15 @@ struct BgzfStream {
     }
     uint8_t header[18];
     fseek(fp, (long)coffset, SEEK_SET);
-    if (fread(header, 1, 18, fp) != 18) return false;
-    if (header[0] != 0x1f || header[1] != 0x8b) return false;
+    if (fread(header, 1, 18, fp) != 18) return fail_corrupt();
+    if (header[0] != 0x1f || header[1] != 0x8b) return fail_corrupt();
     uint16_t xlen = header[10] | (header[11] << 8);
     // scan extra subfields for BC (BSIZE)
     std::vector<uint8_t> extra(xlen);
     size_t from_header = std::min<size_t>(xlen, 6);
     memcpy(extra.data(), header + 12, from_header);
     if (xlen > 6) {
-      if (fread(extra.data() + 6, 1, xlen - 6, fp) != (size_t)(xlen - 6)) return false;
+      if (fread(extra.data() + 6, 1, xlen - 6, fp) != (size_t)(xlen - 6)) return fail_corrupt();
     } else if (xlen < 6) {
       // consumed more header bytes than the extra field holds: rewind
       fseek(fp, (long)(coffset + 12 + xlen), SEEK_SET);
@@ -84,15 +98,15 @@ struct BgzfStream {
       }
       p += 4 + slen;
     }
-    if (bsize == 0) return false;
+    if (bsize == 0) return fail_corrupt();
     uint32_t cdata_len = bsize - 12 - xlen - 8;
     std::vector<uint8_t> cdata(cdata_len);
     fseek(fp, (long)(coffset + 12 + xlen), SEEK_SET);
-    if (fread(cdata.data(), 1, cdata_len, fp) != cdata_len) return false;
+    if (fread(cdata.data(), 1, cdata_len, fp) != cdata_len) return fail_corrupt();
     uint32_t crc_expect, isize;
     fseek(fp, (long)(coffset + bsize - 8), SEEK_SET);
-    if (fread(&crc_expect, 4, 1, fp) != 1) return false;
-    if (fread(&isize, 4, 1, fp) != 1) return false;
+    if (fread(&crc_expect, 4, 1, fp) != 1) return fail_corrupt();
+    if (fread(&isize, 4, 1, fp) != 1) return fail_corrupt();
 
     payload.resize(isize);
     if (isize > 0) {
@@ -104,10 +118,10 @@ struct BgzfStream {
       zs.avail_out = isize;
       int ret = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
-      if (ret != Z_STREAM_END) return false;
+      if (ret != Z_STREAM_END) return fail_corrupt();
       // bit-flipped cdata can still inflate to isize bytes; the gzip CRC32
       // trailer is the only check that catches silent corruption
-      if (crc32(0L, payload.data(), isize) != crc_expect) return false;
+      if (crc32(0L, payload.data(), isize) != crc_expect) return fail_corrupt();
     }
     block_coffset = coffset;
     block_csize = bsize;
@@ -117,8 +131,21 @@ struct BgzfStream {
 
   void seek_virtual(uint64_t voffset) {
     uint64_t coffset = voffset >> 16;
-    if (coffset != block_coffset) load_block(coffset);
+    if (coffset != block_coffset && !load_block(coffset)) {
+      // failed target block (corrupt or past EOF): poison rather than
+      // leaving upos pointing into the PREVIOUS block's stale payload
+      if (!corrupt && coffset < file_size) corrupt = true;
+      payload.clear();
+      upos = 0;
+      return;
+    }
     upos = voffset & 0xffff;
+    if (upos > payload.size()) {
+      // in-block offset beyond the decompressed payload is a corrupt index
+      corrupt = true;
+      payload.clear();
+      upos = 0;
+    }
   }
 
   uint64_t virtual_offset() const { return (block_coffset << 16) | upos; }
@@ -127,7 +154,8 @@ struct BgzfStream {
   bool read(uint8_t* dst, size_t n) {
     size_t got = 0;
     while (got < n) {
-      size_t avail = payload.size() - upos;
+      if (corrupt) return false;
+      size_t avail = upos < payload.size() ? payload.size() - upos : 0;
       if (avail == 0) {
         uint64_t next = block_coffset + block_csize;
         if (next >= file_size) return false;
@@ -528,6 +556,10 @@ void* scan_region(
   next_chunk:;
   }
 done:
+  if (bgzf.corrupt) {
+    delete scanner;
+    return nullptr;  // python side raises; partial results must not pass as complete
+  }
   flush(1e300);
   return scanner;
 }
@@ -553,9 +585,9 @@ int count_coverage(
     bgzf.seek_virtual(chunk_vbeg[c]);
     while (bgzf.virtual_offset() < chunk_vend[c]) {
       uint32_t block_size;
-      if (!bgzf.read((uint8_t*)&block_size, 4)) return 0;
+      if (!bgzf.read((uint8_t*)&block_size, 4)) return bgzf.corrupt ? -1 : 0;
       rec.resize(block_size);
-      if (!bgzf.read(rec.data(), block_size)) return 0;
+      if (!bgzf.read(rec.data(), block_size)) return bgzf.corrupt ? -1 : 0;
 
       int32_t r_ref, r_pos;
       memcpy(&r_ref, rec.data(), 4);

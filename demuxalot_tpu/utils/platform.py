@@ -37,7 +37,10 @@ def tune_numpy_allocator() -> None:
     if os.environ.get("DEMUX_NUMPY_HUGEPAGE") == "1":
         return
     try:
-        from numpy._core import _multiarray_umath as _mu
+        try:
+            from numpy._core import _multiarray_umath as _mu  # numpy >= 2
+        except ImportError:
+            from numpy.core import _multiarray_umath as _mu  # numpy 1.x
 
         _mu._set_madvise_hugepage(False)
     except Exception:

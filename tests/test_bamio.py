@@ -293,12 +293,20 @@ def test_bgzf_truncated_block_raises(tmp_path):
     rng = np.random.RandomState(1)
     payload = rng.bytes(200_000)  # several blocks
     data = _bgzf_bytes(payload)
-    r = BgzfReader(data[: len(data) // 2])  # cut mid-stream
-    with pytest.raises((EOFError, ValueError, Exception)):
+    # cut INSIDE the second block (a cut exactly on a block boundary is
+    # indistinguishable from EOF without an EOF-marker check, htslib-parity)
+    from demuxalot_tpu.bamio.bgzf import _parse_block_header
+    _xlen, bsize0 = _parse_block_header(data, 0)
+    cut = bsize0 + min(1000, len(data) - bsize0 - 1)
+    r = BgzfReader(data[:cut])
+    try:
         got = r.read_all()
-        # a short read without an exception would be silent corruption
-        assert len(got) == len(payload), "truncated file must not read fully"
-        raise AssertionError("truncation neither raised nor shortened")
+    except (EOFError, ValueError) as e:
+        print("raised as expected:", e)
+        return
+    raise AssertionError(
+        f"mid-block truncation read {len(got)} bytes without an error"
+    )
 
 
 def test_bgzf_corrupt_deflate_bytes_raise(tmp_path):
@@ -351,9 +359,19 @@ def test_bam_corrupt_record_lengths_raise(tmp_path):
         w.write(bytes(bad))
     corrupted = tmp_path / "corrupt.bam"
     corrupted.write_bytes(buf.getvalue())
-    reader = None
-    with pytest.raises(Exception):
-        reader = BamReader(str(corrupted))
-        n = sum(1 for _ in reader)
-        assert n == 50, f"corruption silently changed the read count to {n}"
-        raise AssertionError("corruption neither raised nor changed output")
+    try:
+        reads = list(BamReader(str(corrupted)))
+    except Exception as e:
+        print("raised as expected:", type(e).__name__, e)
+        return
+    # no exception: the output must then be byte-identical to the original
+    # (anything else is silent corruption)
+    original = list(BamReader(str(path)))
+    assert len(reads) == len(original), (
+        f"corruption silently changed the read count: {len(reads)} vs {len(original)}"
+    )
+    for a, b in zip(reads, original):
+        assert (a.query_name, a.reference_start, a.query_sequence) == (
+            b.query_name, b.reference_start, b.query_sequence
+        ), "corruption silently altered record content"
+    raise AssertionError("two flipped bytes in the record stream went undetected")

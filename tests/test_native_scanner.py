@@ -141,3 +141,29 @@ def test_native_count_coverage_matches_python(bam_problem):
 
     # custom callable -> fallback requested
     assert try_count_coverage_native(filename, "chr1", 0, 100, lambda r: None) is None
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_native_scanner_raises_on_corrupt_block(bam_problem, tmp_path):
+    """Mid-file corruption must raise, never return partial counts."""
+    filename, genotypes, bh = bam_problem
+    raw = bytearray(open(filename, "rb").read())
+    # flip bytes inside a block in the middle of the compressed stream
+    mid = len(raw) // 2
+    raw[mid] ^= 0xFF
+    raw[mid + 1] ^= 0xFF
+    corrupt = tmp_path / "corrupt.bam"
+    corrupt.write_bytes(bytes(raw))
+    import shutil as _sh
+
+    _sh.copy(filename + ".bai", str(corrupt) + ".bai")
+    c2p = genotypes.get_chromosome2positions()
+    with pytest.raises(Exception) as exc_info:
+        count_snps(str(corrupt), c2p, bh, joblib_n_jobs=None,
+                   joblib_verbosity=0, native=True)
+    print("native raised:", exc_info.value)
+    # the Python fallback path must reject the same file too
+    with pytest.raises(Exception) as exc_info_py:
+        count_snps(str(corrupt), c2p, bh, joblib_n_jobs=None,
+                    joblib_verbosity=0, native=False)
+    print("python raised:", exc_info_py.value)
