@@ -30,6 +30,8 @@ SEQ_ENCODE["N"] = 15
 _SEQ_TRANS = bytes(
     SEQ_ENCODE.get(chr(b), 15) for b in range(256)
 )
+# hex digit (as emitted by bytes.hex()) -> decoded base character
+_HEX2BASE = str.maketrans("0123456789abcdef", SEQ_DECODE)
 
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_ENCODE = {c: i for i, c in enumerate(CIGAR_OPS)}
@@ -135,13 +137,10 @@ class AlignedRead:
     @property
     def query_sequence(self) -> Optional[str]:
         if self._seq is None and self._l_seq:
-            out = []
-            raw = self._seq_raw
-            for i in range(self._l_seq):
-                byte = raw[i >> 1]
-                code = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
-                out.append(SEQ_DECODE[code])
-            self._seq = "".join(out)
+            # hex() emits one hex digit per nibble in order, so a hex-digit
+            # -> base translation decodes the whole read in two C calls
+            # (the per-char loop this replaces dominated scan profiles)
+            self._seq = self._seq_raw.hex().translate(_HEX2BASE)[: self._l_seq]
         return self._seq
 
     @query_sequence.setter
