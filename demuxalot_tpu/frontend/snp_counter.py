@@ -202,9 +202,16 @@ class CompressedSNPCalls:
         return result
 
 
+_EVIDENCE_STRENGTH = tuple(0.1 ** (0.1 * min(q, 40)) for q in range(256))
+
+
 def _evidence_strength(quality: int) -> float:
-    """Per-observation error probability factor from a phred base quality."""
-    return 0.1 ** (0.1 * min(quality, 40))
+    """Per-observation error probability factor from a phred base quality.
+
+    Table-driven (qualities are single bytes); entries are the exact
+    ``0.1 ** (0.1 * min(q, 40))`` doubles the reference chain multiplies.
+    """
+    return _EVIDENCE_STRENGTH[quality]
 
 
 def _undisputed_base(per_base: Dict[str, float]) -> Optional[Tuple[str, float]]:
