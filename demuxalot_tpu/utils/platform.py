@@ -21,6 +21,46 @@ def honor_jax_platforms_env() -> None:
             pass  # backend already initialized; nothing to do
 
 
+def fall_back_if_tunnel_down(ports=(8082, 8092, 8102, 8112), timeout_s: float = 2.0) -> bool:
+    """Force the CPU backend when a tunneled-TPU relay is unreachable.
+
+    This machine reaches its TPU through a loopback relay; if the relay
+    process is gone, the first device operation hangs indefinitely instead
+    of failing. Probe the relay ports before touching the backend and fall
+    back to CPU (returning True) when none accept — a degraded benchmark
+    beats a hung one. No-op unless the default platform is the tunneled one.
+    """
+    import os as _os
+    import socket
+    import sys as _sys
+
+    if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False
+    if not _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # not a tunneled-TPU environment
+    for port in ports:
+        s = socket.socket()
+        s.settimeout(timeout_s)
+        try:
+            s.connect(("127.0.0.1", port))
+            return False  # relay alive
+        except OSError:
+            continue
+        finally:
+            s.close()
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        return False
+    print(
+        "# TPU relay unreachable (all relay ports refused); falling back to CPU",
+        file=_sys.stderr, flush=True,
+    )
+    return True
+
+
 def tune_numpy_allocator() -> None:
     """Disable numpy's MADV_HUGEPAGE on hosts where huge-page faults stall.
 
