@@ -175,3 +175,18 @@ def test_aggregate_on_snps_em_loop(synthetic_data):
     assert loss < 1.0
     # learning only ever adds information on top of the frozen prior
     assert np.all(learnt.get_betas() >= genotypes.get_betas() - 1e-6)
+
+
+def test_learn_genotypes_equals_staged_last_yield(synthetic_data):
+    """The device-resident fast path must equal consuming the generator."""
+    _f, genotypes, _truth, barcode_handler, calls = synthetic_data
+    learnt_fast, probs_fast = Demultiplexer.learn_genotypes(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=3
+    )
+    *_, (probs_gen, debug) = Demultiplexer.staged_genotype_learning(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=3
+    )
+    learnt_gen = genotypes._with_betas(genotypes.get_betas() + debug["genotype_addition"])
+    np.testing.assert_array_equal(probs_fast.values, probs_gen.values)
+    assert list(probs_fast.index) == list(probs_gen.index)
+    np.testing.assert_array_equal(learnt_fast.get_betas(), learnt_gen.get_betas())
