@@ -23,10 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from demuxalot_tpu.utils.platform import fall_back_if_tunnel_down, honor_jax_platforms_env
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
 
+# also probes the TPU relay and falls back to CPU if it is unreachable
 honor_jax_platforms_env()
-fall_back_if_tunnel_down()
 
 import os
 

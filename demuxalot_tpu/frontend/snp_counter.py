@@ -208,10 +208,14 @@ _EVIDENCE_STRENGTH = tuple(0.1 ** (0.1 * min(q, 40)) for q in range(256))
 def _evidence_strength(quality: int) -> float:
     """Per-observation error probability factor from a phred base quality.
 
-    Table-driven (qualities are single bytes); entries are the exact
-    ``0.1 ** (0.1 * min(q, 40))`` doubles the reference chain multiplies.
+    Table-driven (decoded qualities are single bytes); entries are the
+    exact ``0.1 ** (0.1 * min(q, 40))`` doubles the reference chain
+    multiplies. Out-of-range ints (possible from user-constructed reads)
+    fall back to the formula, bit-identical for every int.
     """
-    return _EVIDENCE_STRENGTH[quality]
+    if 0 <= quality:
+        return _EVIDENCE_STRENGTH[quality if quality < 41 else 40]
+    return 0.1 ** (0.1 * quality)
 
 
 def _undisputed_base(per_base: Dict[str, float]) -> Optional[Tuple[str, float]]:

@@ -298,21 +298,14 @@ def tiled_logits_impl(
     if d_pad != d:
         u = jnp.pad(u, ((0, d_pad - d), (0, 0)))
 
-    # fail fast on shapes that cannot fit: interpret-mode tests never see
-    # VMEM limits, so a clear assert here beats a remote Mosaic error at
-    # bench time (grid budget: CLAUDE.md — big grids wedge the shared
-    # remote compiler)
-    vmem_est = (
+    from .tiling import check_kernel_budgets
+
+    check_kernel_budgets(
+        "likelihood",
         tbs * pgp * 4  # resident logits block
         + mix_block.size * 4 + pgp * 4
-        + 2 * d_pad * tc * 4 + 2 * gpc * 4  # double-buffered chunk scratch
-    )
-    assert vmem_est < 100_000_000, (
-        f"likelihood kernel VMEM estimate {vmem_est / 1e6:.0f} MB exceeds v5e budget "
-        f"(tbs={tbs}, pgp={pgp}, tc={tc})"
-    )
-    assert n_super * n_bands <= 1024, (
-        f"launch grid {n_super}x{n_bands} exceeds the remote-compile-safe budget"
+        + 2 * d_pad * tc * 4 + 2 * gpc * 4,  # double-buffered chunk scratch
+        n_super * n_bands,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -175,19 +175,14 @@ def tiled_mstep_impl(
     if d != n_genotypes:
         wt = jnp.pad(wt, ((0, d - n_genotypes), (0, 0)))
 
-    # fail fast on shapes that cannot fit (see pallas_likelihood.py: the
-    # interpret-mode tests never see VMEM or launch-grid limits)
-    gpc_est = tc // max(1, tc // 128)
-    vmem_est = (
+    from .tiling import check_kernel_budgets
+
+    gpc = tc // max(1, tc // 128)
+    check_kernel_budgets(
+        "M-step",
         d * sps * tv * 4  # resident addition block
-        + 2 * d * tc * 4 + 2 * gpc_est * 4 + 2 * tc * 4  # chunk scratch
-    )
-    assert vmem_est < 100_000_000, (
-        f"M-step kernel VMEM estimate {vmem_est / 1e6:.0f} MB exceeds v5e budget "
-        f"(d={d}, sps={sps}, tv={tv}, tc={tc})"
-    )
-    assert n_super * n_bands <= 1024, (
-        f"launch grid {n_super}x{n_bands} exceeds the remote-compile-safe budget"
+        + 2 * d * tc * 4 + 2 * gpc * 4 + 2 * tc * 4,  # chunk scratch
+        n_super * n_bands,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

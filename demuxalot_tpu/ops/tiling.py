@@ -224,6 +224,39 @@ GRID_CAP = 448
 SUPER_ROWS_BUDGET = int(os.environ.get("DEMUX_SUPER_ROWS_BUDGET", 5_400_000))
 
 
+def check_kernel_budgets(kernel: str, vmem_bytes: int, n_grid_steps: int) -> None:
+    """Fail fast on kernel shapes that cannot fly on the target hardware.
+
+    Interpret-mode tests never see VMEM capacity or launch-grid limits, so
+    an oversized shape would otherwise surface as a remote Mosaic failure
+    (or a wedged shared compiler) at bench time. Raises ValueError (not
+    assert — survives ``python -O``). Single source of truth for both
+    kernels; the grid bound is GRID_CAP, the same budget the layout
+    choosers size against.
+    """
+    if vmem_bytes >= 100_000_000:
+        raise ValueError(
+            f"{kernel} kernel VMEM estimate {vmem_bytes / 1e6:.0f} MB exceeds "
+            "the v5e budget; shrink the super-tile or chunk parameters"
+        )
+    if n_grid_steps > 2 * GRID_CAP:
+        raise ValueError(
+            f"{kernel} launch grid {n_grid_steps} exceeds 2x GRID_CAP={GRID_CAP} "
+            "(grids this large wedge the remote Mosaic compiler)"
+        )
+    if n_grid_steps > GRID_CAP:
+        # VMEM-constrained layouts can legitimately exceed the soft cap by a
+        # little (e.g. ~16k barcode tiles at 640 padded pseudogenotypes);
+        # warn loudly — compile time may be painful on shared compilers
+        import sys
+
+        print(
+            f"# {kernel} launch grid {n_grid_steps} exceeds the soft cap "
+            f"GRID_CAP={GRID_CAP}; expect slow Mosaic compiles",
+            file=sys.stderr, flush=True,
+        )
+
+
 def choose_n_bands(n_variants: int, n_donors: int, table_budget_bytes: int = 17_000_000) -> int:
     """Variant bands so each gather table slice stays under the fast-path size.
 

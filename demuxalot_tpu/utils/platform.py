@@ -11,6 +11,13 @@ import os
 
 
 def honor_jax_platforms_env() -> None:
+    """Honor JAX_PLATFORMS on builds that ignore it, then guard the tunnel.
+
+    Every benchmark/entry script calls this once before touching jax, so
+    it doubles as the shared bootstrap: after platform selection it also
+    probes the loopback relay (see :func:`fall_back_if_tunnel_down`) —
+    a dead relay otherwise hangs the first device operation forever.
+    """
     requested = os.environ.get("JAX_PLATFORMS", "")
     if requested and requested != "axon":
         import jax
@@ -19,6 +26,7 @@ def honor_jax_platforms_env() -> None:
             jax.config.update("jax_platforms", requested)
         except Exception:
             pass  # backend already initialized; nothing to do
+    fall_back_if_tunnel_down()
 
 
 def fall_back_if_tunnel_down(ports=(8082, 8092, 8102, 8112), timeout_s: float = 2.0) -> bool:
@@ -38,6 +46,13 @@ def fall_back_if_tunnel_down(ports=(8082, 8092, 8102, 8112), timeout_s: float = 
         return False
     if not _os.environ.get("PALLAS_AXON_POOL_IPS"):
         return False  # not a tunneled-TPU environment
+    # the probe targets loopback, so it is only meaningful when the client
+    # actually dials loopback (zero-egress relay setups set these)
+    if (
+        _os.environ.get("AXON_POOL_SVC_OVERRIDE", "127.0.0.1") != "127.0.0.1"
+        and _os.environ.get("AXON_LOOPBACK_RELAY") != "1"
+    ):
+        return False
     for port in ports:
         s = socket.socket()
         s.settimeout(timeout_s)
@@ -53,6 +68,13 @@ def fall_back_if_tunnel_down(ports=(8082, 8092, 8102, 8112), timeout_s: float = 
     try:
         jax.config.update("jax_platforms", "cpu")
     except Exception:
+        # backend already initialized — can't switch, but the caller MUST
+        # hear that the next device op will hang
+        print(
+            "# WARNING: TPU relay unreachable AND the backend is already "
+            "initialized; device operations will hang",
+            file=_sys.stderr, flush=True,
+        )
         return False
     print(
         "# TPU relay unreachable (all relay ports refused); falling back to CPU",

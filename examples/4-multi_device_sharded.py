@@ -20,12 +20,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # no accelerators? fabricate an 8-device CPU mesh BEFORE jax initializes
 if "--cpu-mesh" in sys.argv or os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count=8".strip()
 
-from demuxalot_tpu.utils.platform import fall_back_if_tunnel_down, honor_jax_platforms_env
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
 
-honor_jax_platforms_env()  # some jax builds ignore the JAX_PLATFORMS env var
-fall_back_if_tunnel_down()
+# honors JAX_PLATFORMS on builds that ignore it + guards a dead TPU tunnel
+honor_jax_platforms_env()
 
 import jax
 
