@@ -187,6 +187,13 @@ class BgzfReader:
         self._uoffset = uoffset
 
     def read(self, n: int) -> bytes:
+        # fast path: the whole read sits inside the current block (the BAM
+        # record loop issues two such reads per record)
+        end = self._uoffset + n
+        if end <= len(self._payload):
+            out = self._payload[self._uoffset : end]
+            self._uoffset = end
+            return out
         out = []
         need = n
         while need > 0:
