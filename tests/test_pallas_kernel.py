@@ -282,3 +282,17 @@ def test_launch_grids_stay_under_cap():
     )
     n_bands_m = max(1, len(layout.band_specs))
     assert layout.n_super * n_bands_m <= GRID_CAP
+
+
+def test_kernel_budget_guards():
+    """VMEM overruns and oversized launch grids fail fast with clear errors."""
+    import pytest
+    from demuxalot_tpu.ops.tiling import GRID_CAP, check_kernel_budgets
+
+    check_kernel_budgets("ok", 5_000_000, 64)  # production-sized: silent
+    with pytest.raises(ValueError, match="VMEM"):
+        check_kernel_budgets("big", 200_000_000, 64)
+    with pytest.raises(ValueError, match="GRID_CAP"):
+        check_kernel_budgets("wide", 1_000_000, 2 * GRID_CAP + 1)
+    # gray zone: warns but does not raise (VMEM-constrained layouts)
+    check_kernel_budgets("gray", 1_000_000, GRID_CAP + 1)
