@@ -13,6 +13,11 @@ from pathlib import Path
 # make the in-tree package importable when running straight from examples/
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
+
+# honors JAX_PLATFORMS on builds that ignore it + guards a dead TPU tunnel
+honor_jax_platforms_env()
+
 from demuxalot_tpu import (
     BarcodeHandler,
     Demultiplexer,
@@ -21,41 +26,58 @@ from demuxalot_tpu import (
 )
 from demuxalot_tpu.utils import Timer
 
-DATA = "./example_data"
+DATA = Path("./example_data")
+DONORS = [f"Donor{i:02d}" for i in range(1, 5)]
+CHECKPOINT = "/tmp/learnt_betas.parquet"
 
-genotypes = ProbabilisticGenotypes(
-    genotype_names=["Donor01", "Donor02", "Donor03", "Donor04"]
-)
-genotypes.add_vcf(f"{DATA}/test_genotypes.vcf")
-barcode_handler = BarcodeHandler.from_file(f"{DATA}/test_barcodes.csv")
-print(genotypes)
-print(barcode_handler)
 
-with Timer("snp counting"):
-    snps = count_snps(
-        bamfile_location=f"{DATA}/test_bamfile.bam",
-        chromosome2positions=genotypes.get_chromosome2positions(),
-        barcode_handler=barcode_handler,
-    )
+def load_inputs():
+    store = ProbabilisticGenotypes(genotype_names=DONORS)
+    store.add_vcf(str(DATA / "test_genotypes.vcf"))
+    whitelist = BarcodeHandler.from_file(str(DATA / "test_barcodes.csv"))
+    print(store)
+    print(whitelist)
+    return store, whitelist
 
-for chromosome, chromosome_calls in sorted(snps.items()):
-    print(
-        f"  {chromosome}: {chromosome_calls.n_snp_calls} calls "
-        f"from {chromosome_calls.n_molecules} molecules"
-    )
 
-with Timer("EM refinement + posteriors"):
-    learnt_genotypes, posteriors = Demultiplexer.learn_genotypes(
-        snps,
-        genotypes=genotypes,
-        barcode_handler=barcode_handler,
-        doublet_prior=0.25,
-    )
+def collect_evidence(store, whitelist):
+    with Timer("snp counting"):
+        per_chromosome = count_snps(
+            bamfile_location=str(DATA / "test_bamfile.bam"),
+            chromosome2positions=store.get_chromosome2positions(),
+            barcode_handler=whitelist,
+        )
+    for chromosome in sorted(per_chromosome):
+        calls = per_chromosome[chromosome]
+        print(
+            f"  {chromosome}: {calls.n_snp_calls} calls "
+            f"from {calls.n_molecules} molecules"
+        )
+    return per_chromosome
 
-# the betas parquet is a reusable checkpoint: feed it to add_prior_betas later
-learnt_genotypes.save_betas("/tmp/learnt_betas.parquet")
 
-print("\nassignment counts (columns are donors + doublet pairs):")
-print(posteriors.idxmax(axis=1).value_counts())
-print("\nfirst barcodes:")
-print(posteriors.round(3).head(8))
+def main():
+    store, whitelist = load_inputs()
+    evidence = collect_evidence(store, whitelist)
+
+    with Timer("EM refinement + posteriors"):
+        learnt, posteriors = Demultiplexer.learn_genotypes(
+            evidence,
+            genotypes=store,
+            barcode_handler=whitelist,
+            doublet_prior=0.25,
+        )
+
+    # the betas parquet is a reusable checkpoint: feed it to
+    # add_prior_betas in a later run to keep accumulating evidence
+    learnt.save_betas(CHECKPOINT)
+    print(f"\ncheckpointed learnt betas -> {CHECKPOINT}")
+
+    print("\nassignment counts (columns are donors + doublet pairs):")
+    print(posteriors.idxmax(axis=1).value_counts())
+    print("\nfirst barcodes:")
+    print(posteriors.round(3).head(8))
+
+
+if __name__ == "__main__":
+    main()

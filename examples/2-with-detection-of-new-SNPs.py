@@ -12,6 +12,11 @@ from pathlib import Path
 # make the in-tree package importable when running straight from examples/
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
+
+# honors JAX_PLATFORMS on builds that ignore it + guards a dead TPU tunnel
+honor_jax_platforms_env()
+
 from demuxalot_tpu import (
     BarcodeHandler,
     Demultiplexer,

@@ -14,6 +14,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from functools import partial
 
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env
+
+# honors JAX_PLATFORMS on builds that ignore it + guards a dead TPU tunnel
+honor_jax_platforms_env()
+
 from demuxalot_tpu import (
     BarcodeHandler,
     Demultiplexer,
