@@ -199,6 +199,51 @@ def _default_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+class _SnpAggregationLayout:
+    """Device-resident (barcode, snp) grouping for the aggregate_on_snps path.
+
+    The grouping (FeatureLookup + stable sort by group) depends only on the
+    molecule calls — not on the evolving genotype state — so an EM loop must
+    build it exactly once and reuse it every iteration (the reference pays
+    the regrouping per call of _compute_barcode_logits,
+    demuxalot/demux.py:204-220; here the rebuild cost would dominate the
+    device math at scale). All operands are uploaded as jnp arrays at build
+    time, already sorted by group id.
+    """
+
+    __slots__ = (
+        "vid_by_group", "q_by_group", "group_of_call",
+        "barcode_of_group", "calls_per_group", "n_groups",
+    )
+
+    def __init__(self, vid_by_group, q_by_group, group_of_call,
+                 barcode_of_group, calls_per_group, n_groups):
+        self.vid_by_group = vid_by_group
+        self.q_by_group = q_by_group
+        self.group_of_call = group_of_call
+        self.barcode_of_group = barcode_of_group
+        self.calls_per_group = calls_per_group
+        self.n_groups = n_groups
+
+    @classmethod
+    def build(cls, molecule_calls: P.MoleculeCalls) -> "_SnpAggregationLayout":
+        snp_ids = molecule_calls.snp_id
+        groups = FeatureLookup(molecule_calls.compressed_cb, snp_ids)
+        group_of_call, calls_per_group = groups.compress(
+            molecule_calls.compressed_cb, snp_ids
+        )
+        barcode_of_group, _snp_of_group = groups.lookup_for_individual_features()
+        by_group = np.argsort(group_of_call, kind="stable")
+        return cls(
+            vid_by_group=jnp.asarray(molecule_calls.variant_id[by_group]),
+            q_by_group=jnp.asarray(molecule_calls.p_base_wrong[by_group]),
+            group_of_call=jnp.asarray(group_of_call[by_group].astype(np.int32)),
+            barcode_of_group=jnp.asarray(barcode_of_group.astype(np.int32)),
+            calls_per_group=jnp.asarray(calls_per_group.astype(np.float32)),
+            n_groups=groups.nvalues,
+        )
+
+
 class _EMRun:
     """Device-resident EM loop state shared by the learning entry points.
 
@@ -250,6 +295,7 @@ class _EMRun:
         self.max_per_snp = self.reindex.windowed_max_per_snp
         barcode_calls = self.reindex.remap_barcode_calls(barcode_calls)
         self.molecule_calls = molecule_calls
+        self.snp_aggregation_layout = None
         if Demultiplexer.aggregate_on_snps:
             from dataclasses import replace as _dc_replace
 
@@ -257,6 +303,9 @@ class _EMRun:
                 molecule_calls,
                 variant_id=self.reindex.remap_variant_ids(molecule_calls.variant_id),
             )
+            # grouping is independent of the EM state: build once, reuse
+            # across every iteration (O(1) host work per iteration)
+            self.snp_aggregation_layout = _SnpAggregationLayout.build(self.molecule_calls)
         self.variant2snp_dev = jnp.asarray(self.reindex.variant2snp)
 
         self.pallas_forward = None
@@ -329,6 +378,7 @@ class _EMRun:
                     Demultiplexer._compute_logits_aggregating_on_snps(
                         genotype_prob, self.mixing, self.penalties,
                         self.molecule_calls, self.n_barcodes,
+                        layout=self.snp_aggregation_layout,
                     )
                 )
             elif self.pallas_forward is not None:
@@ -660,34 +710,33 @@ class Demultiplexer:
         penalties: np.ndarray,
         molecule_calls: P.MoleculeCalls,
         n_barcodes: int,
+        layout: Optional["_SnpAggregationLayout"] = None,
     ) -> np.ndarray:
         """Alternative per-SNP aggregation path (off by default).
 
         Normalizes per-(barcode, snp) logits by molecule-count^compensation
         and double log-softmaxes with a bad-SNP floor before collapsing to
         barcodes — limits over-contribution of any single SNP (reference:
-        demuxalot/demux.py:204-244). Host side groups calls by
-        (barcode, snp); the log/softmax/segment math runs on device
+        demuxalot/demux.py:204-244). The (barcode, snp) grouping is a pure
+        function of the calls, so EM loops build it once
+        (``_SnpAggregationLayout.build``) and pass it per iteration; the
+        log/softmax/segment math runs on device
         (ops.likelihood.snp_aggregated_logits). NOTE: matching the
         reference, doublet penalties are NOT applied on this path
         (demuxalot/demux.py:239-244 computes but never adds them).
         """
         del penalties
-        snp_ids = molecule_calls.snp_id
-        groups = FeatureLookup(molecule_calls.compressed_cb, snp_ids)
-        group_of_call, calls_per_group = groups.compress(molecule_calls.compressed_cb, snp_ids)
-        barcode_of_group, _snp_of_group = groups.lookup_for_individual_features()
-
-        by_group = np.argsort(group_of_call, kind="stable")
+        if layout is None:
+            layout = _SnpAggregationLayout.build(molecule_calls)
         logits = _snp_aggregated_logits_jit(
             jnp.asarray(np.asarray(genotype_prob, dtype=np.float32)),
             jnp.asarray(mixing),
-            jnp.asarray(molecule_calls.variant_id[by_group]),
-            jnp.asarray(molecule_calls.p_base_wrong[by_group]),
-            jnp.asarray(group_of_call[by_group].astype(np.int32)),
-            jnp.asarray(barcode_of_group.astype(np.int32)),
-            jnp.asarray(calls_per_group.astype(np.float32)),
-            n_groups=groups.nvalues,
+            layout.vid_by_group,
+            layout.q_by_group,
+            layout.group_of_call,
+            layout.barcode_of_group,
+            layout.calls_per_group,
+            n_groups=layout.n_groups,
             n_barcodes=n_barcodes,
             compensation=float(Demultiplexer.compensation_during_computing_barcode_logits),
         )

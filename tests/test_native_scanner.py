@@ -73,6 +73,35 @@ def test_native_custom_umi_tag_via_partial(bam_problem):
         _assert_calls_equal(a[chrom], b[chrom])
 
 
+def test_partial_dispatch_resolution():
+    """Threshold-tweaked standard filters must resolve to native parameters.
+
+    Guards the dispatch decision itself (not the scan): a user's
+    ``partial(cellranger.parse_read, mapq_threshold=30)`` — including
+    nested partials — keeps the C++ path; positional partials and foreign
+    callables return None (Python fallback).
+    """
+    from demuxalot_tpu.frontend import bd_rhapsody, cellranger
+    from demuxalot_tpu.native.scanner import _extract_parse_params
+
+    p = _extract_parse_params(functools.partial(cellranger.parse_read, mapq_threshold=30))
+    assert p is not None and p["mapq_threshold"] == 30 and p["umi_tag"] == "UB"
+
+    nested = functools.partial(
+        functools.partial(cellranger.parse_read, mapq_threshold=30), score_diff_max=7
+    )
+    p = _extract_parse_params(nested)
+    assert p is not None and p["mapq_threshold"] == 30 and p["score_diff_max"] == 7
+
+    p = _extract_parse_params(bd_rhapsody.parse_read)
+    assert p is not None and p["umi_tag"] == "MA"
+
+    # positional args and unknown kwargs cannot be mapped onto the C++ signature
+    assert _extract_parse_params(functools.partial(cellranger.parse_read, object())) is None
+    assert _extract_parse_params(functools.partial(cellranger.parse_read, bogus=1)) is None
+    assert _extract_parse_params(lambda read: None) is None
+
+
 def test_custom_callable_falls_back(bam_problem):
     """An arbitrary parse_read callable must silently use the Python scanner."""
     from demuxalot_tpu.frontend.cellranger import parse_read

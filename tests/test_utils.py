@@ -1,5 +1,6 @@
 """Unit tests for utility pieces."""
 import numpy as np
+import pytest
 
 from demuxalot_tpu.utils import (
     FeatureLookup,
@@ -11,24 +12,54 @@ from demuxalot_tpu.utils import (
 )
 
 
-def test_feature_lookup(n_combinations=1000, n_samples=100000):
-    feat1_comb = np.random.randint(0, 100, n_combinations)
-    feat2_comb = np.random.randint(0, 1000, n_combinations)
-    feat3_comb = np.random.randint(0, 100_000, n_combinations)
+def test_feature_lookup_round_trip():
+    # A structured (barcode, snp) stream: 7 barcodes x 5 snps, but only the
+    # upper-triangular pairs ever co-occur, each with a known multiplicity.
+    pairs = [(b, s) for b in range(7) for s in range(5) if s <= b % 5]
+    mult = [1 + (b + s) % 4 for b, s in pairs]
+    barcode = np.repeat([b for b, _ in pairs], mult)
+    snp = np.repeat([s for _, s in pairs], mult)
 
-    samples_id = np.random.randint(0, n_combinations, n_samples)
-    feat1 = feat1_comb[samples_id]
-    feat2 = feat2_comb[samples_id]
-    feat3 = feat3_comb[samples_id]
+    lut = FeatureLookup(barcode, snp)
+    assert lut.nvalues == len(pairs)
 
-    lookup = FeatureLookup(feat1, feat2, feat3)
-    compressed, counts = lookup.compress(feat1, feat2, feat3)
-    assert compressed.max() < n_combinations
-    assert np.allclose(counts, np.bincount(compressed, minlength=len(counts)))
-    feat1_new, feat2_new, feat3_new = lookup.uncompress(compressed)
-    assert np.allclose(feat1, feat1_new)
-    assert np.allclose(feat2, feat2_new)
-    assert np.allclose(feat3, feat3_new)
+    dense, counts = lut.compress(barcode, snp)
+    # dense ids are a contiguous 0..K-1 relabeling
+    assert sorted(np.unique(dense)) == list(range(len(pairs)))
+    # counts reflect the multiplicities we planted (dense order is the
+    # lexicographic order of the tuples, which is how we built `pairs`)
+    np.testing.assert_array_equal(counts, mult)
+    # inversion restores the original streams element-for-element
+    back_b, back_s = lut.uncompress(dense)
+    np.testing.assert_array_equal(back_b, barcode)
+    np.testing.assert_array_equal(back_s, snp)
+    # the per-feature catalog enumerates each distinct tuple exactly once
+    cat_b, cat_s = lut.lookup_for_individual_features()
+    assert list(zip(cat_b.tolist(), cat_s.tolist())) == pairs
+
+
+def test_feature_lookup_single_feature_and_subset_queries():
+    vals = np.array([9, 2, 9, 40, 2, 2])
+    lut = FeatureLookup(vals)
+    assert lut.nvalues == 3  # {2, 9, 40}
+    dense, counts = lut.compress(np.array([40, 2]))
+    np.testing.assert_array_equal(lut.uncompress(dense)[0], [40, 2])
+    # counts are for the QUERY stream, not the construction stream:
+    # sorted catalog is [2, 9, 40], the query hits ids 2 and 0 once each
+    np.testing.assert_array_equal(dense, [2, 0])
+    np.testing.assert_array_equal(counts, [1, 0, 1])
+
+
+def test_feature_lookup_rejects_unseen_tuples():
+    lut = FeatureLookup(np.array([0, 1]), np.array([5, 6]))
+    with pytest.raises(KeyError):
+        lut.compress(np.array([0]), np.array([6]))  # (0,6) never observed
+
+
+def test_feature_lookup_overflow_guard():
+    big = np.array([2**40], dtype=np.int64)
+    with pytest.raises(RuntimeError):
+        FeatureLookup(big, big)  # 2^80 key space cannot fit int64 keys
 
 
 def test_base_encoding():
