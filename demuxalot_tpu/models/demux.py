@@ -264,8 +264,12 @@ class _EMRun:
         p_genotype_clip: float,
         doublet_prior: float,
         barcode_prior_logits: Optional[np.ndarray],
+        damping: Optional[str] = None,
     ):
         assert 0 <= doublet_prior < 1
+        if damping not in (None, "anchor"):
+            raise ValueError(f"damping must be None or 'anchor', got {damping!r}")
+        self.damping = damping
         self.mixing, self.column_names = L.pseudogenotype_mixing(
             genotypes.genotype_names, doublet_prior
         )
@@ -353,6 +357,22 @@ class _EMRun:
         self.prior_betas_dev = jnp.asarray(
             np.ascontiguousarray(prior_sorted.T) if self.donor_major else prior_sorted
         )
+
+        # damping="anchor": M-step additions apply only at variants whose
+        # GENOTYPE prior carries information (nonzero betas before the data
+        # prior). Measured (QUALITY.json damped row): the unsupervised
+        # divergence at heavy degradation lives entirely in the prior-less
+        # variants — their additions are unidentifiable and run away, while
+        # prior-anchored updates refine monotonically.
+        self.anchor_mask_dev = None
+        if damping == "anchor":
+            registry_mask = (
+                np.asarray(genotypes.get_betas()).sum(axis=1) > 0
+            ).astype(np.float32)
+            device_mask = registry_mask[self.reindex.order]
+            self.anchor_mask_dev = jnp.asarray(
+                device_mask[None, :] if self.donor_major else device_mask[:, None]
+            )
         self.prior_logits_dev = (
             jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
         )
@@ -424,6 +444,8 @@ class _EMRun:
                     contribution_power=float(Demultiplexer.contribution_power),
                     call_chunk=Demultiplexer.call_chunk,
                 )
+            if self.anchor_mask_dev is not None:
+                genotype_addition_dev = genotype_addition_dev * self.anchor_mask_dev
 
     def materialize(self, state) -> Tuple[pd.DataFrame, dict]:
         """One device state → (posterior probs df, debug dict) on the host."""
@@ -476,6 +498,7 @@ class Demultiplexer:
         p_genotype_clip: float = 0.01,
         doublet_prior: float = 0.0,
         barcode_prior_logits: Optional[np.ndarray] = None,
+        damping: Optional[str] = None,
     ) -> Tuple[ProbabilisticGenotypes, pd.DataFrame]:
         """EM-refine genotypes from data, starting from an initial guess.
 
@@ -488,6 +511,13 @@ class Demultiplexer:
             columns entirely (helpful with many donors)
         :param barcode_prior_logits: optional [n_barcodes, n_options] prior
             assignment logits, applied at the first iteration only
+        :param damping: None (default, reference-parity EM) or "anchor" —
+            restrict M-step updates to variants whose genotype prior is
+            informative (nonzero betas). Anchored EM cannot diverge in the
+            heavily-degraded unsupervised regime where the default (and the
+            reference, identically) does; the cost is that prior-less
+            variants are never refined. No effect when every variant has a
+            prior.
         :return: (learnt genotypes, last-iteration barcode posterior probs)
         """
         # device-resident loop: unlike the staged generator, only the LAST
@@ -495,6 +525,7 @@ class Demultiplexer:
         run = _EMRun(
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
+            damping=damping,
         )
         state = None
         for state in run.device_iterations():
@@ -515,16 +546,19 @@ class Demultiplexer:
         p_genotype_clip: float = 0.01,
         doublet_prior: float = 0.0,
         barcode_prior_logits: Optional[np.ndarray] = None,
+        damping: Optional[str] = None,
     ):
         """Generator EM loop; yields (posterior probs df, debug info) per iteration.
 
         The prior betas stay frozen; learning accumulates into a separate
         additive term (``genotype_addition``), and only singlet posterior
         columns drive the M-step (reference: demuxalot/demux.py:68-118).
+        ``damping`` as in :meth:`learn_genotypes`.
         """
         run = _EMRun(
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
+            damping=damping,
         )
         for state in run.device_iterations():
             # yielding here provides aligned posteriors for genotypes and barcodes

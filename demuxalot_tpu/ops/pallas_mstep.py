@@ -25,6 +25,7 @@ weight 0, an exact no-op.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,7 @@ def _mstep_kernel(
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: variant tile within super-tile
     wt_hbm,  # ANY [D, n_chunks*TC] gathered singlet posteriors (call-major lanes)
     vl_hbm,  # ANY [1, n_chunks*GPC] variant index within tile per group
-    q_hbm,  # ANY [1, n_chunks*TC]
+    q_hbm,  # ANY [1, n_chunks*TC] q — or (1−q)^p pre-folded when fold_power
     out_ref,  # VMEM [D, SPS*TV] — this super-tile's block (resident across bands)
     wt_buf,  # VMEM scratch [2, D, TC]
     vl_buf,  # VMEM scratch [2, 1, GPC]
@@ -56,6 +57,7 @@ def _mstep_kernel(
     power: float,
     n_words: int,
     n_super: int,
+    fold_power: bool = False,
 ):
     group = max(1, tc // 128)
     gpc = tc // group
@@ -98,12 +100,19 @@ def _mstep_kernel(
             d.wait()
 
         q = q_buf[slot][0, :]
-        w = wt_buf[slot] * (1.0 - q)[None, :]
-        # padding rows (q == 1) must stay exactly zero for any power;
-        # integer powers stay on the VPU multiply path (a float exponent
-        # would lower as exp/log transcendentals)
-        wp = w * w if power == 2.0 else (w if power == 1.0 else w**power)
-        w = jnp.where(q[None, :] >= 1.0, 0.0, wp)  # [D, TC]
+        if fold_power:
+            # integer-power fast path: the table arrives pre-raised
+            # (posterior^p) and the q stream carries (1−q)^p with padding
+            # rows already exactly 0 — one VPU multiply, no power ladder,
+            # no padding select
+            w = wt_buf[slot] * q[None, :]  # [D, TC]
+        else:
+            w = wt_buf[slot] * (1.0 - q)[None, :]
+            # padding rows (q == 1) must stay exactly zero for any power;
+            # integer powers stay on the VPU multiply path (a float exponent
+            # would lower as exp/log transcendentals)
+            wp = w * w if power == 2.0 else (w if power == 1.0 else w**power)
+            w = jnp.where(q[None, :] >= 1.0, 0.0, wp)  # [D, TC]
 
         # per-group sums (each group is one variant's run of G calls,
         # ops/tiling.py): the scatter contracts GPC columns instead of TC
@@ -141,6 +150,7 @@ def tiled_mstep_impl(
     band_specs: tuple = (),  # ((b_lo, b_hi, chunk_lo, chunk_hi), ...) static
     interpret: bool = False,
     donor_major_out: bool = False,
+    fold_power: bool | None = None,
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -158,6 +168,19 @@ def tiled_mstep_impl(
         band_specs = ((0, posterior.shape[0], 0, n_chunks),)
     n_bands = len(band_specs)
     n_super = chunk_bounds.shape[0] // n_bands - 1
+
+    if fold_power is None:
+        fold_power = os.environ.get("DEMUX_MSTEP_FOLD", "1") != "0"
+    # p <= 0 would turn the q = 1 padding rows into 1s instead of 0s
+    fold_power = fold_power and contribution_power > 0
+    if fold_power:
+        # fold the contribution power into the XLA side: raise the TABLE
+        # (one [n_barcodes, D] elementwise pass, fused) instead of every
+        # gathered call row, and carry (1−q)^p — padding rows (q = 1) land
+        # on exactly 0 — so the kernel's per-chunk work collapses to one
+        # multiply. Same math up to f32 rounding: (x·y)^p = x^p·y^p.
+        posterior = posterior**contribution_power
+        q = (1.0 - q) ** contribution_power
 
     # slice the singlet columns BEFORE gathering: XLA does not fuse the
     # slice into the gather, and full-row gathering measured ~1000x slower.
@@ -207,6 +230,7 @@ def tiled_mstep_impl(
     kernel = functools.partial(
         _mstep_kernel, tv=tv, tc=tc, power=contribution_power,
         n_words=_SPLIT_WORDS[KERNEL_PRECISION], n_super=n_super,
+        fold_power=fold_power,
     )
     out = pl.pallas_call(
         kernel,
@@ -227,7 +251,7 @@ _tiled_mstep = functools.partial(
     jax.jit,
     static_argnames=(
         "n_variants", "n_genotypes", "tv", "tc", "sps", "contribution_power",
-        "band_specs", "interpret", "donor_major_out",
+        "band_specs", "interpret", "donor_major_out", "fold_power",
     ),
 )(tiled_mstep_impl)
 

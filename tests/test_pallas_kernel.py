@@ -176,13 +176,24 @@ def test_pallas_mstep_matches_oracle():
     layout = TiledMstepCalls(
         vid[order], cb[order], q[order], n_variants, tile_variants=64, chunk_calls=128
     )
+    from demuxalot_tpu.ops.pallas_mstep import tiled_mstep_impl
+
+    dev = tuple(jnp.asarray(x) for x in (
+        layout.cb_global, layout.vl, layout.q, layout.chunk_bounds, layout.chunk_suboff
+    ))
     for power in (2.0, 1.0):
-        ours = np.asarray(
-            layout.addition(jnp.asarray(post), n_genotypes=n_donors,
-                            contribution_power=power, interpret=True)
-        )
-        ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, power)
-        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+        # both sides of the power fold (table^p·(1−q)^p vs (table·(1−q))^p)
+        # must match the oracle; padding stays an exact no-op in each
+        for fold in (True, False):
+            ours = np.asarray(tiled_mstep_impl(
+                jnp.asarray(post), *dev,
+                n_variants=n_variants, n_genotypes=n_donors,
+                tv=layout.tile_variants, tc=layout.chunk_calls,
+                sps=layout.subtiles_per_super, contribution_power=power,
+                band_specs=layout.band_specs, interpret=True, fold_power=fold,
+            ))
+            ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, power)
+            np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_banded_layout_matches_unbanded():

@@ -121,6 +121,59 @@ def test_demultiplex_start_from_assignment(synthetic_data):
             raise RuntimeError(f"Error is too high {labeled_fraction} {loss}")
 
 
+def test_anchored_damping(synthetic_data):
+    """damping="anchor" freezes prior-less variants and never diverges.
+
+    At heavy degradation the default EM (like the reference, measured
+    identical in QUALITY.json) diverges through unanchored variants; the
+    anchored M-step must (a) leave prior-less variants untouched, (b) not
+    lose to prior-only inference, and (c) be a no-op when every variant has
+    a prior.
+    """
+    _f, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+
+    ng = genotypes.clone()
+    snp_ids = ng.get_snp_ids_for_variants()
+    rng = np.random.RandomState(5)
+    snp_mask = rng.random_sample(snp_ids.max() + 1) < 0.95
+    erased_rows = np.nonzero(snp_mask[snp_ids])[0]
+    ng.variant_betas[erased_rows, :] = 0
+
+    _lg, prior_probs = Demultiplexer.predict_posteriors(
+        calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0
+    )
+    loss_prior = compute_loss(barcode2correct_donor, prior_probs)
+
+    learnt, probs = Demultiplexer.learn_genotypes(
+        calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0,
+        damping="anchor",
+    )
+    loss_anchored = compute_loss(barcode2correct_donor, probs)
+    print(f"prior-only {loss_prior:.4f} vs anchored EM {loss_anchored:.4f}")
+    # (a) erased variants received no addition
+    addition = learnt.get_betas() - ng.get_betas()
+    assert np.all(addition[erased_rows] == 0)
+    assert np.any(addition[np.setdiff1d(np.arange(ng.n_variants), erased_rows)] > 0)
+    # (b) anchored learning does not lose to no learning
+    assert loss_anchored <= loss_prior + 1e-3
+
+    # (c) full prior -> anchored EM == default EM exactly
+    a, pa = Demultiplexer.learn_genotypes(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=2,
+        damping="anchor",
+    )
+    b, pb = Demultiplexer.learn_genotypes(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=2,
+    )
+    np.testing.assert_allclose(pa.values, pb.values, atol=1e-6)
+    np.testing.assert_allclose(a.get_betas(), b.get_betas(), rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        Demultiplexer.learn_genotypes(
+            calls, ng, barcode_handler=barcode_handler, damping="bogus"
+        )
+
+
 def test_genotypes_export_and_loading(synthetic_data):
     _f, genotypes, *_ = synthetic_data
     with tempfile.TemporaryDirectory() as dir:
