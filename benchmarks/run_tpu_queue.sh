@@ -1,0 +1,44 @@
+#!/bin/bash
+# Deferred TPU measurements, in priority order. Run when the relay returns:
+#   bash benchmarks/run_tpu_queue.sh [outdir]
+# Each step is independently timeboxed; results land in $OUT/<step>.txt.
+# Priority rationale (round 3): the driver-verified bench is the round's
+# headline; the fold A/B and gather canary decide the M-step <=10ms path;
+# the PMBC stage split is round-2 follow-up.
+set -u
+OUT=${1:-/tmp/tpu_queue_$(date +%H%M%S)}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+probe() {
+  python -c "
+from demuxalot_tpu.utils.platform import _probe_relay
+import sys; sys.exit(0 if _probe_relay() else 1)"
+}
+
+if ! probe; then
+  echo "relay down; nothing to do" | tee "$OUT/status.txt"
+  exit 1
+fi
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ==="
+  timeout "$tmo" "$@" >"$OUT/$name.txt" 2>&1
+  echo "exit $? (see $OUT/$name.txt)"
+  probe || { echo "relay died during $name"; exit 1; }
+}
+
+# 1. the headline: driver-style bench (fold ON = current default)
+run bench_fold_on 1200 env DEMUX_TPU_WAIT_S=60 python bench.py
+# 2. M-step fold A/B at the bench shape
+run bench_fold_off 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_MSTEP_FOLD=0 python bench.py
+# 3. in-kernel dynamic-gather canary + microbench (decides the gather-free
+#    kernel design; ~2.6 ns/row is the number to beat)
+run kernel_gather 900 python benchmarks/exp_kernel_gather.py
+# 4. round-2 pending: production per-stage vs fused at PMBC scale
+run em_decompose 1800 python benchmarks/exp_em_decompose.py
+# 5. round-2 pending: gather-operand interaction phase 3
+run gather_operand 1200 env PHASE=3 python benchmarks/exp_gather_operand.py
+
+echo "queue complete: $OUT"
