@@ -300,10 +300,11 @@ def main():
         "vs_baseline": round(device_rate / baseline_rate, 2),
         "sol_fraction": sol_fraction,
         "backend": backend,
-        # self-explaining fallback record: when the loopback relay to the
-        # TPU was expected but never answered, say so (and how long we
-        # waited) instead of presenting a CPU number as the chip's.
-        "tpu_unreachable": bool(TPU_PROBE["expected"] and not TPU_PROBE["reachable"]),
+        # self-explaining fallback record: when a TPU was expected but the
+        # run ended on another backend (relay never answered, or died
+        # between the probe and backend init), say so — a CPU number must
+        # never read as the chip's.
+        "tpu_unreachable": bool(TPU_PROBE["expected"] and backend != "tpu"),
         "tpu_probe": TPU_PROBE,
         "config": {
             "n_donors": N_DONORS,

@@ -36,7 +36,9 @@ run bench_fold_off 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_MSTEP_FOLD=0 python bench.
 # 3. in-kernel dynamic-gather canary + microbench (decides the gather-free
 #    kernel design; ~2.6 ns/row is the number to beat)
 run kernel_gather 900 python benchmarks/exp_kernel_gather.py
-# 4. round-2 pending: production per-stage vs fused at PMBC scale
+# 4. in-kernel softmax A/B (EM-chain glue reduction)
+run fused_softmax 900 python benchmarks/exp_fused_softmax.py
+# 5. round-2 pending: production per-stage vs fused at PMBC scale
 run em_decompose 1800 python benchmarks/exp_em_decompose.py
 # 5. round-2 pending: gather-operand interaction phase 3
 run gather_operand 1200 env PHASE=3 python benchmarks/exp_gather_operand.py

@@ -33,7 +33,7 @@ CALLS_PER_BARCODE = int(os.environ.get("DEMUX_SCALING_CALLS_PER_BARCODE", 32))
 DOUBLET_PRIOR = 0.0  # EM default
 
 
-def measure_em(mesh_devices, n_barcodes):
+def measure_em(mesh_devices, n_barcodes, with_psum: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -94,14 +94,17 @@ def measure_em(mesh_devices, n_barcodes):
     from jax.sharding import PartitionSpec as _PSpec
     from demuxalot_tpu.parallel.mesh import BARCODE_AXIS
 
-    psum_only = jax.jit(jax.shard_map(
-        lambda x: jax.lax.psum(x, BARCODE_AXIS),
-        mesh=sh.mesh, in_specs=_PSpec(), out_specs=_PSpec(), check_vma=False,
-    ))
+    psum_only = None
+    if with_psum:
+        psum_only = jax.jit(jax.shard_map(
+            lambda x: jax.lax.psum(x, BARCODE_AXIS),
+            mesh=sh.mesh, in_specs=_PSpec(), out_specs=_PSpec(), check_vma=False,
+        ))
 
     add = em_iter(sh._replicate(np.zeros_like(betas))[0])
     float(jnp.sum(add))  # force
-    float(jnp.sum(psum_only(add)))  # compile
+    if psum_only is not None:
+        float(jnp.sum(psum_only(add)))  # compile
 
     def _lat():
         return min(
@@ -119,7 +122,7 @@ def measure_em(mesh_devices, n_barcodes):
         return max(min(times) - lat, 1e-9)
 
     em_time = _best(lambda: em_iter(add))
-    psum_time = _best(lambda: psum_only(add))
+    psum_time = _best(lambda: psum_only(add)) if psum_only is not None else None
     return em_time, n_barcodes / em_time, psum_time
 
 
@@ -129,12 +132,17 @@ def _run_one(n: int):
 
     devices = jax.devices()[:n]
     n_barcodes = BARCODES_PER_SHARD * n
-    em_time, rate, psum_time = measure_em(devices, n_barcodes)
-    print(json.dumps({"devices": n, "n_barcodes": n_barcodes,
-                      "em_iteration_s": round(em_time, 4),
-                      "barcodes_per_s": round(rate, 1),
-                      "psum_only_s": round(psum_time, 5),
-                      "collective_share": round(psum_time / em_time, 3)}), flush=True)
+    # process-parallel children (one device each) skip the psum timing:
+    # their track takes the collective from the shard_map sweep instead
+    with_psum = os.environ.get("DEMUX_SCALING_SKIP_PSUM") != "1"
+    em_time, rate, psum_time = measure_em(devices, n_barcodes, with_psum=with_psum)
+    record = {"devices": n, "n_barcodes": n_barcodes,
+              "em_iteration_s": round(em_time, 4),
+              "barcodes_per_s": round(rate, 1)}
+    if psum_time is not None:
+        record["psum_only_s"] = round(psum_time, 5)
+        record["collective_share"] = round(psum_time / em_time, 3)
+    print(json.dumps(record), flush=True)
 
 
 def _measure_subprocess(n: int, n_cores: int):
@@ -179,6 +187,7 @@ def _measure_process_parallel(n: int):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["DEMUX_SCALING_SKIP_PSUM"] = "1"  # collective comes from the shard_map sweep
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(core), sys.executable, __file__, "--one", "1"],

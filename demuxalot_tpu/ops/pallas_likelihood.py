@@ -149,18 +149,21 @@ def _likelihood_kernel(
     mix_ref,  # VMEM [PG_sl, D] mixing with pseudogenotypes on sublanes
     pen_ref,  # VMEM [1, PGp]
     out_ref,  # VMEM [TBS, PGp] — this super-tile's logits (resident across bands)
-    u_buf,  # VMEM scratch [2, D, TC]
-    sg_buf,  # VMEM scratch [2, 1, GPC]
-    u_sem,  # DMA sems [2]
-    sg_sem,
-    *,
+    *rest,  # optional probs_ref (softmax output), then scratch + sems
     tb: int,
     tc: int,
     pg_sl: int,
     n_words: int,
     n_super: int,
     stack_k: bool,
+    pg: int = 0,  # true pseudo-genotype count, for the softmax lane mask
+    softmax_out: bool = False,
 ):
+    if softmax_out:
+        probs_ref, u_buf, sg_buf, u_sem, sg_sem = rest
+    else:
+        probs_ref = None
+        u_buf, sg_buf, u_sem, sg_sem = rest
     group = max(1, tc // 128)
     gpc = tc // group
     s = pl.program_id(0)
@@ -230,6 +233,20 @@ def _likelihood_kernel(
 
     jax.lax.fori_loop(0, n, body, 0)
 
+    if softmax_out:
+        # after the super-tile's LAST band the logits block is final:
+        # emit row-softmax probabilities alongside, masking the lane
+        # padding (pg..PGp-1 lanes hold untouched penalty zeros, and
+        # sublane-padding rows beyond pg_sl were never written)
+        @pl.when(band == pl.num_programs(1) - 1)
+        def _softmax():
+            logits = out_ref[:]
+            lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            masked = jnp.where(lane < pg, logits, -jnp.inf)
+            m = jnp.max(masked, axis=1, keepdims=True)
+            e = jnp.exp(masked - m)
+            probs_ref[:] = e / jnp.sum(e, axis=1, keepdims=True)
+
 
 def tiled_logits_impl(
     genotype_prob,  # f32 [V, D] (or [D, V] with donor_major=True)
@@ -250,6 +267,8 @@ def tiled_logits_impl(
     n_words: int | None = None,
     stack_k: bool | None = None,
     donor_major: bool = False,
+    softmax_out: bool = False,
+    n_pseudogenotypes: int = 0,  # true pg count; required with softmax_out
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -262,6 +281,11 @@ def tiled_logits_impl(
     ``donor_major=True`` takes ``genotype_prob`` as [D, V] — the layout the
     gather wants natively and the M-step kernel produces — skipping the
     per-iteration [V, D]→[D, V] relayout of the whole table inside EM loops.
+
+    ``softmax_out=True`` returns ``(logits, probs)``: each super-tile's
+    row-softmax is computed in-kernel once its logits block is final,
+    saving EM loops the separate full-width XLA softmax pass (the lane
+    padding is masked with ``n_pseudogenotypes``).
     """
     if n_words is None:
         n_words = _SPLIT_WORDS[KERNEL_PRECISION]
@@ -308,6 +332,10 @@ def tiled_logits_impl(
         n_super * n_bands,
     )
 
+    if softmax_out and n_pseudogenotypes <= 0:
+        raise ValueError("softmax_out requires n_pseudogenotypes")
+    out_block = pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0))
+    out_shape = jax.ShapeDtypeStruct((n_super * tbs, pgp), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_super, n_bands),
@@ -317,7 +345,7 @@ def tiled_logits_impl(
             pl.BlockSpec(mix_block.shape, lambda s, k, *_: (0, 0)),
             pl.BlockSpec((1, pgp), lambda s, k, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0)),
+        out_specs=[out_block, out_block] if softmax_out else out_block,
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, tc), jnp.float32),
             pltpu.VMEM((2, 1, gpc), jnp.int32),
@@ -329,6 +357,7 @@ def tiled_logits_impl(
     kernel = functools.partial(
         _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words,
         n_super=n_super, stack_k=stack_k,
+        pg=n_pseudogenotypes, softmax_out=softmax_out,
     )
     passes = max(n_words, 1)
     exp_passes = 1 if stack_k else passes
@@ -336,21 +365,22 @@ def tiled_logits_impl(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_super * tbs, pgp), jnp.float32),
+        out_shape=[out_shape, out_shape] if softmax_out else out_shape,
         cost_estimate=pl.CostEstimate(
             flops=n_chunks * flops_per_chunk,
-            bytes_accessed=u.size * 4 + n_super * tbs * pgp * 4,
+            bytes_accessed=u.size * 4 + (2 if softmax_out else 1) * n_super * tbs * pgp * 4,
             transcendentals=n_chunks * tc * pg_sl,
         ),
         interpret=interpret,
     )(chunk_bounds, chunk_suboff, u, seg_group, mix_block, penalties_p)
-    return out
+    return tuple(out) if softmax_out else out
 
 
 _tiled_logits = functools.partial(
     jax.jit,
     static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret",
-                     "n_words", "stack_k", "donor_major"),
+                     "n_words", "stack_k", "donor_major", "softmax_out",
+                     "n_pseudogenotypes"),
 )(tiled_logits_impl)
 
 

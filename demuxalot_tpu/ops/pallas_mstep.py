@@ -38,6 +38,18 @@ from .pallas_likelihood import KERNEL_PRECISION, _SPLIT_WORDS, dot_words
 LANE = 128
 
 
+def resolve_fold_power() -> bool:
+    """Read DEMUX_MSTEP_FOLD *now* (outside any jit trace).
+
+    ``tiled_mstep_impl`` is usually called under a jit with fold_power as a
+    static argument; resolving the env var inside the traced body would
+    freeze its first-seen value into the compilation cache. Callers that
+    want the env override honored per call must resolve it eagerly (as
+    :meth:`TiledMstepCalls.addition` does) and pass the concrete bool.
+    """
+    return os.environ.get("DEMUX_MSTEP_FOLD", "1") != "0"
+
+
 def _mstep_kernel(
     bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]: chunk ranges
     suboff_ref,  # SMEM scalar prefetch [n_chunks]: variant tile within super-tile
@@ -170,16 +182,16 @@ def tiled_mstep_impl(
     n_super = chunk_bounds.shape[0] // n_bands - 1
 
     if fold_power is None:
-        fold_power = os.environ.get("DEMUX_MSTEP_FOLD", "1") != "0"
+        fold_power = resolve_fold_power()
     # p <= 0 would turn the q = 1 padding rows into 1s instead of 0s
     fold_power = fold_power and contribution_power > 0
     if fold_power:
-        # fold the contribution power into the XLA side: raise the TABLE
-        # (one [n_barcodes, D] elementwise pass, fused) instead of every
-        # gathered call row, and carry (1−q)^p — padding rows (q = 1) land
-        # on exactly 0 — so the kernel's per-chunk work collapses to one
+        # fold the contribution power into the XLA side: the table is
+        # raised per band AFTER the singlet slice (one [band, D]
+        # elementwise pass in total, fused) instead of every gathered call
+        # row, and q carries (1−q)^p — padding rows (q = 1) land on
+        # exactly 0 — so the kernel's per-chunk work collapses to one
         # multiply. Same math up to f32 rounding: (x·y)^p = x^p·y^p.
-        posterior = posterior**contribution_power
         q = (1.0 - q) ** contribution_power
 
     # slice the singlet columns BEFORE gathering: XLA does not fuse the
@@ -189,6 +201,8 @@ def tiled_mstep_impl(
     wt_parts = []
     for b_lo, b_hi, c_lo, c_hi in band_specs:
         table = jax.lax.slice_in_dim(posterior, b_lo, b_hi, axis=0)[:, :n_genotypes]
+        if fold_power:
+            table = table**contribution_power
         cb_k = jax.lax.slice_in_dim(cb_global, c_lo * tc, c_hi * tc, axis=0)
         wt_parts.append(table.T[:, cb_k])
     wt = wt_parts[0] if n_bands == 1 else jnp.concatenate(wt_parts, axis=1)
@@ -474,8 +488,13 @@ class TiledMstepCalls:
         return self._device_arrays
 
     def addition(self, posterior, n_genotypes: int, contribution_power: float,
-                 interpret: bool = False, donor_major_out: bool = False):
+                 interpret: bool = False, donor_major_out: bool = False,
+                 fold_power: bool | None = None):
         interpret = interpret or jax.default_backend() != "tpu"
+        if fold_power is None:
+            # resolve the env override OUTSIDE the jit: the impl's static
+            # default would freeze the first-seen value into the cache
+            fold_power = resolve_fold_power()
         cb_global, vl, q, chunk_bounds, chunk_suboff = self._device()
         return _tiled_mstep(
             posterior,
@@ -493,4 +512,5 @@ class TiledMstepCalls:
             band_specs=self.band_specs,
             interpret=interpret,
             donor_major_out=donor_major_out,
+            fold_power=fold_power,
         )

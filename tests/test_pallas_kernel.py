@@ -1,4 +1,5 @@
 """Pallas likelihood kernel vs the XLA path / numpy oracle (interpret mode on CPU)."""
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -58,6 +59,31 @@ def test_pallas_kernel_matches_oracle(doublet_prior):
     )
     assert ours.shape == ref_logits.shape
     np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=5e-3)
+
+
+@pytest.mark.parametrize("doublet_prior", [0.0, 0.35])
+def test_in_kernel_softmax_matches_xla(doublet_prior):
+    """softmax_out=True returns (logits, probs) == separate XLA softmax."""
+    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls, tiled_logits_impl
+
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, _ref = _problem(
+        doublet_prior=doublet_prior
+    )
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    dev = TiledDeviceCalls(mixing, penalties, tiled)
+    n_pg = mixing.shape[1]
+    logits, probs = tiled_logits_impl(
+        jnp.asarray(gprob), dev.mixing_sl, dev.penalties_p, dev.vid,
+        dev.seg_group, dev.q, dev.chunk_bounds, dev.chunk_suboff,
+        n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+        tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=True,
+        softmax_out=True, n_pseudogenotypes=n_pg,
+    )
+    logits = np.asarray(logits)[:n_barcodes, :n_pg]
+    probs = np.asarray(probs)[:n_barcodes, :n_pg]
+    expect = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    np.testing.assert_allclose(probs, expect, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
 
 
 def test_pallas_kernel_empty_tiles_initialized():

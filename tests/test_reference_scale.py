@@ -88,9 +88,9 @@ def test_reference_scale_quality(tmp_path_factory):
         calls, empty, barcode_handler=barcode_handler
     )
     labelling_p = np.random.random(size=len(barcode2donor_names))
-    prior_logits = template_probs * 0
     semi_supervised = {}
     for labeled_fraction in (0.2, 0.5):
+        prior_logits = template_probs * 0  # fresh per fraction: no label carry-over
         for (barcode, correct), p_label in zip(barcode2donor_names.items(), labelling_p):
             if len(correct) == 1 and p_label < labeled_fraction:
                 prior_logits.loc[barcode, str(correct[0])] += 100.0
