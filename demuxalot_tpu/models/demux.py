@@ -19,6 +19,7 @@ bounding the contribution of any single molecule.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -66,6 +67,7 @@ def _logits_forward(
     static_argnames=(
         "n_snps", "p_genotype_clip", "max_per_snp", "donor_major",
         "n_super", "tbs", "tb", "tc", "band_specs", "interpret",
+        "softmax_out", "n_pseudogenotypes",
     ),
 )
 def _pfb_tiled_logits(
@@ -74,6 +76,7 @@ def _pfb_tiled_logits(
     *,
     n_snps: int, p_genotype_clip: float, max_per_snp: int, donor_major: bool,
     n_super: int, tbs: int, tb: int, tc: int, band_specs: tuple, interpret: bool,
+    softmax_out: bool = False, n_pseudogenotypes: int = 0,
 ):
     """One program: betas → genotype probs → fused likelihood kernel.
 
@@ -98,6 +101,7 @@ def _pfb_tiled_logits(
         gp, mixing_sl, penalties_p, vid, seg_group, q, chunk_bounds, chunk_suboff,
         n_super=n_super, tbs=tbs, tb=tb, tc=tc, band_specs=band_specs,
         interpret=interpret, donor_major=donor_major,
+        softmax_out=softmax_out, n_pseudogenotypes=n_pseudogenotypes,
     )
 
 
@@ -150,13 +154,15 @@ class _PallasLogits:
 
     def __call__(
         self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0,
-        donor_major=False, addition_dev=None,
+        donor_major=False, addition_dev=None, softmax_out=False,
     ):
         """Logits from (prior betas [+ addition]) in a single fused program.
 
         ``donor_major=True`` takes (and expects ``addition_dev`` in) the
         [D, V] orientation: no full-table transposes between EM stages
         (requires the windowed SNP-sorted denominator path, max_per_snp > 0).
+        ``softmax_out=True`` returns (logits, probs) with the row-softmax
+        computed in-kernel (saves EM loops the full-width XLA pass).
         """
         dev = self.device
         interpret = jax.default_backend() != "tpu"
@@ -170,7 +176,13 @@ class _PallasLogits:
             max_per_snp=max_per_snp, donor_major=donor_major,
             n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
             tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=interpret,
+            softmax_out=softmax_out,
+            n_pseudogenotypes=dev.n_pseudogenotypes if softmax_out else 0,
         )
+        if softmax_out:
+            logits, probs = out
+            return (logits[: dev.n_barcodes, : dev.n_pseudogenotypes],
+                    probs[: dev.n_barcodes, : dev.n_pseudogenotypes])
         return out[: dev.n_barcodes, : dev.n_pseudogenotypes]
 
 
@@ -386,6 +398,7 @@ class _EMRun:
         genotype_addition_dev = jnp.zeros_like(self.prior_betas_dev)
         for _iteration in range(self.n_iterations):
             is_last = _iteration == self.n_iterations - 1
+            fused_probs_dev = None
             if Demultiplexer.aggregate_on_snps:
                 genotype_prob = np.asarray(
                     L.probs_from_betas(
@@ -402,12 +415,20 @@ class _EMRun:
                     )
                 )
             elif self.pallas_forward is not None:
-                logits_dev = self.pallas_forward(
+                # in-kernel softmax (env-gated until TPU-measured faster;
+                # interpret-mode equality is test-pinned either way)
+                fused_softmax = os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1"
+                out = self.pallas_forward(
                     self.prior_betas_dev, self.variant2snp_dev, self.n_snps,
                     self.p_genotype_clip, self.max_per_snp,
                     donor_major=self.donor_major,
                     addition_dev=genotype_addition_dev,
+                    softmax_out=fused_softmax,
                 )
+                if fused_softmax:
+                    logits_dev, fused_probs_dev = out
+                else:
+                    logits_dev, fused_probs_dev = out, None
             else:
                 logits_dev = _logits_forward(
                     self.prior_betas_dev + genotype_addition_dev,
@@ -423,8 +444,12 @@ class _EMRun:
                     "mismatching priors passed"
                 )
                 logits_dev = logits_dev + self.prior_logits_dev
+                fused_probs_dev = None  # kernel softmax predates the prior
 
-            probs_dev = jax.nn.softmax(logits_dev, axis=-1)
+            if fused_probs_dev is not None:
+                probs_dev = fused_probs_dev
+            else:
+                probs_dev = jax.nn.softmax(logits_dev, axis=-1)
             yield probs_dev, logits_dev, genotype_addition_dev
             if is_last:
                 continue

@@ -133,11 +133,20 @@ def test_demultiplexer_pallas_path_matches_xla(tmp_path):
         assert run.donor_major, "expected the donor-major EM state here"
         logits_p, probs_p = Demultiplexer.predict_posteriors(calls, genotypes, bh, doublet_prior=0.25)
         lp, pp = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+        # the env-gated in-kernel softmax EM must match the default exactly
+        import os
+        os.environ["DEMUX_EM_FUSED_SOFTMAX"] = "1"
+        try:
+            lf, pf = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+        finally:
+            del os.environ["DEMUX_EM_FUSED_SOFTMAX"]
     finally:
         Demultiplexer.use_pallas = None
     np.testing.assert_allclose(logits_p.values, logits_x.values, rtol=1e-4, atol=5e-3)
     np.testing.assert_allclose(probs_p.values, probs_x.values, atol=1e-5)
     np.testing.assert_allclose(lp.variant_betas, lx.variant_betas, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(pf.values, pp.values, atol=1e-5)
+    np.testing.assert_allclose(lf.variant_betas, lp.variant_betas, rtol=1e-5, atol=1e-5)
 
 
 def test_donor_major_layouts_match_row_major():
