@@ -38,6 +38,8 @@ run bench_fold_off 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_MSTEP_FOLD=0 python bench.
 run kernel_gather 900 python benchmarks/exp_kernel_gather.py
 # 4. in-kernel softmax A/B (EM-chain glue reduction)
 run fused_softmax 900 python benchmarks/exp_fused_softmax.py
+# 4b. stacked scatter dot A/B (one K=2*GPC dot vs two K=GPC passes)
+run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 python bench.py
 # 5. round-2 pending: production per-stage vs fused at PMBC scale
 run em_decompose 1800 python benchmarks/exp_em_decompose.py
 # 5. round-2 pending: gather-operand interaction phase 3

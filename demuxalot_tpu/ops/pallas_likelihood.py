@@ -158,6 +158,7 @@ def _likelihood_kernel(
     stack_k: bool,
     pg: int = 0,  # true pseudo-genotype count, for the softmax lane mask
     softmax_out: bool = False,
+    stack_scatter: bool = False,
 ):
     if softmax_out:
         probs_ref, u_buf, sg_buf, u_sem, sg_sem = rest
@@ -225,7 +226,25 @@ def _likelihood_kernel(
         sg = sg_buf[slot][0, :]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
         onehot = (row_ids == sg[None, :]).astype(jnp.float32)  # [TB, GPC]
-        contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)  # [TB, PG_sl]
+        if stack_scatter and n_words >= 2:
+            # one K = n_words·GPC dot instead of n_words summed K=GPC dots:
+            # the same MXU passes issued as a single instruction (the word
+            # split mirrors dot_words_stacked; exact up to f32 accumulation
+            # order). The one-hot tiles along its contraction axis.
+            words, remainder = [], gs
+            for _ in range(n_words):
+                word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
+                remainder = remainder - word
+                words.append(word)
+            gs_stacked = jnp.concatenate(words, axis=1)  # [PG_sl, n_words*GPC]
+            onehot_tiled = jnp.concatenate([onehot] * n_words, axis=1)
+            contribution = jax.lax.dot_general(
+                onehot_tiled, gs_stacked, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [TB, PG_sl]
+        else:
+            contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)  # [TB, PG_sl]
 
         off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
         out_ref[pl.ds(off, tb), :pg_sl] += contribution
@@ -358,6 +377,10 @@ def tiled_logits_impl(
         _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words,
         n_super=n_super, stack_k=stack_k,
         pg=n_pseudogenotypes, softmax_out=softmax_out,
+        # experiment knob (A/B in run_tpu_queue.sh): PROCESS-level — read at
+        # trace time, so flipping it after the first compile of a shape has
+        # no effect in that process
+        stack_scatter=os.environ.get("DEMUX_STACK_SCATTER") == "1",
     )
     passes = max(n_words, 1)
     exp_passes = 1 if stack_k else passes
