@@ -61,6 +61,25 @@ def test_pallas_kernel_matches_oracle(doublet_prior):
     np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=5e-3)
 
 
+@pytest.mark.parametrize("n_donors", [64, 72])
+def test_pallas_kernel_stack_k_boundary(n_donors):
+    """Donor counts at/over the stacked-K limit (d_pad·n_words = 128).
+
+    64 donors is the last configuration the one-pass stacked expansion
+    serves at f32x2; 72 donors (d_pad 72 -> 144 > 128) must fall back to
+    summed word passes. Both must match the oracle. Doublet columns off to
+    keep the oracle loop tractable at this width.
+    """
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, ref_logits = _problem(
+        n_donors=n_donors, n_calls=2000, n_barcodes=50, doublet_prior=0.0
+    )
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    ours = np.asarray(
+        barcode_logits_tiled(jnp.asarray(gprob), mixing, penalties, tiled, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=5e-3)
+
+
 @pytest.mark.parametrize("doublet_prior", [0.0, 0.35])
 def test_in_kernel_softmax_matches_xla(doublet_prior):
     """softmax_out=True returns (logits, probs) == separate XLA softmax."""
