@@ -443,6 +443,7 @@ class ShardedDemultiplexer:
         doublet_prior: float = 0.0,
         barcode_prior_logits: Optional[np.ndarray] = None,
         materialize_every_iteration: bool = True,
+        damping: Optional[str] = None,
     ):
         """Sharded EM generator; yields (probs_df, debug_info) per iteration.
 
@@ -450,8 +451,12 @@ class ShardedDemultiplexer:
         on device and yields ``(None, None)`` for all but the final
         iteration — the fast path for callers that only need the result
         (device->host transfer of posteriors can dominate EM wall-clock).
+        ``damping`` as in the single-device engine (models/demux.py):
+        "anchor" masks M-step additions to prior-informed variants.
         """
         assert 0 <= doublet_prior < 1
+        if damping not in (None, "anchor"):
+            raise ValueError(f"damping must be None or 'anchor', got {damping!r}")
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
 
@@ -505,6 +510,15 @@ class ShardedDemultiplexer:
             padded_prior[:n_barcodes] = barcode_prior_logits
             prior_dev = put_global(padded_prior, prior_sharding)
 
+        anchor_r = None
+        if damping == "anchor":
+            # prior-informed variants only (pre-data-prior betas; the packed
+            # table is never all-zero), mapped to the device row order
+            registry_mask = (
+                np.asarray(genotypes.get_betas()).sum(axis=1) > 0
+            ).astype(np.float32)
+            anchor_r = self._replicate(registry_mask[reindex.order][:, None])[0]
+
         genotype_addition = np.zeros_like(prior_betas)
         addition_r = self._replicate(genotype_addition)[0]
 
@@ -530,6 +544,8 @@ class ShardedDemultiplexer:
 
             if iteration != n_iterations - 1:
                 addition_r = mstep(probs_dev, *mstep_args)
+                if anchor_r is not None:
+                    addition_r = addition_r * anchor_r
 
     def learn_genotypes(
         self,
@@ -540,12 +556,13 @@ class ShardedDemultiplexer:
         p_genotype_clip: float = 0.01,
         doublet_prior: float = 0.0,
         barcode_prior_logits: Optional[np.ndarray] = None,
+        damping: Optional[str] = None,
     ):
         *_, last = self.staged_genotype_learning(
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             n_iterations=n_iterations, p_genotype_clip=p_genotype_clip,
             doublet_prior=doublet_prior, barcode_prior_logits=barcode_prior_logits,
-            materialize_every_iteration=False,
+            materialize_every_iteration=False, damping=damping,
         )
         last_probs, debug = last
         learnt = genotypes._with_betas(genotypes.get_betas() + debug["genotype_addition"])

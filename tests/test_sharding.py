@@ -68,6 +68,32 @@ def test_sharded_em_matches_single_device(small_problem):
     assert (probs1.idxmax(axis=1) == probs8.idxmax(axis=1)).all()
 
 
+def test_sharded_anchored_damping_matches_single_device(small_problem):
+    """damping="anchor" must behave identically on the sharded engine."""
+    genotypes, barcode_handler, calls = small_problem
+    ng = genotypes.clone()
+    snp_ids = ng.get_snp_ids_for_variants()
+    rng = np.random.RandomState(9)
+    erased_rows = np.nonzero((rng.rand(snp_ids.max() + 1) < 0.9)[snp_ids])[0]
+    ng.variant_betas[erased_rows, :] = 0
+
+    learnt1, probs1 = Demultiplexer.learn_genotypes(
+        calls, ng, barcode_handler, n_iterations=3, damping="anchor"
+    )
+    sharded = ShardedDemultiplexer(make_mesh())
+    learnt8, probs8 = sharded.learn_genotypes(
+        calls, ng, barcode_handler, n_iterations=3, damping="anchor"
+    )
+    np.testing.assert_allclose(probs8.values, probs1.values, atol=1e-4)
+    np.testing.assert_allclose(
+        learnt8.variant_betas, learnt1.variant_betas, rtol=1e-4, atol=1e-2
+    )
+    # erased variants received no addition on either engine
+    assert np.all(learnt8.get_betas()[erased_rows] == ng.get_betas()[erased_rows])
+    with pytest.raises(ValueError):
+        sharded.learn_genotypes(calls, ng, barcode_handler, damping="bogus")
+
+
 def test_sharded_em_with_prior_logits(small_problem):
     genotypes, barcode_handler, calls = small_problem
     empty = genotypes.clone()
