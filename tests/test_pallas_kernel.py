@@ -361,3 +361,66 @@ def test_kernel_budget_guards():
         check_kernel_budgets("wide", 1_000_000, 2 * GRID_CAP + 1)
     # gray zone: warns but does not raise (VMEM-constrained layouts)
     check_kernel_budgets("gray", 1_000_000, GRID_CAP + 1)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_banded_layout_randomized_invariants(trial):
+    """Randomized layout torture: reconstruct every call from the banded slots.
+
+    The tiling layouts are the subtlest host code feeding the kernels; a
+    slot mapping bug shows up on device as silently-wrong logits. For
+    random shapes (odd barcode/variant counts, skewed call distributions,
+    empty bands/tiles) check that the banded layout (a) holds every real
+    call exactly once with its (barcode, variant, q) triple intact, (b)
+    pads with exact no-ops (q == 1), (c) keeps chunks band-major and
+    tile-ordered as chunk_bounds derivation assumes.
+    """
+    from demuxalot_tpu.ops.tiling import per_call_segments, tile_barcode_calls_banded
+
+    rng = np.random.RandomState(100 + trial)
+    n_barcodes = int(rng.randint(3, 400))
+    n_variants = int(rng.randint(2, 700))
+    n_bands = int(rng.randint(1, 6))
+    tb = int(rng.choice([8, 16, 32]))
+    tc = int(rng.choice([128, 256]))
+    n_calls = int(rng.randint(0, 5000))
+    # skewed barcodes: some barcodes carry most calls, many carry none
+    cb = np.sort(
+        (rng.zipf(1.7, n_calls).clip(1, n_barcodes) - 1).astype(np.int32)
+    )
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    q = rng.uniform(0.0, 0.9, n_calls).astype(np.float32)
+
+    tiled = tile_barcode_calls_banded(
+        cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=n_bands,
+        tile_barcodes=tb, chunk_calls=tc,
+    )
+
+    q_flat = np.asarray(tiled.q).reshape(-1)
+    vid_flat = np.asarray(tiled.vid).reshape(-1)
+    real = q_flat < 1.0
+
+    # (c) band-major chunk regions; within a band, chunk2tile non-decreasing
+    offs = tiled.band_chunk_offsets
+    assert offs[0] == 0 and offs[-1] == tiled.n_chunks
+    for k in range(tiled.n_bands):
+        seg = tiled.chunk2tile[offs[k]:offs[k + 1]]
+        assert np.all(np.diff(seg) >= 0)
+
+    # reconstruct each slot's global (barcode, variant)
+    band_of_chunk = np.searchsorted(offs, np.arange(tiled.n_chunks), side="right") - 1
+    slot_band = np.repeat(band_of_chunk, tc)
+    got_vid = vid_flat + tiled.band_edges[slot_band]
+    got_cb = (
+        np.repeat(tiled.chunk2tile, tc) * tb + per_call_segments(tiled)
+    )
+
+    # (a) multiset equality of (cb, vid, q) triples
+    want = np.stack([cb, vid, np.round(q * 1e6)], axis=1)
+    got = np.stack([got_cb[real], got_vid[real], np.round(q_flat[real] * 1e6)], axis=1)
+    order_w = np.lexsort(want.T)
+    order_g = np.lexsort(got.T)
+    np.testing.assert_array_equal(got[order_g], want[order_w])
+    # (b) padding is exactly q == 1
+    assert int(real.sum()) == n_calls
+    np.testing.assert_array_equal(q_flat[~real], 1.0)
