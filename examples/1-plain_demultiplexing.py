@@ -66,6 +66,10 @@ def main():
             genotypes=store,
             barcode_handler=whitelist,
             doublet_prior=0.25,
+            # tip: with a sparse/partial genotype prior and no labeled
+            # barcodes, add damping="anchor" — it restricts learning to
+            # prior-informed variants, which keeps the refinement monotone
+            # where unrestricted EM can diverge (see docs/API.md)
         )
 
     # the betas parquet is a reusable checkpoint: feed it to

@@ -424,3 +424,31 @@ def test_banded_layout_randomized_invariants(trial):
     # (b) padding is exactly q == 1
     assert int(real.sum()) == n_calls
     np.testing.assert_array_equal(q_flat[~real], 1.0)
+
+
+@pytest.mark.parametrize("donor_major", [False, True])
+def test_inkernel_gather_matches_mainline(donor_major):
+    """EXPERIMENTAL in-kernel-gather kernel == the pre-gathered mainline."""
+    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls, tiled_logits_impl
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls_banded
+
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, _ref = _problem(
+        n_snps=90, n_calls=5000, doublet_prior=0.3
+    )
+    n_variants = gprob.shape[0]
+    tiled = tile_barcode_calls_banded(
+        cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=3,
+        tile_barcodes=16, chunk_calls=128,
+    )
+    dev = TiledDeviceCalls(mixing, penalties, tiled)
+    gp = jnp.asarray(gprob.T.copy()) if donor_major else jnp.asarray(gprob)
+    kwargs = dict(
+        n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+        tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=True,
+        donor_major=donor_major,
+    )
+    args = (dev.mixing_sl, dev.penalties_p, dev.vid, dev.seg_group, dev.q,
+            dev.chunk_bounds, dev.chunk_suboff)
+    mainline = np.asarray(tiled_logits_impl(gp, *args, **kwargs))
+    ig = np.asarray(tiled_logits_impl(gp, *args, **kwargs, inkernel_gather=True))
+    np.testing.assert_allclose(ig, mainline, rtol=1e-5, atol=1e-4)
