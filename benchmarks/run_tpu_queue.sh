@@ -40,8 +40,9 @@ run kernel_gather 900 python benchmarks/exp_kernel_gather.py
 run fused_softmax 900 python benchmarks/exp_fused_softmax.py
 # 4b. stacked scatter dot A/B (one K=2*GPC dot vs two K=GPC passes)
 run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 python bench.py
-# 4c. if the canary lowered: full in-kernel-gather E-step A/B at bench shape
+# 4c. if the canary lowered: full in-kernel-gather E/M-step A/Bs at bench shape
 run ig_estep 1200 python benchmarks/exp_inkernel_gather_estep.py
+run ig_mstep 1200 python benchmarks/exp_inkernel_gather_mstep.py
 # 5. round-2 pending: production per-stage vs fused at PMBC scale
 run em_decompose 1800 python benchmarks/exp_em_decompose.py
 # 5. round-2 pending: gather-operand interaction phase 3
