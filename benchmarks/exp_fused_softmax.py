@@ -9,7 +9,6 @@ run_tpu_queue.sh); interpret-equality is covered by
 tests/test_pallas_kernel.py::test_in_kernel_softmax_matches_xla.
 """
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -21,6 +20,8 @@ honor_jax_platforms_env()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _timing import chain_time
 
 N_DONORS, N_SNPS, N_BARCODES, CPB = 32, 65_536, 65_536, 64
 DOUBLET_PRIOR = 0.35
@@ -59,25 +60,6 @@ def main():
     common = dict(n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
                   tc=dev.chunk_calls, band_specs=dev.band_specs)
 
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x) * 1.0000001
-
-    small = jnp.ones((8,))
-
-    def chain_time(step, k=8, iters=3):
-        chain = jax.jit(lambda c, a: jax.lax.fori_loop(0, k, lambda i, c: step(c, a), c))
-        float(jnp.sum(chain(jnp.float32(0.0), (gp, ops))))
-        lat = min(
-            (lambda t0: (float(trivial(small)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(5)
-        )
-        best = min(
-            (lambda t0: (float(jnp.sum(chain(jnp.float32(0.0), (gp, ops)))), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(iters)
-        )
-        return max(best - lat, 1e-9) / k
-
     def xla_side(c, a):
         g, o = a
         out = tiled_logits_impl(g + c, *o, **common)
@@ -91,9 +73,9 @@ def main():
         )
         return jnp.sum(probs[:N_BARCODES, :n_pg]) * 1e-30
 
-    t_xla = chain_time(xla_side)
+    t_xla = chain_time(xla_side, (gp, ops))
     print(f"logits + XLA softmax: {t_xla*1e3:.2f} ms")
-    t_fused = chain_time(fused)
+    t_fused = chain_time(fused, (gp, ops))
     print(f"in-kernel softmax:    {t_fused*1e3:.2f} ms ({(t_xla-t_fused)*1e3:+.2f} ms)")
 
 

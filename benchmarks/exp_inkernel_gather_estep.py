@@ -11,7 +11,6 @@ Interpret-mode equality: tests/test_pallas_kernel.py::
 test_inkernel_gather_matches_mainline.
 """
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -23,6 +22,8 @@ honor_jax_platforms_env()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _timing import chain_time
 
 N_DONORS, N_SNPS, N_BARCODES, CPB = 32, 65_536, 65_536, 64
 DOUBLET_PRIOR = 0.35
@@ -68,25 +69,6 @@ def main():
     common = dict(n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
                   tc=dev.chunk_calls, band_specs=dev.band_specs)
 
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x) * 1.0000001
-
-    small = jnp.ones((8,))
-
-    def chain_time(step, k=8, iters=3):
-        chain = jax.jit(lambda c, a: jax.lax.fori_loop(0, k, lambda i, c: step(c, a), c))
-        float(jnp.sum(chain(jnp.float32(0.0), (gp, args))))
-        lat = min(
-            (lambda t0: (float(trivial(small)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(5)
-        )
-        best = min(
-            (lambda t0: (float(jnp.sum(chain(jnp.float32(0.0), (gp, args)))), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(iters)
-        )
-        return max(best - lat, 1e-9) / k
-
     def mainline(c, a):
         g, o = a
         out = tiled_logits_impl(g + c, *o, **common)
@@ -97,9 +79,9 @@ def main():
         out = tiled_logits_impl(g + c, *o, **common, inkernel_gather=True)
         return jnp.sum(out) * 1e-30
 
-    t_main = chain_time(mainline)
+    t_main = chain_time(mainline, (gp, args))
     print(f"mainline (same {N_BANDS}-band layout): {t_main*1e3:.2f} ms")
-    t_ig = chain_time(inkernel)
+    t_ig = chain_time(inkernel, (gp, args))
     print(f"in-kernel gather:                      {t_ig*1e3:.2f} ms ({(t_main-t_ig)*1e3:+.2f} ms)")
 
 

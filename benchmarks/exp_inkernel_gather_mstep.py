@@ -10,7 +10,6 @@ Interpret-mode equality: tests/test_pallas_kernel.py::
 test_mstep_inkernel_gather_matches_oracle.
 """
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -22,6 +21,8 @@ honor_jax_platforms_env()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _timing import chain_time
 
 N_DONORS, N_SNPS, N_BARCODES, CPB = 32, 65_536, 65_536, 64
 N_BANDS = 8  # 8192-barcode posterior band blocks (~1 MB at 32 donors)
@@ -58,25 +59,6 @@ def main():
             n_barcodes=N_BARCODES, n_bands=n_bands, n_genotypes=N_DONORS,
         )
 
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x) * 1.0000001
-
-    small = jnp.ones((8,))
-
-    def chain_time(step, operands, k=12, iters=3):
-        chain = jax.jit(lambda c, a: jax.lax.fori_loop(0, k, lambda i, c: step(c, a), c))
-        float(jnp.sum(chain(jnp.float32(0.0), operands)))
-        lat = min(
-            (lambda t0: (float(trivial(small)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(5)
-        )
-        best = min(
-            (lambda t0: (float(jnp.sum(chain(jnp.float32(0.0), operands))), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(iters)
-        )
-        return max(best - lat, 1e-9) / k
-
     def run(layout, label, inkernel):
         dev = tuple(jnp.asarray(x) for x in (
             layout.cb_global, layout.vl, layout.q,
@@ -94,7 +76,7 @@ def main():
             )
             return jnp.sum(out) * 1e-30
 
-        t = chain_time(step, (post_dev, dev))
+        t = chain_time(step, (post_dev, dev), k=12)
         print(f"{label}: {t*1e3:.2f} ms "
               f"(tc={layout.chunk_calls} n_chunks={layout.n_chunks} "
               f"grid={layout.n_super * max(1, len(layout.band_specs))})")

@@ -13,7 +13,6 @@ also runs in interpret mode anywhere (validates shapes, not speed).
 """
 import functools
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -27,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from _timing import timed
 
 # kept modest: table [N_ROWS, WIDTH] f32 must sit in VMEM (~16 MB/core)
 N_ROWS, WIDTH = 8192, 64  # 2 MB table
@@ -88,31 +89,6 @@ def main():
     @jax.jit
     def xla_gather(t, i):
         return jnp.sum(t[i], dtype=jnp.float32)
-
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x) * 1.0000001
-
-    small = jnp.ones((8,))
-
-    def timed(fn, *args, iters=5):
-        """Min-of-iterations with the tunnel round-trip subtracted.
-
-        The measured ops (~1M rows, low single-digit ms) are far below
-        this environment's dispatch latency; unsubtracted numbers would be
-        10-60x inflated and incomparable to exp_gather_regime.py's
-        latency-subtracted 2.6 ns/row.
-        """
-        float(fn(*args))  # compile + warm
-        latency = min(
-            (lambda t0: (float(trivial(small)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(5)
-        )
-        best = min(
-            (lambda t0: (float(fn(*args)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(iters)
-        )
-        return max(best - latency, 1e-9)
 
     t_xla = timed(xla_gather, table, jnp.asarray(idx_np))
     print(f"XLA gather ({N_IDX} rows): {t_xla*1e3:.2f} ms ({t_xla/N_IDX*1e9:.2f} ns/row)")

@@ -40,9 +40,16 @@ run kernel_gather 900 python benchmarks/exp_kernel_gather.py
 run fused_softmax 900 python benchmarks/exp_fused_softmax.py
 # 4b. stacked scatter dot A/B (one K=2*GPC dot vs two K=GPC passes)
 run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 python bench.py
-# 4c. if the canary lowered: full in-kernel-gather E/M-step A/Bs at bench shape
-run ig_estep 1200 python benchmarks/exp_inkernel_gather_estep.py
-run ig_mstep 1200 python benchmarks/exp_inkernel_gather_mstep.py
+# 4c. if the canary lowered: full in-kernel-gather E/M-step A/Bs at bench shape.
+# A failing canary means Mosaic can't lower jnp.take — running the full A/Bs
+# anyway would burn the relay window on failing remote compiles (and can wedge
+# the shared Mosaic compiler, CLAUDE.md), so gate on the canary's verdict.
+if grep -q "works: True" "$OUT/kernel_gather.txt" 2>/dev/null; then
+  run ig_estep 1200 python benchmarks/exp_inkernel_gather_estep.py
+  run ig_mstep 1200 python benchmarks/exp_inkernel_gather_mstep.py
+else
+  echo "kernel_gather canary did not lower; skipping ig_estep/ig_mstep" | tee "$OUT/ig_skipped.txt"
+fi
 # 5. round-2 pending: production per-stage vs fused at PMBC scale
 run em_decompose 1800 python benchmarks/exp_em_decompose.py
 # 5. round-2 pending: gather-operand interaction phase 3

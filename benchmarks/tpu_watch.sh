@@ -12,16 +12,11 @@ DEADLINE=$(( $(date +%s) + MAX_H * 3600 ))
 echo "watch started $(date -u +%FT%TZ) pid=$$" > "$OUT/watch.log"
 
 probe() {
-  python - <<'EOF'
-import socket, sys
-s = socket.socket(); s.settimeout(2)
-try:
-    s.connect(("127.0.0.1", 8082)); sys.exit(0)
-except Exception:
-    sys.exit(1)
-finally:
-    s.close()
-EOF
+  # Reuse the package's relay probe so the accepted port set (RELAY_PORTS)
+  # stays in one place — the relay has come back on 8092/8102 before.
+  python -c "
+from demuxalot_tpu.utils.platform import _probe_relay
+import sys; sys.exit(0 if _probe_relay() else 1)"
 }
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do

@@ -85,15 +85,32 @@ def sublane_pg(pg: int) -> int:
     return _round_up(pg, 8)
 
 
+def bf16_words(x, n_words: int):
+    """Split ``x`` into ``n_words`` bf16 words: hi = bf16(x), lo = bf16(x−hi), …
+
+    This is THE posterior-safe precision strategy for in-kernel matmuls
+    (CLAUDE.md invariant: no single-pass bf16): summing the words restores
+    ~16 mantissa bits, so DEFAULT-precision MXU passes over the words against
+    a bf16-exact operand are exact up to the f32 accumulator. Every word
+    split in this package must come through here so a precision change lands
+    everywhere at once.
+    """
+    words, remainder = [], x
+    for _ in range(n_words):
+        word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
+        remainder = remainder - word
+        words.append(word)
+    return words
+
+
 def dot_words(a, b, dims, n_words: int, split: str = "b"):
     """dot_general where one operand is bf16-exact and the other is split.
 
     The non-``split`` operand's entries must be exactly representable in
-    bf16 (0, 0.5, 1 …) so splitting the other into bf16 words (hi = bf16(x),
-    lo = bf16(x−hi), …) makes each DEFAULT-precision MXU pass exact up to
-    the f32 accumulator. ``dims`` = (a_contract, b_contract); output dims
-    follow dot_general (a-free then b-free). n_words=0 falls back to one
-    HIGHEST dot.
+    bf16 (0, 0.5, 1 …) so splitting the other via :func:`bf16_words` makes
+    each DEFAULT-precision MXU pass exact up to the f32 accumulator.
+    ``dims`` = (a_contract, b_contract); output dims follow dot_general
+    (a-free then b-free). n_words=0 falls back to one HIGHEST dot.
     """
     if n_words == 0:
         return jax.lax.dot_general(
@@ -102,10 +119,7 @@ def dot_words(a, b, dims, n_words: int, split: str = "b"):
             precision=jax.lax.Precision.HIGHEST,
         )
     total = None
-    remainder = a if split == "a" else b
-    for _ in range(n_words):
-        word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
-        remainder = remainder - word
+    for word in bf16_words(a if split == "a" else b, n_words):
         lhs, rhs = (word, b) if split == "a" else (a, word)
         part = jax.lax.dot_general(
             lhs, rhs, dimension_numbers=(dims, ((), ())),
@@ -127,13 +141,7 @@ def dot_words_stacked(a, b_split, n_words: int):
     halving the expansion matmul at f32x2 precision. Numerically identical
     to the summed passes up to f32 accumulation order.
     """
-    words = []
-    remainder = b_split
-    for _ in range(n_words):
-        word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
-        remainder = remainder - word
-        words.append(word)
-    stacked = jnp.concatenate(words, axis=0)
+    stacked = jnp.concatenate(bf16_words(b_split, n_words), axis=0)
     return jax.lax.dot_general(
         a, stacked, dimension_numbers=((((1,), (0,))), ((), ())),
         preferred_element_type=jnp.float32,
@@ -231,12 +239,9 @@ def _likelihood_kernel(
             # the same MXU passes issued as a single instruction (the word
             # split mirrors dot_words_stacked; exact up to f32 accumulation
             # order). The one-hot tiles along its contraction axis.
-            words, remainder = [], gs
-            for _ in range(n_words):
-                word = remainder.astype(jnp.bfloat16).astype(jnp.float32)
-                remainder = remainder - word
-                words.append(word)
-            gs_stacked = jnp.concatenate(words, axis=1)  # [PG_sl, n_words*GPC]
+            gs_stacked = jnp.concatenate(
+                bf16_words(gs, n_words), axis=1
+            )  # [PG_sl, n_words*GPC]
             onehot_tiled = jnp.concatenate([onehot] * n_words, axis=1)
             contribution = jax.lax.dot_general(
                 onehot_tiled, gs_stacked, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -290,7 +295,7 @@ def _likelihood_kernel_ig(
     n_words: int,
     n_super: int,
 ):
-    """EXPERIMENTAL in-kernel-gather variant (DEMUX_INKERNEL_GATHER).
+    """EXPERIMENTAL in-kernel-gather variant (``inkernel_gather=True``).
 
     The mainline kernel consumes XLA-pre-gathered log arguments U — paying
     the gather engine's measured ~2.6 ns/row floor outside the kernel. This
@@ -480,7 +485,8 @@ def tiled_logits_impl(
 
     check_kernel_budgets(
         "likelihood",
-        tbs * pgp * 4  # resident logits block
+        # softmax_out keeps a SECOND resident (tbs, pgp) out block (probs)
+        (2 if softmax_out else 1) * tbs * pgp * 4
         + mix_block.size * 4 + pgp * 4
         + 2 * d_pad * tc * 4 + 2 * gpc * 4,  # double-buffered chunk scratch
         n_super * n_bands,
