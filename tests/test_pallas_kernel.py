@@ -363,6 +363,40 @@ def test_kernel_budget_guards():
     check_kernel_budgets("gray", 1_000_000, GRID_CAP + 1)
 
 
+def test_softmax_out_budget_counts_second_block(monkeypatch):
+    """softmax_out keeps TWO resident (tbs, pgp) out blocks; the VMEM guard
+    must charge both, or an undersized-by-one-block layout passes the guard
+    and dies on device as the remote Mosaic failure the guard exists to
+    prevent."""
+    from demuxalot_tpu.ops import tiling
+    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls, tiled_logits_impl
+
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, _ = _problem()
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=128)
+    dev = TiledDeviceCalls(mixing, penalties, tiled)
+    n_pg = mixing.shape[1]
+
+    seen = []
+    real_check = tiling.check_kernel_budgets
+
+    def spy(kernel, vmem_bytes, n_grid_steps):
+        seen.append(vmem_bytes)
+        real_check(kernel, vmem_bytes, n_grid_steps)
+
+    monkeypatch.setattr(tiling, "check_kernel_budgets", spy)
+    common = dict(
+        n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+        tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=True,
+    )
+    args = (jnp.asarray(gprob), dev.mixing_sl, dev.penalties_p, dev.vid,
+            dev.seg_group, dev.q, dev.chunk_bounds, dev.chunk_suboff)
+    tiled_logits_impl(*args, **common)
+    tiled_logits_impl(*args, **common, softmax_out=True, n_pseudogenotypes=n_pg)
+    assert len(seen) == 2
+    pgp = dev.penalties_p.shape[1]
+    assert seen[1] - seen[0] == dev.tbs * pgp * 4
+
+
 @pytest.mark.parametrize("trial", range(4))
 def test_banded_layout_randomized_invariants(trial):
     """Randomized layout torture: reconstruct every call from the banded slots.

@@ -228,6 +228,40 @@ def test_dot_words_split_accuracy():
     np.testing.assert_allclose(got_a, want.T, rtol=1e-5, atol=1e-6)
 
 
+def test_bf16_words_reconstruction():
+    """The shared word-split helper keeps the posterior-safe precision contract.
+
+    Every in-kernel matmul strategy (dot_words, dot_words_stacked, the
+    stack_scatter branch) now routes through bf16_words; this pins its
+    invariants: each word is exactly representable in bf16, and the word sum
+    restores ~16 mantissa bits of the input.
+    """
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.ops.pallas_likelihood import bf16_words
+
+    rng = np.random.RandomState(7)
+    x_np = rng.uniform(-8.0, 8.0, size=(64, 96)).astype(np.float32)
+    x = jnp.asarray(x_np)
+
+    words = bf16_words(x, 2)
+    assert len(words) == 2
+    for w in words:  # bf16-exactness: re-rounding must be the identity
+        w_np = np.asarray(w)
+        np.testing.assert_array_equal(
+            w_np, np.asarray(jnp.asarray(w_np).astype(jnp.bfloat16).astype(jnp.float32))
+        )
+    recon = np.asarray(words[0] + words[1])
+    rel = np.abs(recon - x_np) / np.maximum(np.abs(x_np), 1e-6)
+    assert rel.max() < 2**-15  # two 8-bit-mantissa words ≈ 16 mantissa bits
+
+    # one word degenerates to plain bf16 rounding (the "default" strategy)
+    (single,) = bf16_words(x, 1)
+    np.testing.assert_array_equal(
+        np.asarray(single), np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+    )
+
+
 def test_sharded_banded_estep_matches_plain():
     """Variant-banded sharded E-step == plain sharded E-step (virtual mesh)."""
     import jax
