@@ -1,0 +1,236 @@
+"""Command-line interface: the full pipeline without writing Python.
+
+The reference is library-only (demuxalot exposes no entry point); this CLI
+wraps the same five-name API surface so a shell user can demultiplex, cache
+counts, and run SNP discovery directly:
+
+    python -m demuxalot_tpu demux --bam sample.bam --barcodes barcodes.csv \
+        --vcf donors.vcf --output-dir out/
+    python -m demuxalot_tpu count --bam sample.bam --barcodes barcodes.csv \
+        --vcf donors.vcf --counts-dir counts/
+    python -m demuxalot_tpu detect-snps --bam sample.bam --barcodes \
+        barcodes.csv --vcf donors.vcf --min-coverage 200 --out new_snps.parquet
+
+Each subcommand is a thin shell over the Python API (examples/ show the same
+flows in code); anything beyond flag-plumbing belongs in the library, not
+here.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+
+def _discover_donors(vcf: str | None, prior_betas: str | None) -> list:
+    """Donor names from the inputs: VCF header samples + parquet columns."""
+    names: list = []
+    if vcf:
+        from .bamio.vcf import VariantFile
+
+        names.extend(VariantFile(vcf).sample_names)
+    if prior_betas:
+        import pandas as pd
+
+        frame = pd.read_parquet(prior_betas)
+        names.extend(c for c in frame.columns if c not in names)
+    if not names:
+        raise SystemExit(
+            "no donors found: the VCF has no sample columns and no "
+            "--prior-betas was given; pass --donors explicitly"
+        )
+    return names
+
+
+def _load_genotypes(args) -> "ProbabilisticGenotypes":
+    from .models.genotypes import ProbabilisticGenotypes
+
+    donors = (
+        [d for d in args.donors.split(",") if d]
+        if args.donors
+        else _discover_donors(args.vcf, args.prior_betas)
+    )
+    store = ProbabilisticGenotypes(genotype_names=donors)
+    if args.vcf:
+        store.add_vcf(args.vcf)
+    if args.prior_betas:
+        store.add_prior_betas(args.prior_betas, prior_strength=args.prior_strength)
+    if store.n_variants == 0:
+        raise SystemExit("genotype store is empty; check --vcf/--prior-betas")
+    return store
+
+
+def _load_barcodes(args) -> "BarcodeHandler":
+    from .utils.barcodes import BarcodeHandler
+
+    return BarcodeHandler.from_file(args.barcodes, tag=args.barcode_tag)
+
+
+def _collect_counts(args, store, whitelist):
+    """count_snps with an optional on-disk cache of the expensive scan."""
+    from .frontend.snp_counter import count_snps, load_snp_counts, save_snp_counts
+
+    cache = Path(args.counts_cache) if getattr(args, "counts_cache", None) else None
+    if cache and any(cache.glob("*.calls.npz")):
+        print(f"# loading cached counts from {cache}", file=sys.stderr)
+        return load_snp_counts(cache)
+    counts = count_snps(
+        bamfile_location=args.bam,
+        chromosome2positions=store.get_chromosome2positions(),
+        barcode_handler=whitelist,
+        joblib_n_jobs=args.jobs,
+        joblib_verbosity=0,
+    )
+    if cache:
+        save_snp_counts(counts, cache)
+    return counts
+
+
+def _genotype_args(sub, require_bam: bool = True):
+    sub.add_argument("--bam", required=require_bam,
+                     help="coordinate-sorted, indexed BAM file")
+    sub.add_argument("--barcodes", required=True,
+                     help="barcode whitelist csv(.gz), one barcode per line")
+    sub.add_argument("--vcf", help="donor genotypes VCF (sample columns = donors)")
+    sub.add_argument("--prior-betas",
+                     help="betas parquet checkpoint (from a previous run / "
+                          "save_betas / detect-snps)")
+    sub.add_argument("--donors",
+                     help="comma-separated donor subset (default: every donor "
+                          "found in --vcf/--prior-betas)")
+    sub.add_argument("--prior-strength", type=float, default=1.0,
+                     help="scale applied to --prior-betas values (default 1)")
+    sub.add_argument("--barcode-tag", default="CB",
+                     help="BAM tag carrying the corrected cell barcode (default CB)")
+    sub.add_argument("--jobs", type=int, default=-1,
+                     help="process fan-out for the BAM scan (default: all cores)")
+
+
+def _cmd_demux(args) -> int:
+    from .models.demux import Demultiplexer
+
+    store = _load_genotypes(args)
+    whitelist = _load_barcodes(args)
+    counts = _collect_counts(args, store, whitelist)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if args.no_refine:
+        logits, probs = Demultiplexer.predict_posteriors(
+            counts, genotypes=store, barcode_handler=whitelist,
+            p_genotype_clip=args.p_genotype_clip,
+            doublet_prior=args.doublet_prior,
+        )
+    else:
+        learnt, probs = Demultiplexer.learn_genotypes(
+            counts, genotypes=store, barcode_handler=whitelist,
+            n_iterations=args.n_iterations,
+            p_genotype_clip=args.p_genotype_clip,
+            doublet_prior=args.doublet_prior,
+            damping=args.damping,
+        )
+        learnt.save_betas(out / "learnt_betas.parquet")
+        logits = None
+
+    probs.to_csv(out / "posteriors.csv")
+    if logits is not None:
+        logits.to_csv(out / "logits.csv")
+    assignments = probs.idxmax(axis=1).to_frame("assignment")
+    assignments["posterior"] = probs.max(axis=1)
+    assignments.to_csv(out / "assignments.csv")
+    print(f"# wrote {out}/posteriors.csv, assignments.csv"
+          + ("" if args.no_refine else ", learnt_betas.parquet"),
+          file=sys.stderr)
+    print(assignments["assignment"].value_counts().to_string(), file=sys.stderr)
+    return 0
+
+
+def _cmd_count(args) -> int:
+    from .frontend.snp_counter import save_snp_counts
+
+    store = _load_genotypes(args)
+    whitelist = _load_barcodes(args)
+    args.counts_cache = None  # always a fresh scan; the output IS the cache
+    counts = _collect_counts(args, store, whitelist)
+    save_snp_counts(counts, args.counts_dir)
+    for chromosome in sorted(counts):
+        calls = counts[chromosome]
+        print(f"{chromosome}\t{calls.n_molecules} molecules\t"
+              f"{calls.n_snp_calls} calls")
+    return 0
+
+
+def _cmd_detect_snps(args) -> int:
+    from .models.snp_detection import detect_snps_positions
+
+    store = _load_genotypes(args)
+    whitelist = _load_barcodes(args)
+    rows = detect_snps_positions(
+        args.bam, store, whitelist,
+        minimum_coverage=args.min_coverage,
+        minimum_alternative_fraction=args.min_alternative_fraction,
+        minimum_alternative_coverage=args.min_alternative_coverage,
+        n_best_snps_per_donor=args.best_per_donor,
+        n_additional_best_snps=args.additional_best,
+        joblib_n_jobs=args.jobs,
+        joblib_verbosity=0,
+        result_beta_prior_filename=args.out,
+    )
+    print(f"# {len(rows)} positions selected -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="demuxalot_tpu",
+        description="TPU-native single-cell demultiplexing pipeline",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    demux = sub.add_parser(
+        "demux", help="BAM + barcodes + genotypes -> posterior assignments")
+    _genotype_args(demux)
+    demux.add_argument("--output-dir", required=True)
+    demux.add_argument("--counts-cache",
+                       help="directory for cached SNP counts (reused when "
+                            "present, written after a fresh scan)")
+    demux.add_argument("--no-refine", action="store_true",
+                       help="skip EM refinement; posterior-only inference")
+    demux.add_argument("--n-iterations", type=int, default=5)
+    demux.add_argument("--doublet-prior", type=float, default=0.35)
+    demux.add_argument("--p-genotype-clip", type=float, default=0.01)
+    demux.add_argument("--damping", choices=["anchor"], default=None,
+                       help="'anchor' restricts EM updates to prior-informed "
+                            "variants (keeps refinement monotone on sparse "
+                            "priors; see docs/API.md)")
+    demux.set_defaults(func=_cmd_demux)
+
+    count = sub.add_parser(
+        "count", help="scan the BAM once; save reusable per-chromosome counts")
+    _genotype_args(count)
+    count.add_argument("--counts-dir", required=True)
+    count.set_defaults(func=_cmd_count)
+
+    detect = sub.add_parser(
+        "detect-snps", help="discover new discriminative SNPs from the data")
+    _genotype_args(detect)
+    detect.add_argument("--out", required=True,
+                        help="positions-only parquet consumable via --prior-betas")
+    detect.add_argument("--min-coverage", type=int, required=True)
+    detect.add_argument("--min-alternative-fraction", type=float, default=0.01)
+    detect.add_argument("--min-alternative-coverage", type=int, default=100)
+    detect.add_argument("--best-per-donor", type=int, default=100)
+    detect.add_argument("--additional-best", type=int, default=1000)
+    detect.set_defaults(func=_cmd_detect_snps)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    from .utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

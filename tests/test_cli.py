@@ -1,0 +1,100 @@
+"""The `python -m demuxalot_tpu` CLI drives the pipeline end to end."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from demuxalot_tpu.cli import main
+from demuxalot_tpu.sim import generate_bam_file
+
+
+@pytest.fixture(scope="module")
+def cli_problem(tmp_path_factory):
+    np.random.seed(11)
+    root = tmp_path_factory.mktemp("cli")
+    bam = str(root / "sample.bam")
+    bam, genotypes, _ids, names = generate_bam_file(
+        bam, n_genotypes=3, doublets_fraction=0.1, mutation_prob=0.03,
+        n_barcodes=200, n_reads_per_barcode=60,
+        chromosome2length={"chr1": 600, "chr2": 600},
+    )
+    barcodes = root / "barcodes.csv"
+    barcodes.write_text("\n".join(names) + "\n")
+    betas = root / "prior_betas.parquet"
+    genotypes.save_betas(str(betas))
+    return bam, str(barcodes), str(betas), genotypes
+
+
+def test_cli_demux_refine(cli_problem, tmp_path):
+    bam, barcodes, betas, genotypes = cli_problem
+    out = tmp_path / "out"
+    cache = tmp_path / "cache"
+    rc = main([
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas,  # donor names discovered from the parquet
+        "--output-dir", str(out), "--counts-cache", str(cache),
+        "--n-iterations", "2", "--doublet-prior", "0.25", "--jobs", "2",
+    ])
+    assert rc == 0
+    probs = pd.read_csv(out / "posteriors.csv", index_col=0)
+    n_donors = len(genotypes.genotype_names)
+    assert probs.shape[1] == n_donors + n_donors * (n_donors - 1) // 2
+    sums = probs.sum(axis=1).to_numpy()
+    np.testing.assert_allclose(sums[np.isfinite(sums)], 1.0, atol=1e-4)
+
+    assignments = pd.read_csv(out / "assignments.csv", index_col=0)
+    assert set(assignments.columns) == {"assignment", "posterior"}
+    # with the true betas as prior, most barcodes should be confidently called
+    assert (assignments["posterior"] > 0.9).mean() > 0.5
+
+    learnt = pd.read_parquet(out / "learnt_betas.parquet")
+    assert list(learnt.columns) == genotypes.genotype_names
+    assert list(cache.glob("*.calls.npz")), "counts cache must be written"
+
+    # second run must reuse the cache and support posterior-only inference
+    out2 = tmp_path / "out2"
+    rc = main([
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--no-refine",
+        "--output-dir", str(out2), "--counts-cache", str(cache),
+    ])
+    assert rc == 0
+    assert (out2 / "logits.csv").exists()
+    probs2 = pd.read_csv(out2 / "posteriors.csv", index_col=0)
+    assert probs2.shape == probs.shape
+
+
+def test_cli_count_writes_reusable_counts(cli_problem, tmp_path):
+    from demuxalot_tpu.frontend.snp_counter import load_snp_counts
+
+    bam, barcodes, betas, _genotypes = cli_problem
+    counts_dir = tmp_path / "counts"
+    rc = main([
+        "count", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--counts-dir", str(counts_dir), "--jobs", "2",
+    ])
+    assert rc == 0
+    counts = load_snp_counts(counts_dir)
+    assert set(counts) == {"chr1", "chr2"}
+    assert all(c.n_molecules > 0 for c in counts.values())
+
+
+def test_cli_requires_some_genotype_source(cli_problem):
+    bam, barcodes, _betas, _genotypes = cli_problem
+    with pytest.raises(SystemExit):
+        main(["demux", "--bam", bam, "--barcodes", barcodes,
+              "--output-dir", "/tmp/never"])
+
+
+def test_cli_donor_subset(cli_problem, tmp_path):
+    bam, barcodes, betas, genotypes = cli_problem
+    subset = genotypes.genotype_names[:2]
+    out = tmp_path / "subset_out"
+    rc = main([
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--donors", ",".join(subset),
+        "--no-refine", "--output-dir", str(out),
+        "--counts-cache", str(tmp_path / "subset_cache"),
+    ])
+    assert rc == 0
+    probs = pd.read_csv(out / "posteriors.csv", index_col=0)
+    assert probs.shape[1] == 2 + 1  # two donors + one doublet pair
