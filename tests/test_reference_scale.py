@@ -51,10 +51,11 @@ def test_reference_scale_quality(tmp_path_factory):
 
     results = {}
     degraded_by_noise = {}
-    for noise_fraction in (0.0, 0.95, 1.0):
+
+    def eval_noise(noise_fraction, erase_rng):
         degraded = genotypes.clone()
         snp_ids = degraded.get_snp_ids_for_variants()
-        erased = np.random.random(snp_ids.max() + 1) < noise_fraction
+        erased = erase_rng.random(snp_ids.max() + 1) < noise_fraction
         degraded.variant_betas[erased[snp_ids], :] = 0
         degraded_by_noise[noise_fraction] = degraded
 
@@ -78,6 +79,12 @@ def test_reference_scale_quality(tmp_path_factory):
         }
         print(f"noise={noise_fraction}: prior-only {loss_prior_only:.4f}, "
               f"after EM {loss_after_em:.4f}, damped {loss_damped:.4f}")
+
+    # the original three points consume the module-seeded global stream in
+    # this exact order — keeping their masks (and the 0.95 parity trajectory
+    # below) byte-stable across rounds
+    for noise_fraction in (0.0, 0.95, 1.0):
+        eval_noise(noise_fraction, np.random)
 
     # --- semi-supervised: empty genotypes + a fraction of labeled barcodes
     # (reference analogue: tests/test_synthetic.py:163-239 start-from-
@@ -136,13 +143,27 @@ def test_reference_scale_quality(tmp_path_factory):
         print("parity ours:     ", ours)
         print("parity reference:", theirs)
 
+    # densify the sweep between the clean and divergent regimes; independent
+    # per-point generators so adding/removing points never perturbs the
+    # byte-stable masks of the original three
+    for noise_fraction in (0.5, 0.8, 0.9):
+        eval_noise(noise_fraction, np.random.RandomState(1000 + int(noise_fraction * 100)))
+
     ARTIFACT.write_text(json.dumps({
         "config": {"n_genotypes": 20, "n_barcodes": 1000, "n_reads_per_barcode": 100,
                    "doublets_fraction": 0.2, "mutation_prob": 0.01, "seed": 42},
-        "losses_by_noise_fraction": results,
+        "losses_by_noise_fraction": {
+            k: results[k] for k in sorted(results, key=float)
+        },
         "semi_supervised_loss_by_labeled_fraction": semi_supervised,
         "reference_em_parity": parity,
     }, indent=1) + "\n")
+
+    # in the mid-noise regime EM must actually help, and anchoring must not
+    # hurt where the stock update already converges
+    for mid in ("0.5", "0.8"):
+        assert results[mid]["loss_after_em"] <= results[mid]["loss_prior_only"] + 1e-6
+        assert results[mid]["loss_after_damped_em"] <= results[mid]["loss_prior_only"] + 1e-6
 
     # reference's acceptance bar (test_synthetic.py:196-198) + stronger checks
     assert results["1.0"]["loss_prior_only"] > results["0.0"]["loss_prior_only"]
