@@ -58,10 +58,33 @@ def _load_genotypes(args) -> "ProbabilisticGenotypes":
     return store
 
 
+def _parse_bam(values: list):
+    """One plain path, or a {rg: path} dict from repeated RG=PATH values."""
+    if len(values) == 1 and "=" not in values[0]:
+        return values[0]
+    mapping = {}
+    for value in values:
+        rg, sep, path = value.partition("=")
+        if not sep or not rg or not path:
+            raise SystemExit(
+                f"--bam {value!r}: multiple BAMs must all use RG=PATH form "
+                "(identities become (barcode, RG) pairs; see docs/API.md)"
+            )
+        mapping[rg] = path
+    return mapping
+
+
 def _load_barcodes(args) -> "BarcodeHandler":
+    import pandas as pd
+
     from .utils.barcodes import BarcodeHandler
 
-    return BarcodeHandler.from_file(args.barcodes, tag=args.barcode_tag)
+    frame = pd.read_csv(args.barcodes, header=None)
+    barcodes = frame.iloc[:, 0].astype(str).tolist()
+    # a second column carries RG tags (merged-BAM experiments: identities
+    # are (barcode, RG) pairs, matching count_snps' {rg: path} input)
+    rg_tags = frame.iloc[:, 1].astype(str).tolist() if frame.shape[1] > 1 else None
+    return BarcodeHandler(barcodes, RG_tags=rg_tags, tag=args.barcode_tag)
 
 
 def _collect_counts(args, store, whitelist):
@@ -73,7 +96,7 @@ def _collect_counts(args, store, whitelist):
         print(f"# loading cached counts from {cache}", file=sys.stderr)
         return load_snp_counts(cache)
     counts = count_snps(
-        bamfile_location=args.bam,
+        bamfile_location=_parse_bam(args.bam),
         chromosome2positions=store.get_chromosome2positions(),
         barcode_handler=whitelist,
         joblib_n_jobs=args.jobs,
@@ -85,10 +108,13 @@ def _collect_counts(args, store, whitelist):
 
 
 def _genotype_args(sub, require_bam: bool = True):
-    sub.add_argument("--bam", required=require_bam,
-                     help="coordinate-sorted, indexed BAM file")
+    sub.add_argument("--bam", required=require_bam, action="append",
+                     help="coordinate-sorted, indexed BAM file; repeat as "
+                          "--bam RG1=a.bam --bam RG2=b.bam for merged "
+                          "experiments keyed by read group")
     sub.add_argument("--barcodes", required=True,
-                     help="barcode whitelist csv(.gz), one barcode per line")
+                     help="barcode whitelist csv(.gz), one barcode per line "
+                          "(optional second column: RG tag per barcode)")
     sub.add_argument("--vcf", help="donor genotypes VCF (sample columns = donors)")
     sub.add_argument("--prior-betas",
                      help="betas parquet checkpoint (from a previous run / "
@@ -163,8 +189,11 @@ def _cmd_detect_snps(args) -> int:
 
     store = _load_genotypes(args)
     whitelist = _load_barcodes(args)
+    bam = _parse_bam(args.bam)
+    if not isinstance(bam, str):
+        raise SystemExit("detect-snps takes a single --bam (no RG=PATH form)")
     rows = detect_snps_positions(
-        args.bam, store, whitelist,
+        bam, store, whitelist,
         minimum_coverage=args.min_coverage,
         minimum_alternative_fraction=args.min_alternative_fraction,
         minimum_alternative_coverage=args.min_alternative_coverage,

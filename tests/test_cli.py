@@ -85,6 +85,87 @@ def test_cli_requires_some_genotype_source(cli_problem):
               "--output-dir", "/tmp/never"])
 
 
+def test_cli_multibam_rg_count(tmp_path):
+    """RG=PATH --bam form + two-column barcode csv keep (barcode, RG) identity."""
+    from demuxalot_tpu.bamio import AlignedRead, BamWriter, index_bam, sort_bam
+    from demuxalot_tpu.frontend.snp_counter import load_snp_counts
+    from demuxalot_tpu.models.genotypes import ProbabilisticGenotypes
+
+    def read(start, seq, i):
+        a = AlignedRead()
+        a.query_name = f"r{i}"
+        a.flag = 0
+        a.reference_id = 0
+        a.reference_start = start
+        a.mapping_quality = 60
+        a.query_sequence = seq
+        a.cigar = ((0, len(seq)),)
+        a.query_qualities = [30] * len(seq)
+        a.tags = (("NH", 1), ("AS", len(seq) - 2), ("CB", "SHARED-1"),
+                  ("UB", f"UMI{i:05}A43"))
+        return a
+
+    def write_bam(path, base):
+        header = {"SQ": [{"SN": "chr1", "LN": 1000}]}
+        with BamWriter(path, header) as writer:
+            for i in range(30):
+                writer.write(read(i, base * 50, i))
+        sort_bam(path, path)
+        index_bam(path)
+
+    bam_a, bam_b = str(tmp_path / "a.bam"), str(tmp_path / "b.bam")
+    write_bam(bam_a, "A")
+    write_bam(bam_b, "C")
+
+    # same barcode string in both files; the second csv column disambiguates
+    barcodes = tmp_path / "barcodes.csv"
+    barcodes.write_text("SHARED-1,fileA\nSHARED-1,fileB\n")
+
+    store = ProbabilisticGenotypes(genotype_names=["D1", "D2"])
+    for pos, base, betas in ((10, "A", (10.0, 0.5)), (10, "C", (0.5, 10.0)),
+                             (20, "A", (10.0, 0.5)), (20, "C", (0.5, 10.0))):
+        row = store.get_variant_id("chr1", pos, base)
+        store.variant_betas[row] = betas
+    betas_path = tmp_path / "betas.parquet"
+    store.save_betas(str(betas_path))
+
+    counts_dir = tmp_path / "counts"
+    rc = main([
+        "count", "--bam", f"fileA={bam_a}", "--bam", f"fileB={bam_b}",
+        "--barcodes", str(barcodes), "--prior-betas", str(betas_path),
+        "--counts-dir", str(counts_dir), "--jobs", "2",
+    ])
+    assert rc == 0
+    counts = load_snp_counts(counts_dir)
+    chr1 = counts["chr1"]
+    cbs = set(chr1.molecules["compressed_cb"][chr1.snp_calls["molecule_index"]])
+    assert cbs == {0, 1}, "both (barcode, RG) identities must appear"
+
+
+def test_cli_rejects_malformed_multibam(cli_problem):
+    bam, barcodes, betas, _genotypes = cli_problem
+    with pytest.raises(SystemExit, match="RG=PATH"):
+        main(["count", "--bam", bam, "--bam", "second.bam",
+              "--barcodes", barcodes, "--prior-betas", betas,
+              "--counts-dir", "/tmp/never"])
+
+
+def test_cli_detect_snps_smoke(cli_problem, tmp_path):
+    """detect-snps plumbing: runs, writes the positions parquet schema."""
+    import pandas as pd
+
+    bam, barcodes, betas, _genotypes = cli_problem
+    out = tmp_path / "discovered.parquet"
+    rc = main([
+        "detect-snps", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--min-coverage", "30",
+        "--min-alternative-coverage", "5", "--out", str(out), "--jobs", "2",
+    ])
+    assert rc == 0
+    frame = pd.read_parquet(out)
+    assert list(frame.index.names) == ["CHROM", "POS", "BASE"]
+
+
 def test_cli_donor_subset(cli_problem, tmp_path):
     bam, barcodes, betas, genotypes = cli_problem
     subset = genotypes.genotype_names[:2]
