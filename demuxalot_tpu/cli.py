@@ -133,6 +133,16 @@ def _genotype_args(sub, require_bam: bool = True):
 def _cmd_demux(args) -> int:
     from .models.demux import Demultiplexer
 
+    if args.sharded:
+        # barcode-sharded over every visible device (1-D mesh, one psum per
+        # EM iteration); same API surface, so the dispatch is just this
+        from .parallel import ShardedDemultiplexer
+
+        engine = ShardedDemultiplexer()
+        print(f"# sharding over {engine.n_shards} devices", file=sys.stderr)
+    else:
+        engine = Demultiplexer
+
     store = _load_genotypes(args)
     whitelist = _load_barcodes(args)
     counts = _collect_counts(args, store, whitelist)
@@ -140,13 +150,13 @@ def _cmd_demux(args) -> int:
     out.mkdir(parents=True, exist_ok=True)
 
     if args.no_refine:
-        logits, probs = Demultiplexer.predict_posteriors(
+        logits, probs = engine.predict_posteriors(
             counts, genotypes=store, barcode_handler=whitelist,
             p_genotype_clip=args.p_genotype_clip,
             doublet_prior=args.doublet_prior,
         )
     else:
-        learnt, probs = Demultiplexer.learn_genotypes(
+        learnt, probs = engine.learn_genotypes(
             counts, genotypes=store, barcode_handler=whitelist,
             n_iterations=args.n_iterations,
             p_genotype_clip=args.p_genotype_clip,
@@ -230,6 +240,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="'anchor' restricts EM updates to prior-informed "
                             "variants (keeps refinement monotone on sparse "
                             "priors; see docs/API.md)")
+    demux.add_argument("--sharded", action="store_true",
+                       help="shard barcodes over every visible device "
+                            "(multi-chip meshes; identical results)")
     demux.set_defaults(func=_cmd_demux)
 
     count = sub.add_parser(

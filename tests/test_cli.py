@@ -85,6 +85,23 @@ def test_cli_requires_some_genotype_source(cli_problem):
               "--output-dir", "/tmp/never"])
 
 
+def test_cli_sharded_matches_single_device(cli_problem, tmp_path):
+    """--sharded (virtual 8-device mesh here) reproduces the plain posteriors."""
+    bam, barcodes, betas, _genotypes = cli_problem
+    cache = tmp_path / "cache"
+    outs = {}
+    for label, extra in (("plain", []), ("sharded", ["--sharded"])):
+        out = tmp_path / label
+        rc = main([
+            "demux", "--bam", bam, "--barcodes", barcodes,
+            "--prior-betas", betas, "--no-refine",
+            "--output-dir", str(out), "--counts-cache", str(cache), *extra,
+        ])
+        assert rc == 0
+        outs[label] = pd.read_csv(out / "posteriors.csv", index_col=0)
+    pd.testing.assert_frame_equal(outs["plain"], outs["sharded"], atol=1e-5)
+
+
 def test_cli_multibam_rg_count(tmp_path):
     """RG=PATH --bam form + two-column barcode csv keep (barcode, RG) identity."""
     from demuxalot_tpu.bamio import AlignedRead, BamWriter, index_bam, sort_bam
