@@ -24,6 +24,7 @@ import jax.numpy as jnp
 _SMALL = None
 
 
+@jax.jit  # ONE compiled dispatch — eager would pay the round-trip twice
 def _trivial(x):
     return jnp.sum(x) * 1.0000001
 

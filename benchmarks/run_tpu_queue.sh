@@ -44,7 +44,9 @@ run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 pytho
 # A failing canary means Mosaic can't lower jnp.take — running the full A/Bs
 # anyway would burn the relay window on failing remote compiles (and can wedge
 # the shared Mosaic compiler, CLAUDE.md), so gate on the canary's verdict.
-if grep -q "works: True" "$OUT/kernel_gather.txt" 2>/dev/null; then
+if grep -q "take-kernel (mosaic) works: True" "$OUT/kernel_gather.txt" 2>/dev/null; then
+  # (mosaic) specifically: the interpret-mode line printed on a CPU
+  # fallback also says "works: True" but proves nothing about lowering
   run ig_estep 1200 python benchmarks/exp_inkernel_gather_estep.py
   run ig_mstep 1200 python benchmarks/exp_inkernel_gather_mstep.py
 else

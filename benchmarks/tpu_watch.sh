@@ -12,11 +12,33 @@ DEADLINE=$(( $(date +%s) + MAX_H * 3600 ))
 echo "watch started $(date -u +%FT%TZ) pid=$$" > "$OUT/watch.log"
 
 probe() {
-  # Reuse the package's relay probe so the accepted port set (RELAY_PORTS)
-  # stays in one place — the relay has come back on 8092/8102 before.
-  python -c "
-from demuxalot_tpu.utils.platform import _probe_relay
-import sys; sys.exit(0 if _probe_relay() else 1)"
+  # Load ONLY utils/platform.py by file path (no package __init__, no jax):
+  # a detached daemon must not mistake an import failure for "relay down".
+  # Falls back to a pure-stdlib probe of the known ports if even that fails.
+  python - <<'EOF'
+import socket, sys
+
+ports = (8082, 8092, 8102, 8112)  # fallback = RELAY_PORTS at time of writing
+try:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_platform", "demuxalot_tpu/utils/platform.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ports = mod.RELAY_PORTS
+except Exception:
+    pass
+for port in ports:
+    s = socket.socket(); s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", port)); sys.exit(0)
+    except OSError:
+        pass
+    finally:
+        s.close()
+sys.exit(1)
+EOF
 }
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do

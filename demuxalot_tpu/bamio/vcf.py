@@ -77,6 +77,17 @@ class VariantFile:
             else:
                 raise ValueError(f"{path}: malformed VCF header (no #CHROM line)")
 
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self) -> "VariantFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def fetch(self) -> Iterator[VariantRecord]:
         for line in self._fh:
             line = line.rstrip("\n")

@@ -26,12 +26,19 @@ def _discover_donors(vcf: str | None, prior_betas: str | None) -> list:
     if vcf:
         from .bamio.vcf import VariantFile
 
-        names.extend(VariantFile(vcf).sample_names)
+        with VariantFile(vcf) as header:
+            names.extend(header.sample_names)
     if prior_betas:
-        import pandas as pd
+        import pyarrow.parquet as pq
 
-        frame = pd.read_parquet(prior_betas)
-        names.extend(c for c in frame.columns if c not in names)
+        # schema-only read: the checkpoint is the full variants x donors
+        # matrix and add_prior_betas will read the data itself
+        index_levels = {"CHROM", "POS", "BASE"}
+        names.extend(
+            c for c in pq.read_schema(prior_betas).names
+            if c not in index_levels and c not in names
+            and not c.startswith("__index_level_")
+        )
     if not names:
         raise SystemExit(
             "no donors found: the VCF has no sample columns and no "
@@ -60,8 +67,16 @@ def _load_genotypes(args) -> "ProbabilisticGenotypes":
 
 def _parse_bam(values: list):
     """One plain path, or a {rg: path} dict from repeated RG=PATH values."""
-    if len(values) == 1 and "=" not in values[0]:
-        return values[0]
+    if len(values) == 1:
+        value = values[0]
+        # a lone value is a plain path unless it unambiguously reads as
+        # RG=existing-file (paths may legitimately contain '=')
+        if "=" not in value or Path(value).exists():
+            return value
+        rg, _, path = value.partition("=")
+        if rg and path and Path(path).exists():
+            return {rg: path}
+        return value
     mapping = {}
     for value in values:
         rg, sep, path = value.partition("=")
@@ -83,20 +98,73 @@ def _load_barcodes(args) -> "BarcodeHandler":
     barcodes = frame.iloc[:, 0].astype(str).tolist()
     # a second column carries RG tags (merged-BAM experiments: identities
     # are (barcode, RG) pairs, matching count_snps' {rg: path} input)
-    rg_tags = frame.iloc[:, 1].astype(str).tolist() if frame.shape[1] > 1 else None
+    rg_tags = None
+    if frame.shape[1] > 1:
+        column = frame.iloc[:, 1]
+        if column.isna().any():
+            raise SystemExit(
+                f"{args.barcodes}: the RG column has "
+                f"{int(column.isna().sum())} empty entries (a '(barcode, "
+                "nan)' identity would never match any read) — fill every "
+                "row or strip the trailing commas"
+            )
+        rg_tags = column.astype(str).tolist()
     return BarcodeHandler(barcodes, RG_tags=rg_tags, tag=args.barcode_tag)
 
 
+def _cache_fingerprint(bam, store, whitelist) -> str:
+    """Hash of everything the cached integer call columns are bound to.
+
+    ``CompressedSNPCalls`` stores only compressed barcode slots and SNP
+    positions — reusing them with a different whitelist (slot numbering
+    shifts), BAM, or position set would silently scramble assignments.
+    """
+    import hashlib
+    import json
+
+    import numpy as np
+
+    digest = hashlib.sha256()
+    spec = bam if isinstance(bam, str) else sorted(bam.items())
+    digest.update(json.dumps(spec).encode())
+    digest.update(repr(whitelist.ordered_barcodes).encode())
+    for chromosome, positions in sorted(store.get_chromosome2positions().items()):
+        digest.update(chromosome.encode())
+        digest.update(np.ascontiguousarray(np.sort(positions)).tobytes())
+    return digest.hexdigest()
+
+
 def _collect_counts(args, store, whitelist):
-    """count_snps with an optional on-disk cache of the expensive scan."""
+    """count_snps with an optional on-disk cache of the expensive scan.
+
+    The cache carries a manifest fingerprinting the BAM spec, the barcode
+    identity list, and the queried positions; it is written AFTER the call
+    files, so a partial save never passes for a complete cache.
+    """
+    import json
+
     from .frontend.snp_counter import count_snps, load_snp_counts, save_snp_counts
 
+    bam = _parse_bam(args.bam)
     cache = Path(args.counts_cache) if getattr(args, "counts_cache", None) else None
-    if cache and any(cache.glob("*.calls.npz")):
+    fingerprint = _cache_fingerprint(bam, store, whitelist) if cache else None
+    manifest = cache / "manifest.json" if cache else None
+    if cache and manifest.exists():
+        recorded = json.loads(manifest.read_text()).get("fingerprint")
+        if recorded != fingerprint:
+            raise SystemExit(
+                f"{cache}: cached counts were scanned with different inputs "
+                "(BAM, barcode whitelist, or SNP positions differ) — reusing "
+                "them would misattribute molecules. Point --counts-cache at "
+                "a fresh directory or delete this one."
+            )
         print(f"# loading cached counts from {cache}", file=sys.stderr)
         return load_snp_counts(cache)
+    if cache and any(cache.glob("*.calls.npz")):
+        print(f"# {cache}: no manifest (partial or pre-manifest cache); "
+              "re-scanning", file=sys.stderr)
     counts = count_snps(
-        bamfile_location=_parse_bam(args.bam),
+        bamfile_location=bam,
         chromosome2positions=store.get_chromosome2positions(),
         barcode_handler=whitelist,
         joblib_n_jobs=args.jobs,
@@ -104,6 +172,7 @@ def _collect_counts(args, store, whitelist):
     )
     if cache:
         save_snp_counts(counts, cache)
+        manifest.write_text(json.dumps({"fingerprint": fingerprint}) + "\n")
     return counts
 
 

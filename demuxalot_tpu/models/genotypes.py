@@ -255,37 +255,38 @@ class ProbabilisticGenotypes:
         pending_rows: List[np.ndarray] = []
         pending_weights: List[np.ndarray] = []
 
-        for record in VariantFile(vcf_file_name).fetch():
-            n_records += 1
-            if any(len(allele) != 1 for allele in record.alleles):
-                print(f"ignoring non-SNV record at {record.chrom}:{record.pos} {record.alleles}")
-                continue
-            if not donor_slots:
-                donor_slots = self._resolve_import_donors(list(record.samples))
-            if len(set(record.alleles)) != len(record.alleles) or not all(
-                allele in "ACGT" for allele in record.alleles
-            ):
-                n_rejected += 1
-                continue
+        with VariantFile(vcf_file_name) as vcf:
+            for record in vcf.fetch():
+                n_records += 1
+                if any(len(allele) != 1 for allele in record.alleles):
+                    print(f"ignoring non-SNV record at {record.chrom}:{record.pos} {record.alleles}")
+                    continue
+                if not donor_slots:
+                    donor_slots = self._resolve_import_donors(list(record.samples))
+                if len(set(record.alleles)) != len(record.alleles) or not all(
+                    allele in "ACGT" for allele in record.alleles
+                ):
+                    n_rejected += 1
+                    continue
 
-            # VCF is 1-based; the registry is 0-based
-            rows = np.array(
-                [self.get_variant_id(record.chrom, record.pos - 1, a) for a in record.alleles]
-            )
-            weights = np.zeros((len(rows), self.n_genotypes), dtype=np.float32)
-            for donor, slot in donor_slots.items():
-                diploid = record.samples[donor]["GT"]
-                for allele_index in diploid:
-                    if allele_index is not None:
-                        weights[allele_index, slot] += prior_strength / len(diploid)
+                # VCF is 1-based; the registry is 0-based
+                rows = np.array(
+                    [self.get_variant_id(record.chrom, record.pos - 1, a) for a in record.alleles]
+                )
+                weights = np.zeros((len(rows), self.n_genotypes), dtype=np.float32)
+                for donor, slot in donor_slots.items():
+                    diploid = record.samples[donor]["GT"]
+                    for allele_index in diploid:
+                        if allele_index is not None:
+                            weights[allele_index, slot] += prior_strength / len(diploid)
 
-            covered = weights.sum(axis=0) > 0
-            if covered.sum() < 2:
-                n_rejected += 1  # a single-donor SNP cannot discriminate
-                continue
-            weights[:, ~covered] = 0.1 * weights[:, covered].mean(axis=1, keepdims=True)
-            pending_rows.append(rows)
-            pending_weights.append(weights)
+                covered = weights.sum(axis=0) > 0
+                if covered.sum() < 2:
+                    n_rejected += 1  # a single-donor SNP cannot discriminate
+                    continue
+                weights[:, ~covered] = 0.1 * weights[:, covered].mean(axis=1, keepdims=True)
+                pending_rows.append(rows)
+                pending_weights.append(weights)
 
         if pending_rows:
             self._scatter_add(np.concatenate(pending_rows), np.concatenate(pending_weights))

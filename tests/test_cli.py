@@ -78,6 +78,59 @@ def test_cli_count_writes_reusable_counts(cli_problem, tmp_path):
     assert all(c.n_molecules > 0 for c in counts.values())
 
 
+def test_cli_counts_cache_rejects_changed_inputs(cli_problem, tmp_path):
+    """A cache scanned under one whitelist must not be reused under another."""
+    bam, barcodes, betas, _genotypes = cli_problem
+    cache = tmp_path / "cache"
+    base = ["--bam", bam, "--prior-betas", betas, "--no-refine",
+            "--counts-cache", str(cache)]
+    rc = main(["demux", "--barcodes", barcodes,
+               "--output-dir", str(tmp_path / "out1"), *base])
+    assert rc == 0
+    assert (cache / "manifest.json").exists()
+
+    # drop one barcode: every compressed_cb slot after it would shift
+    shorter = tmp_path / "shorter.csv"
+    shorter.write_text("".join(open(barcodes).readlines()[:-1]))
+    with pytest.raises(SystemExit, match="different inputs"):
+        main(["demux", "--barcodes", str(shorter),
+              "--output-dir", str(tmp_path / "out2"), *base])
+
+    # a manifest-less (partial/pre-manifest) cache triggers a re-scan, not reuse
+    (cache / "manifest.json").unlink()
+    rc = main(["demux", "--barcodes", barcodes,
+               "--output-dir", str(tmp_path / "out3"), *base])
+    assert rc == 0
+    assert (cache / "manifest.json").exists()
+
+
+def test_cli_rejects_partial_rg_column(cli_problem, tmp_path):
+    bam, _barcodes, betas, _genotypes = cli_problem
+    ragged = tmp_path / "ragged.csv"
+    ragged.write_text("BC0-1,fileA\nBC1-1,\n")  # trailing comma -> NaN RG
+    with pytest.raises(SystemExit, match="empty entries"):
+        main(["count", "--bam", bam, "--barcodes", str(ragged),
+              "--prior-betas", betas, "--counts-dir", str(tmp_path / "c")])
+
+
+def test_parse_bam_forms(tmp_path):
+    from demuxalot_tpu.cli import _parse_bam
+
+    plain = tmp_path / "sample.bam"
+    plain.touch()
+    weird = tmp_path / "run=2.bam"  # '=' inside a real path
+    weird.touch()
+
+    assert _parse_bam([str(plain)]) == str(plain)
+    assert _parse_bam([str(weird)]) == str(weird)
+    assert _parse_bam([f"L1={plain}"]) == {"L1": str(plain)}
+    # unresolvable lone value stays a plain path (missing-file error later
+    # names the actual path instead of a half-split mapping)
+    assert _parse_bam(["L1=missing.bam"]) == "L1=missing.bam"
+    assert _parse_bam([f"A={plain}", f"B={weird}"]) == {
+        "A": str(plain), "B": str(weird)}
+
+
 def test_cli_requires_some_genotype_source(cli_problem):
     bam, barcodes, _betas, _genotypes = cli_problem
     with pytest.raises(SystemExit):
