@@ -40,6 +40,8 @@ run kernel_gather 900 python benchmarks/exp_kernel_gather.py
 run fused_softmax 900 python benchmarks/exp_fused_softmax.py
 # 4b. stacked scatter dot A/B (one K=2*GPC dot vs two K=GPC passes)
 run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 python bench.py
+# 4b'. log product-fold A/B (width 1 = pre-fold log-then-add; default is 8)
+run bench_log_unfolded 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_LOG_FOLD_WIDTH=1 python bench.py
 # 4c. if the canary lowered: full in-kernel-gather E/M-step A/Bs at bench shape.
 # A failing canary means Mosaic can't lower jnp.take — running the full A/Bs
 # anyway would burn the relay window on failing remote compiles (and can wedge

@@ -70,6 +70,14 @@ if KERNEL_PRECISION not in _SPLIT_WORDS:
         f"{sorted(_SPLIT_WORDS)}"
     )
 
+# how many group columns multiply together before each in-kernel log
+# (Σ log = log Π): 8 cuts the VPU transcendentals 8x while any sub-product
+# of args >= 1e-4 stays a normal f32 (1e-32 > f32 min normal); 1 restores
+# log-then-add for A/Bs. Read at trace time, like DEMUX_STACK_SCATTER.
+_LOG_FOLD_WIDTH = int(os.environ.get("DEMUX_LOG_FOLD_WIDTH", "8"))
+if not 1 <= _LOG_FOLD_WIDTH <= 8:
+    raise ValueError("DEMUX_LOG_FOLD_WIDTH must be within 1..8")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -222,14 +230,21 @@ def _likelihood_kernel(
             args = dot_words_stacked(mix_ref[:], u_buf[slot], n_words)  # [PG_sl, TC]
         else:
             args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)
-        vals = jnp.log(jnp.maximum(args, 1e-30))
 
-        # per-group sums: group a's G calls sit at lane a of G GPC-lane
-        # blocks (ops/tiling.py layout), so G-1 aligned adds fold the
-        # scatter's contraction from TC down to GPC columns
-        gs = vals[:, 0:gpc]
-        for j in range(1, group):
-            gs = gs + vals[:, j * gpc : (j + 1) * gpc]  # [PG_sl, GPC]
+        # per-group folds: group a's G calls sit at lane a of G GPC-lane
+        # blocks (ops/tiling.py layout). Σ log(arg) = log(Π arg), so fold
+        # the group's columns by MULTIPLYING before the log — up to 8 at a
+        # time, cutting the VPU transcendentals by the sub-product size.
+        # Exactness: padding args are exactly 1 (×1 is the identity), real
+        # args >= 1e-4 so an 8-column sub-product >= 1e-32 stays a normal
+        # f32; the 1e-30 floor still only catches all-zero padding rows.
+        gs = None
+        for j0 in range(0, group, _LOG_FOLD_WIDTH):
+            ps = args[:, j0 * gpc : (j0 + 1) * gpc]
+            for j in range(j0 + 1, min(j0 + _LOG_FOLD_WIDTH, group)):
+                ps = ps * args[:, j * gpc : (j + 1) * gpc]
+            part = jnp.log(jnp.maximum(ps, 1e-30))  # [PG_sl, GPC]
+            gs = part if gs is None else gs + part
 
         sg = sg_buf[slot][0, :]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)

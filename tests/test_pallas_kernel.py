@@ -363,6 +363,42 @@ def test_kernel_budget_guards():
     check_kernel_budgets("gray", 1_000_000, GRID_CAP + 1)
 
 
+def test_log_product_fold_matches_log_then_add(monkeypatch):
+    """Width-8 product-before-log == the unfolded log-then-add kernel.
+
+    Σ log(arg) = log(Π arg) exactly; in f32 the two orderings may differ by
+    rounding only. Padding args are exactly 1, so the fold must keep padding
+    an exact no-op (covered by the groupwise comparison on a workload with
+    ragged per-barcode call counts).
+    """
+    from demuxalot_tpu.ops import pallas_likelihood as PL
+
+    gprob, mixing, penalties, vid, cb, q, n_barcodes, _ = _problem(
+        n_calls=3000, n_barcodes=96
+    )
+    # tc=512 -> group=4: the fold actually multiplies columns
+    tiled = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=16, chunk_calls=512)
+    dev = PL.TiledDeviceCalls(mixing, penalties, tiled)
+    args = (jnp.asarray(gprob), dev.mixing_sl, dev.penalties_p, dev.vid,
+            dev.seg_group, dev.q, dev.chunk_bounds, dev.chunk_suboff)
+    common = dict(n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+                  tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=True)
+
+    monkeypatch.setattr(PL, "_LOG_FOLD_WIDTH", 8)
+    folded = np.asarray(PL.tiled_logits_impl(*args, **common))
+    monkeypatch.setattr(PL, "_LOG_FOLD_WIDTH", 1)
+    unfolded = np.asarray(PL.tiled_logits_impl(*args, **common))
+    # real columns: rounding-order difference only (same order as the
+    # split-word error). Padding columns (>= n_pg, sliced off by every
+    # consumer) legitimately differ: their args are exactly 0, and the fold
+    # hits the 1e-30 floor once per sub-product instead of once per log.
+    n_pg = mixing.shape[1]
+    np.testing.assert_allclose(
+        folded[:, :n_pg], unfolded[:, :n_pg], rtol=0, atol=1e-4
+    )
+    assert np.isfinite(folded).all()
+
+
 def test_softmax_out_budget_counts_second_block(monkeypatch):
     """softmax_out keeps TWO resident (tbs, pgp) out blocks; the VMEM guard
     must charge both, or an undersized-by-one-block layout passes the guard
