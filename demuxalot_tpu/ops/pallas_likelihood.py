@@ -372,11 +372,16 @@ def _likelihood_kernel_ig(
         # padded donor columns carry zero mixing, so their u values are inert
         u = rows * (1.0 - q)[:, None] + jnp.maximum(q, 1e-4)[:, None]
         args = dot_words(mix_ref[:], u, ((1,), (1,)), n_words, split="b")  # [PG_sl, TC]
-        vals = jnp.log(jnp.maximum(args, 1e-30))
 
-        gs = vals[:, 0:gpc]
-        for j in range(1, group):
-            gs = gs + vals[:, j * gpc : (j + 1) * gpc]
+        # same product-before-log fold as the mainline kernel (see
+        # _likelihood_kernel) so the A/B compares like against like
+        gs = None
+        for j0 in range(0, group, _LOG_FOLD_WIDTH):
+            ps = args[:, j0 * gpc : (j0 + 1) * gpc]
+            for j in range(j0 + 1, min(j0 + _LOG_FOLD_WIDTH, group)):
+                ps = ps * args[:, j * gpc : (j + 1) * gpc]
+            part = jnp.log(jnp.maximum(ps, 1e-30))
+            gs = part if gs is None else gs + part
 
         sg = sg_buf[slot][0, :]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
