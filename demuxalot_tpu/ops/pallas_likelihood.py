@@ -78,6 +78,26 @@ _LOG_FOLD_WIDTH = int(os.environ.get("DEMUX_LOG_FOLD_WIDTH", "8"))
 if not 1 <= _LOG_FOLD_WIDTH <= 8:
     raise ValueError("DEMUX_LOG_FOLD_WIDTH must be within 1..8")
 
+# columns per staged call-stream DMA block (SB = STAGE_COLS/TC chunks per
+# transfer, statically unrolled in-kernel). Measured NEGATIVE at the bench
+# shape and left off by default (sb = 1 reproduces the classic one-chunk
+# double buffer exactly): DMA microbenches say [32, 512] chunk slices
+# stream at 120 GB/s vs 234 GB/s for [32, 8192] blocks
+# (benchmarks/exp_dma_pattern.py — issue-rate, not stride, bound), but in
+# the real kernels the chunk DMAs already hide behind ~equal per-chunk
+# compute, so staging only adds unroll/predication overhead: M-step kernel
+# +4.27 ms (sb=1) vs +5.05 ms (sb=16) over its gather, 2x2 A/B. Kept as a
+# knob because the balance flips if per-chunk compute ever shrinks below
+# the DMA issue cost. Read at trace time.
+STAGE_COLS = int(os.environ.get("DEMUX_STAGE_COLS", "128"))
+if STAGE_COLS < 128:
+    raise ValueError("DEMUX_STAGE_COLS must be >= 128")
+
+
+def stage_chunks(tc: int) -> int:
+    """Chunks per staged DMA block for chunk width ``tc``."""
+    return max(1, STAGE_COLS // tc)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -183,6 +203,7 @@ def _likelihood_kernel(
         u_buf, sg_buf, u_sem, sg_sem = rest
     group = max(1, tc // 128)
     gpc = tc // group
+    sb = stage_chunks(tc)  # chunks per staged DMA block
     s = pl.program_id(0)
     band = pl.program_id(1)  # iterates fastest: out block stays resident
     at = band * (n_super + 1) + s
@@ -190,13 +211,18 @@ def _likelihood_kernel(
     hi = bounds_ref[at + 1]
     n = hi - lo
 
-    def dmas(slot, ci):
+    # staged DMA: fetch SB chunks per transfer (DMA issue rate, not stride,
+    # bounds the stream — see STAGE_COLS). Blocks may overrun this region's
+    # hi into the next region's columns (valid rows, unread) and the global
+    # tail rides the layout's stage-slack padding chunks.
+    def dmas(slot, blk):
+        base = lo + blk * sb
         return (
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds((lo + ci) * tc, tc)], u_buf.at[slot], u_sem.at[slot]
+                u_hbm.at[:, pl.ds(base * tc, sb * tc)], u_buf.at[slot], u_sem.at[slot]
             ),
             pltpu.make_async_copy(
-                sg_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], sg_buf.at[slot], sg_sem.at[slot]
+                sg_hbm.at[:, pl.ds(base * gpc, sb * gpc)], sg_buf.at[slot], sg_sem.at[slot]
             ),
         )
 
@@ -209,68 +235,84 @@ def _likelihood_kernel(
         for d in dmas(0, 0):
             d.start()
 
-    def body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        next_slot = jax.lax.rem(ci + 1, 2)
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
 
-        @pl.when(ci + 1 < n)
+        @pl.when((blk + 1) * sb < n)
         def _prefetch():
-            for d in dmas(next_slot, ci + 1):
+            for d in dmas(jax.lax.rem(blk + 1, 2), blk + 1):
                 d.start()
 
-        for d in dmas(slot, ci):
+        for d in dmas(slot, blk):
             d.wait()
 
-        # doublet expansion on the MXU with the log laid out
-        # pseudogenotypes-on-sublanes — no 128-lane padding on the log.
-        # Real rows satisfy args >= 1e-4 (U >= q~, mixing columns sum to 1);
-        # the floor only catches the all-zero sublane-padding rows, whose
-        # log(0) = -inf would otherwise turn into NaN in the split words.
-        if stack_k:
-            args = dot_words_stacked(mix_ref[:], u_buf[slot], n_words)  # [PG_sl, TC]
-        else:
-            args = dot_words(mix_ref[:], u_buf[slot], ((1,), (0,)), n_words)
+        # static unroll over the block's chunks: dynamic lane offsets into
+        # the staging buffer measured SLOWER than the staged DMA saves, so
+        # every chunk slice below is compile-time constant (only the slot
+        # index and the validity predicate are dynamic)
+        for k in range(sb):
+            ci = blk * sb + k
 
-        # per-group folds: group a's G calls sit at lane a of G GPC-lane
-        # blocks (ops/tiling.py layout). Σ log(arg) = log(Π arg), so fold
-        # the group's columns by MULTIPLYING before the log — up to 8 at a
-        # time, cutting the VPU transcendentals by the sub-product size.
-        # Exactness: padding args are exactly 1 (×1 is the identity), real
-        # args >= 1e-4 so an 8-column sub-product >= 1e-32 stays a normal
-        # f32; the 1e-30 floor still only catches all-zero padding rows.
-        gs = None
-        for j0 in range(0, group, _LOG_FOLD_WIDTH):
-            ps = args[:, j0 * gpc : (j0 + 1) * gpc]
-            for j in range(j0 + 1, min(j0 + _LOG_FOLD_WIDTH, group)):
-                ps = ps * args[:, j * gpc : (j + 1) * gpc]
-            part = jnp.log(jnp.maximum(ps, 1e-30))  # [PG_sl, GPC]
-            gs = part if gs is None else gs + part
+            @pl.when(ci < n)
+            def _chunk(k=k, ci=ci):
+                u_chunk = u_buf[slot, :, k * tc : (k + 1) * tc]  # [D, TC]
 
-        sg = sg_buf[slot][0, :]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
-        onehot = (row_ids == sg[None, :]).astype(jnp.float32)  # [TB, GPC]
-        if stack_scatter and n_words >= 2:
-            # one K = n_words·GPC dot instead of n_words summed K=GPC dots:
-            # the same MXU passes issued as a single instruction (the word
-            # split mirrors dot_words_stacked; exact up to f32 accumulation
-            # order). The one-hot tiles along its contraction axis.
-            gs_stacked = jnp.concatenate(
-                bf16_words(gs, n_words), axis=1
-            )  # [PG_sl, n_words*GPC]
-            onehot_tiled = jnp.concatenate([onehot] * n_words, axis=1)
-            contribution = jax.lax.dot_general(
-                onehot_tiled, gs_stacked, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )  # [TB, PG_sl]
-        else:
-            contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)  # [TB, PG_sl]
+                # doublet expansion on the MXU with the log laid out
+                # pseudogenotypes-on-sublanes — no 128-lane padding on the
+                # log. Real rows satisfy args >= 1e-4 (U >= q~, mixing
+                # columns sum to 1); the floor only catches the all-zero
+                # sublane-padding rows, whose log(0) = -inf would otherwise
+                # turn into NaN in the split words.
+                if stack_k:
+                    args = dot_words_stacked(mix_ref[:], u_chunk, n_words)  # [PG_sl, TC]
+                else:
+                    args = dot_words(mix_ref[:], u_chunk, ((1,), (0,)), n_words)
 
-        off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
-        out_ref[pl.ds(off, tb), :pg_sl] += contribution
+                # per-group folds: group a's G calls sit at lane a of G
+                # GPC-lane blocks (ops/tiling.py layout). Σ log(arg) =
+                # log(Π arg), so fold the group's columns by MULTIPLYING
+                # before the log — up to 8 at a time, cutting the VPU
+                # transcendentals by the sub-product size. Exactness:
+                # padding args are exactly 1 (×1 is the identity), real
+                # args >= 1e-4 so an 8-column sub-product >= 1e-32 stays a
+                # normal f32; the 1e-30 floor still only catches all-zero
+                # padding rows.
+                gs = None
+                for j0 in range(0, group, _LOG_FOLD_WIDTH):
+                    ps = args[:, j0 * gpc : (j0 + 1) * gpc]
+                    for j in range(j0 + 1, min(j0 + _LOG_FOLD_WIDTH, group)):
+                        ps = ps * args[:, j * gpc : (j + 1) * gpc]
+                    part = jnp.log(jnp.maximum(ps, 1e-30))  # [PG_sl, GPC]
+                    gs = part if gs is None else gs + part
+
+                sg = sg_buf[slot, 0, k * gpc : (k + 1) * gpc]
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
+                onehot = (row_ids == sg[None, :]).astype(jnp.float32)  # [TB, GPC]
+                if stack_scatter and n_words >= 2:
+                    # one K = n_words·GPC dot instead of n_words summed
+                    # K=GPC dots: the same MXU passes issued as a single
+                    # instruction (the word split mirrors dot_words_stacked;
+                    # exact up to f32 accumulation order). The one-hot tiles
+                    # along its contraction axis.
+                    gs_stacked = jnp.concatenate(
+                        bf16_words(gs, n_words), axis=1
+                    )  # [PG_sl, n_words*GPC]
+                    onehot_tiled = jnp.concatenate([onehot] * n_words, axis=1)
+                    contribution = jax.lax.dot_general(
+                        onehot_tiled, gs_stacked,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )  # [TB, PG_sl]
+                else:
+                    contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)  # [TB, PG_sl]
+
+                off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
+                out_ref[pl.ds(off, tb), :pg_sl] += contribution
+
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, jax.lax.div(n + sb - 1, sb), body, 0)
 
     if softmax_out:
         # after the super-tile's LAST band the logits block is final:
@@ -484,17 +526,34 @@ def tiled_logits_impl(
             interpret=interpret, n_words=n_words, donor_major=donor_major,
         )
 
+    # stage slack: the staged DMA fetches SB chunks per transfer, so the
+    # last block of the last region may read up to SB-1 chunks past the
+    # final real chunk. Pad the INDEX stream before the gather — the gather
+    # then emits the slack columns in its own pass (padding u itself would
+    # copy the whole stream): padded q = 1 makes slack columns u = 1 (an
+    # exact log no-op), and slack seg_group is never scattered because
+    # those chunks are beyond every region's hi.
+    sb = stage_chunks(tc)
+    slack = (sb - 1) * tc
+    if slack:
+        vid = jnp.pad(jnp.asarray(vid), (0, slack))
+        q = jnp.pad(jnp.asarray(q), ((0, 0), (0, slack)), constant_values=1.0)
+        seg_group = jnp.pad(
+            jnp.asarray(seg_group), ((0, 0), (0, (sb - 1) * gpc))
+        )
+
     # XLA side: per-band column gathers fused with the fold; donor axis
     # padded to the 8-sublane granularity Mosaic DMAs need (zero mixing
     # columns null the extra rows)
     u_parts = []
-    for v_lo, v_hi, c_lo, c_hi in band_specs:
+    for i, (v_lo, v_hi, c_lo, c_hi) in enumerate(band_specs):
         if donor_major:
             table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=1)
         else:
             table_t = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=0).T
-        vid_k = jax.lax.slice_in_dim(vid, c_lo * tc, c_hi * tc, axis=0)
-        q_k = jax.lax.slice_in_dim(q, c_lo * tc, c_hi * tc, axis=1)
+        hi_cols = c_hi * tc + (slack if i == n_bands - 1 else 0)
+        vid_k = jax.lax.slice_in_dim(vid, c_lo * tc, hi_cols, axis=0)
+        q_k = jax.lax.slice_in_dim(q, c_lo * tc, hi_cols, axis=1)
         gathered = table_t[:, vid_k]  # [D, band_calls]
         u_parts.append(gathered * (1.0 - q_k) + jnp.maximum(q_k, 1e-4))
     u = u_parts[0] if n_bands == 1 else jnp.concatenate(u_parts, axis=1)
@@ -508,7 +567,8 @@ def tiled_logits_impl(
         # softmax_out keeps a SECOND resident (tbs, pgp) out block (probs)
         (2 if softmax_out else 1) * tbs * pgp * 4
         + mix_block.size * 4 + pgp * 4
-        + 2 * d_pad * tc * 4 + 2 * gpc * 4,  # double-buffered chunk scratch
+        # double-buffered SB-chunk staging blocks
+        + 2 * d_pad * sb * tc * 4 + 2 * sb * gpc * 4,
         n_super * n_bands,
     )
 
@@ -527,8 +587,8 @@ def tiled_logits_impl(
         ],
         out_specs=[out_block, out_block] if softmax_out else out_block,
         scratch_shapes=[
-            pltpu.VMEM((2, d_pad, tc), jnp.float32),
-            pltpu.VMEM((2, 1, gpc), jnp.int32),
+            pltpu.VMEM((2, d_pad, sb * tc), jnp.float32),
+            pltpu.VMEM((2, 1, sb * gpc), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -538,10 +598,11 @@ def tiled_logits_impl(
         _likelihood_kernel, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words,
         n_super=n_super, stack_k=stack_k,
         pg=n_pseudogenotypes, softmax_out=softmax_out,
-        # experiment knob (A/B in run_tpu_queue.sh): PROCESS-level — read at
-        # trace time, so flipping it after the first compile of a shape has
-        # no effect in that process
-        stack_scatter=os.environ.get("DEMUX_STACK_SCATTER") == "1",
+        # default ON since the round-3 TPU A/B (bench-shape E-step 17.4 ms
+        # stacked vs 18.0 ms summed; bit-compatible up to f32 accumulation
+        # order). PROCESS-level — read at trace time, so flipping it after
+        # the first compile of a shape has no effect in that process.
+        stack_scatter=os.environ.get("DEMUX_STACK_SCATTER", "1") != "0",
     )
     passes = max(n_words, 1)
     exp_passes = 1 if stack_k else passes

@@ -33,7 +33,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_likelihood import KERNEL_PRECISION, _SPLIT_WORDS, dot_words
+from .pallas_likelihood import (
+    KERNEL_PRECISION, _SPLIT_WORDS, dot_words, stage_chunks,
+)
 
 LANE = 128
 
@@ -57,9 +59,9 @@ def _mstep_kernel(
     vl_hbm,  # ANY [1, n_chunks*GPC] variant index within tile per group
     q_hbm,  # ANY [1, n_chunks*TC] q — or (1−q)^p pre-folded when fold_power
     out_ref,  # VMEM [D, SPS*TV] — this super-tile's block (resident across bands)
-    wt_buf,  # VMEM scratch [2, D, TC]
-    vl_buf,  # VMEM scratch [2, 1, GPC]
-    q_buf,  # VMEM scratch [2, 1, TC]
+    wt_buf,  # VMEM scratch [2, D, SB*TC] staged DMA blocks (SB = 1 by default)
+    vl_buf,  # VMEM scratch [2, 1, SB*GPC]
+    q_buf,  # VMEM scratch [2, 1, SB*TC]
     wt_sem,  # DMA sems [2]
     vl_sem,
     q_sem,
@@ -73,6 +75,7 @@ def _mstep_kernel(
 ):
     group = max(1, tc // 128)
     gpc = tc // group
+    sb = stage_chunks(tc)  # chunks per staged DMA block (pallas_likelihood)
     s = pl.program_id(0)
     band = pl.program_id(1)  # fastest axis: the super-tile's block stays resident
     at = band * (n_super + 1) + s
@@ -80,14 +83,22 @@ def _mstep_kernel(
     hi = bounds_ref[at + 1]
     n = hi - lo
 
-    def dmas(slot, ci):
-        base = (lo + ci) * tc
+    # staged DMA: SB chunks per transfer (the DMA engine is issue-rate
+    # bound, benchmarks/exp_dma_pattern.py); blocks may overrun into the
+    # next region's columns (valid, unread) and the launcher pads the
+    # global tail with SB-1 inert chunks.
+    def dmas(slot, blk):
+        base = lo + blk * sb
         return (
-            pltpu.make_async_copy(wt_hbm.at[:, pl.ds(base, tc)], wt_buf.at[slot], wt_sem.at[slot]),
             pltpu.make_async_copy(
-                vl_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], vl_buf.at[slot], vl_sem.at[slot]
+                wt_hbm.at[:, pl.ds(base * tc, sb * tc)], wt_buf.at[slot], wt_sem.at[slot]
             ),
-            pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
+            pltpu.make_async_copy(
+                vl_hbm.at[:, pl.ds(base * gpc, sb * gpc)], vl_buf.at[slot], vl_sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(base * tc, sb * tc)], q_buf.at[slot], q_sem.at[slot]
+            ),
         )
 
     @pl.when(band == 0)
@@ -99,50 +110,62 @@ def _mstep_kernel(
         for d in dmas(0, 0):
             d.start()
 
-    def body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        next_slot = jax.lax.rem(ci + 1, 2)
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
 
-        @pl.when(ci + 1 < n)
+        @pl.when((blk + 1) * sb < n)
         def _prefetch():
-            for d in dmas(next_slot, ci + 1):
+            for d in dmas(jax.lax.rem(blk + 1, 2), blk + 1):
                 d.start()
 
-        for d in dmas(slot, ci):
+        for d in dmas(slot, blk):
             d.wait()
 
-        q = q_buf[slot][0, :]
-        if fold_power:
-            # integer-power fast path: the table arrives pre-raised
-            # (posterior^p) and the q stream carries (1−q)^p with padding
-            # rows already exactly 0 — one VPU multiply, no power ladder,
-            # no padding select
-            w = wt_buf[slot] * q[None, :]  # [D, TC]
-        else:
-            w = wt_buf[slot] * (1.0 - q)[None, :]
-            # padding rows (q == 1) must stay exactly zero for any power;
-            # integer powers stay on the VPU multiply path (a float exponent
-            # would lower as exp/log transcendentals)
-            wp = w * w if power == 2.0 else (w if power == 1.0 else w**power)
-            w = jnp.where(q[None, :] >= 1.0, 0.0, wp)  # [D, TC]
+        # static unroll over the block's chunks: dynamic lane offsets into
+        # the staging buffer measured SLOWER than the staged DMA saves, so
+        # every chunk slice below is compile-time constant (only the slot
+        # index and the validity predicate are dynamic)
+        for k in range(sb):
+            ci = blk * sb + k
 
-        # per-group sums (each group is one variant's run of G calls,
-        # ops/tiling.py): the scatter contracts GPC columns instead of TC
-        gw = w[:, 0:gpc]
-        for j in range(1, group):
-            gw = gw + w[:, j * gpc : (j + 1) * gpc]  # [D, GPC]
+            @pl.when(ci < n)
+            def _chunk(k=k, ci=ci):
+                wt = wt_buf[slot, :, k * tc : (k + 1) * tc]  # [D, TC]
+                q = q_buf[slot, 0, k * tc : (k + 1) * tc]
+                if fold_power:
+                    # integer-power fast path: the table arrives pre-raised
+                    # (posterior^p) and the q stream carries (1−q)^p with
+                    # padding rows already exactly 0 — one VPU multiply, no
+                    # power ladder, no padding select
+                    w = wt * q[None, :]  # [D, TC]
+                else:
+                    w = wt * (1.0 - q)[None, :]
+                    # padding rows (q == 1) must stay exactly zero for any
+                    # power; integer powers stay on the VPU multiply path (a
+                    # float exponent would lower as exp/log transcendentals)
+                    wp = w * w if power == 2.0 else (w if power == 1.0 else w**power)
+                    w = jnp.where(q[None, :] >= 1.0, 0.0, wp)  # [D, TC]
 
-        vl = vl_buf[slot][0, :]
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, gpc), 0)
-        onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, GPC]
-        # one-hot is bf16-exact; gw carries the split words (see
-        # pallas_likelihood.dot_words for the precision strategy).
-        # TV is a multiple of 128, so the lane-dim slice stays tile-aligned
-        off = pl.multiple_of(suboff_ref[lo + ci] * tv, tv)
-        out_ref[:, pl.ds(off, tv)] += dot_words(gw, onehot, ((1,), (1,)), n_words, split="a")
+                # per-group sums (each group is one variant's run of G
+                # calls, ops/tiling.py): the scatter contracts GPC columns
+                gw = w[:, 0:gpc]
+                for j in range(1, group):
+                    gw = gw + w[:, j * gpc : (j + 1) * gpc]  # [D, GPC]
+
+                vl = vl_buf[slot, 0, k * gpc : (k + 1) * gpc]
+                col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, gpc), 0)
+                onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, GPC]
+                # one-hot is bf16-exact; gw carries the split words (see
+                # pallas_likelihood.dot_words for the precision strategy).
+                # TV is a multiple of 128: the lane slice stays tile-aligned
+                off = pl.multiple_of(suboff_ref[lo + ci] * tv, tv)
+                out_ref[:, pl.ds(off, tv)] += dot_words(
+                    gw, onehot, ((1,), (1,)), n_words, split="a"
+                )
+
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, jax.lax.div(n + sb - 1, sb), body, 0)
 
 
 def _mstep_kernel_ig(
@@ -299,16 +322,34 @@ def tiled_mstep_impl(
         # multiply. Same math up to f32 rounding: (x·y)^p = x^p·y^p.
         q = (1.0 - q) ** contribution_power
 
+    # stage slack: the kernel's staged DMA may read up to SB-1 chunks past
+    # the last real chunk (pallas_likelihood.STAGE_COLS). Pad the INDEX
+    # stream before the gather — the gather then emits the slack columns in
+    # its own pass (padding wt itself would copy the whole stream). Slack
+    # weights are never read by compute (beyond every region's hi), and the
+    # padded q keeps its fold variant's inert value anyway.
+    gpc = tc // max(1, tc // 128)
+    sb = stage_chunks(tc)
+    slack = (sb - 1) * tc
+    if slack:
+        cb_global = jnp.pad(jnp.asarray(cb_global), (0, slack))
+        q = jnp.pad(
+            jnp.asarray(q), ((0, 0), (0, slack)),
+            constant_values=0.0 if fold_power else 1.0,
+        )
+        vl = jnp.pad(jnp.asarray(vl), ((0, 0), (0, (sb - 1) * gpc)))
+
     # slice the singlet columns BEFORE gathering: XLA does not fuse the
     # slice into the gather, and full-row gathering measured ~1000x slower.
     # Band slices cut contiguous posterior ROWS before the transpose so the
     # transpose-gather fusion pattern stays intact.
     wt_parts = []
-    for b_lo, b_hi, c_lo, c_hi in band_specs:
+    for i, (b_lo, b_hi, c_lo, c_hi) in enumerate(band_specs):
         table = jax.lax.slice_in_dim(posterior, b_lo, b_hi, axis=0)[:, :n_genotypes]
         if fold_power:
             table = table**contribution_power
-        cb_k = jax.lax.slice_in_dim(cb_global, c_lo * tc, c_hi * tc, axis=0)
+        hi_cols = c_hi * tc + (slack if i == n_bands - 1 else 0)
+        cb_k = jax.lax.slice_in_dim(cb_global, c_lo * tc, hi_cols, axis=0)
         wt_parts.append(table.T[:, cb_k])
     wt = wt_parts[0] if n_bands == 1 else jnp.concatenate(wt_parts, axis=1)
     # Mosaic DMA slices need 8-aligned sublane extents: pad the donor axis
@@ -319,11 +360,11 @@ def tiled_mstep_impl(
 
     from .tiling import check_kernel_budgets
 
-    gpc = tc // max(1, tc // 128)
     check_kernel_budgets(
         "M-step",
         d * sps * tv * 4  # resident addition block
-        + 2 * d * tc * 4 + 2 * gpc * 4 + 2 * tc * 4,  # chunk scratch
+        # double-buffered SB-chunk staging blocks
+        + 2 * d * sb * tc * 4 + 2 * sb * gpc * 4 + 2 * sb * tc * 4,
         n_super * n_bands,
     )
 
@@ -337,9 +378,9 @@ def tiled_mstep_impl(
         ],
         out_specs=pl.BlockSpec((d, sps * tv), lambda s, k, *_: (0, s)),
         scratch_shapes=[
-            pltpu.VMEM((2, d, tc), jnp.float32),
-            pltpu.VMEM((2, 1, tc // max(1, tc // 128)), jnp.int32),
-            pltpu.VMEM((2, 1, tc), jnp.float32),
+            pltpu.VMEM((2, d, sb * tc), jnp.float32),
+            pltpu.VMEM((2, 1, sb * gpc), jnp.int32),
+            pltpu.VMEM((2, 1, sb * tc), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
