@@ -234,10 +234,14 @@ def check_kernel_budgets(kernel: str, vmem_bytes: int, n_grid_steps: int) -> Non
     kernels; the grid bound is GRID_CAP, the same budget the layout
     choosers size against.
     """
-    if vmem_bytes >= 100_000_000:
+    # the hard limit is the compiler's SCOPED VMEM allocation (measured on
+    # this stack: "Scoped allocation ... limit 16.00M" — NOT the 128 MB
+    # architectural VMEM), which covers out blocks + scratch together
+    if vmem_bytes >= 16_000_000:
         raise ValueError(
-            f"{kernel} kernel VMEM estimate {vmem_bytes / 1e6:.0f} MB exceeds "
-            "the v5e budget; shrink the super-tile or chunk parameters"
+            f"{kernel} kernel VMEM estimate {vmem_bytes / 1e6:.1f} MB exceeds "
+            "the 16 MB scoped-VMEM compiler limit; shrink the super-tile or "
+            "chunk parameters"
         )
     if n_grid_steps > 2 * GRID_CAP:
         raise ValueError(
