@@ -33,26 +33,28 @@ run() {  # run <name> <timeout_s> <cmd...>
 run bench_fold_on 1200 env DEMUX_TPU_WAIT_S=60 python bench.py
 # 2. M-step fold A/B at the bench shape
 run bench_fold_off 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_MSTEP_FOLD=0 python bench.py
-# 3. in-kernel dynamic-gather canary + microbench (decides the gather-free
-#    kernel design; ~2.6 ns/row is the number to beat)
-run kernel_gather 900 python benchmarks/exp_kernel_gather.py
+# 3. gather-forms capability probe (round-3 verdict: only same-shape
+#    128-lane take_along_axis lowers — rerun only after a toolchain bump)
+run gather_forms 900 python benchmarks/exp_gather_forms.py
 # 4. in-kernel softmax A/B (EM-chain glue reduction)
 run fused_softmax 900 python benchmarks/exp_fused_softmax.py
-# 4b. stacked scatter dot A/B (one K=2*GPC dot vs two K=GPC passes)
-run bench_stack_scatter 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=1 python bench.py
+# 4b. stacked scatter dot A/B (now DEFAULT-ON; =0 re-measures summed passes)
+run bench_stack_scatter_off 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STACK_SCATTER=0 python bench.py
+# 4b+. staged in-kernel DMA A/B (measured negative round 3; re-check if the
+# per-chunk compute ever shrinks below the DMA issue cost)
+run bench_staged_dma 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_STAGE_COLS=8192 python bench.py
 # 4b'. log product-fold A/B (width 1 = pre-fold log-then-add; default is 8)
 run bench_log_unfolded 1200 env DEMUX_TPU_WAIT_S=60 DEMUX_LOG_FOLD_WIDTH=1 python bench.py
 # 4c. if the canary lowered: full in-kernel-gather E/M-step A/Bs at bench shape.
 # A failing canary means Mosaic can't lower jnp.take — running the full A/Bs
 # anyway would burn the relay window on failing remote compiles (and can wedge
 # the shared Mosaic compiler, CLAUDE.md), so gate on the canary's verdict.
-if grep -q "take-kernel (mosaic) works: True" "$OUT/kernel_gather.txt" 2>/dev/null; then
-  # (mosaic) specifically: the interpret-mode line printed on a CPU
-  # fallback also says "works: True" but proves nothing about lowering
+if grep -q "take axis0 same-shape: ok" "$OUT/gather_forms.txt" 2>/dev/null; then
+  # gated on row-gather actually lowering (round-3 probe: it does NOT)
   run ig_estep 1200 python benchmarks/exp_inkernel_gather_estep.py
   run ig_mstep 1200 python benchmarks/exp_inkernel_gather_mstep.py
 else
-  echo "kernel_gather canary did not lower; skipping ig_estep/ig_mstep" | tee "$OUT/ig_skipped.txt"
+  echo "row-gather does not lower (expected); skipping ig_estep/ig_mstep" | tee "$OUT/ig_skipped.txt"
 fi
 # 5. round-2 pending: production per-stage vs fused at PMBC scale
 run em_decompose 1800 python benchmarks/exp_em_decompose.py

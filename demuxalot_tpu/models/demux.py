@@ -116,6 +116,7 @@ class _PallasLogits:
         from ..ops.tiling import (
             cap_bands_to_grid,
             choose_banded_chunk_calls,
+            choose_chunk_calls_from_counts,
             choose_n_bands,
             tile_barcode_calls,
             tile_barcode_calls_banded,
@@ -147,6 +148,14 @@ class _PallasLogits:
                 tile_barcodes=tile_barcodes, chunk_calls=tc,
             )
         else:
+            if not chunk_calls:
+                # 0/None = adapt to the dataset's skew: exact layout slot
+                # counts under the measured gather/per-chunk cost model
+                # (single-device path only — the sharded layout must agree
+                # across processes and keeps its allgather-safe chooser)
+                chunk_calls = choose_chunk_calls_from_counts(
+                    np.bincount(args[0], minlength=n_barcodes), tile_barcodes
+                )
             tiled = tile_barcode_calls(
                 *args, tile_barcodes=tile_barcodes, chunk_calls=chunk_calls
             )
@@ -508,10 +517,13 @@ class Demultiplexer:
     # device knobs (framework-specific): calls per scan chunk, Pallas kernel toggle
     call_chunk = L.DEFAULT_CALL_CHUNK
     use_pallas: Optional[bool] = None  # None = auto (on TPU backends)
-    # (64, 1024) measured best on v5e at the bench shape (benchmarks/
-    # exp_group.py sweep); banded layouts shrink chunk_calls adaptively
+    # TB=64 measured best on v5e across the round-2/3 sweeps; chunk size is
+    # data-dependent (uniform fills reward 4096, heavy-tailed data 512-1024)
+    # so 0 = choose from the dataset's exact per-barcode counts
+    # (ops/tiling.py: choose_chunk_calls_from_counts); banded layouts keep
+    # their own allgather-safe adaptive chooser
     pallas_tile_barcodes = 64  # barcode rows per logits tile held in VMEM
-    pallas_chunk_calls = 1024  # calls per kernel grid step
+    pallas_chunk_calls = 0  # calls per kernel grid step (0 = adaptive)
 
     # -- public API --------------------------------------------------------
     @staticmethod

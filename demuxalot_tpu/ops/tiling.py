@@ -297,6 +297,45 @@ def cap_bands_to_grid(
     return max(1, min(n_bands, GRID_CAP // max(1, n_super_floor)))
 
 
+def choose_chunk_calls_from_counts(
+    counts: np.ndarray,
+    tile_barcodes: int,
+    max_chunk_calls: int = 4096,
+    gather_ns_per_slot: float = 2.1,
+    chunk_overhead_ns: float = 300.0,
+) -> int:
+    """Pick the E-step chunk size from the dataset's exact per-segment counts.
+
+    Cost model (both constants measured on v5e, BASELINE.md round 3): every
+    padded slot costs one gather-engine index (~2.1 ns) and every chunk
+    costs fixed inner-loop overhead (~0.3 µs of DMA bookkeeping + scalar
+    control). Bigger chunks mean fewer chunks but coarser padding — each
+    segment pads to whole groups of G = tc/128 and each tile to whole
+    chunks — so the trade depends on the data's skew: the uniform bench sim
+    rewards tc = 4096 (measured E-step 17.6 → 16.7 ms), while heavy-tailed
+    real data pads too much there. The slot arithmetic below reproduces
+    :func:`tile_barcode_calls` exactly, so the choice tracks the dataset
+    instead of assuming uniform fill.
+    """
+    tb = max(1, tile_barcodes)
+    n_tiles = max(1, -(-len(counts) // tb))
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(counts) < n_tiles * tb:
+        counts = np.pad(counts, (0, n_tiles * tb - len(counts)))
+    best_tc, best_cost = 128, None
+    tc = 128
+    while tc <= max(128, max_chunk_calls):
+        g = chunk_group(tc)
+        padded = -(-counts // g) * g
+        tile_slots = padded.reshape(n_tiles, tb).sum(axis=1)
+        n_chunks = int(np.maximum(1, -(-tile_slots // tc)).sum())
+        cost = n_chunks * tc * gather_ns_per_slot + n_chunks * chunk_overhead_ns
+        if best_cost is None or cost < best_cost:
+            best_tc, best_cost = tc, cost
+        tc *= 2
+    return best_tc
+
+
 def choose_banded_chunk_calls(
     n_calls: int, n_tiles: int, n_bands: int, chunk_calls: int, seg_rows: int = 0
 ) -> int:

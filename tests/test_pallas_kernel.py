@@ -560,3 +560,36 @@ def test_mstep_inkernel_gather_matches_oracle():
             ours = ours.T
         ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, 2.0)
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_chunk_calls_tracks_skew():
+    """choose_chunk_calls_from_counts: uniform fills reward big chunks
+    (group padding is free when counts divide G), heavy-tailed fills
+    must not (most segments round up to a whole group of G)."""
+    from demuxalot_tpu.ops.tiling import choose_chunk_calls_from_counts
+
+    uniform = np.full(65_536, 64, dtype=np.int64)
+    tc_uniform = choose_chunk_calls_from_counts(uniform, tile_barcodes=64)
+    assert tc_uniform >= 2048
+
+    # 90% tiny segments (3 calls), 10% heavy tails — at G = 32 each tiny
+    # segment pads 3 -> 32; the chooser must back off to small groups
+    rng = np.random.default_rng(0)
+    skewed = np.where(rng.random(65_536) < 0.9, 3, 600).astype(np.int64)
+    tc_skewed = choose_chunk_calls_from_counts(skewed, tile_barcodes=64)
+    assert tc_skewed < tc_uniform  # backs off when group padding bites
+    assert tc_skewed <= 1024
+
+    # the choice must reproduce tile_barcode_calls' real slot count: verify
+    # the estimate against the actual layout at the chosen size
+    cb = np.repeat(np.arange(256), np.maximum(skewed[:256], 1))
+    tiled = tile_barcode_calls(
+        cb, np.zeros_like(cb, dtype=np.int32),
+        np.zeros(len(cb), dtype=np.float32), 256,
+        tile_barcodes=64, chunk_calls=tc_skewed,
+    )
+    g = tiled.group
+    padded = -(-np.maximum(skewed[:256], 1) // g) * g
+    tile_slots = padded.reshape(-1, 64).sum(axis=1)
+    expect_chunks = int(np.maximum(1, -(-tile_slots // tc_skewed)).sum())
+    assert tiled.n_chunks == expect_chunks
