@@ -139,9 +139,12 @@ class _PallasLogits:
             # large genotype tables: band the variant axis so every per-band
             # gather table stays under the fast-path size (DESIGN.md §7).
             # Chunks shrink toward the mean per-(tile, band) call count so
-            # the extra per-band padding stays modest.
+            # the extra per-band padding stays modest. The adaptive sentinel
+            # (chunk_calls = 0) only applies unbanded; here it sets the
+            # banded chooser's ceiling to its long-standing default.
             tc = choose_banded_chunk_calls(
-                len(cb), n_tiles, n_bands, chunk_calls, seg_rows=tile_barcodes
+                len(cb), n_tiles, n_bands, chunk_calls or 1024,
+                seg_rows=tile_barcodes,
             )
             tiled = tile_barcode_calls_banded(
                 *args, n_variants=n_variants, n_bands=n_bands,

@@ -593,3 +593,29 @@ def test_adaptive_chunk_calls_tracks_skew():
     tile_slots = padded.reshape(-1, 64).sum(axis=1)
     expect_chunks = int(np.maximum(1, -(-tile_slots // tc_skewed)).sum())
     assert tiled.n_chunks == expect_chunks
+
+
+def test_adaptive_chunk_sentinel_with_banding():
+    """chunk_calls = 0 (adaptive) must also work when the layout bands the
+    variant axis — the banded chooser takes its ceiling from the default."""
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.models.demux import _PallasLogits
+    from demuxalot_tpu.ops import likelihood as L
+    from demuxalot_tpu.ops.packing import BARCODE_CALLS_DTYPE
+
+    rng = np.random.default_rng(0)
+    n_barcodes, n_calls, n_variants = 256, 4096, 3_000_000  # forces bands
+    rec = np.recarray(n_calls, dtype=BARCODE_CALLS_DTYPE)
+    rec["compressed_cb"] = rng.integers(0, n_barcodes, n_calls)
+    rec["variant_id"] = rng.integers(0, n_variants, n_calls)
+    rec["p_base_wrong"] = rng.random(n_calls, dtype=np.float32) * 0.4
+    rec["snp_id"] = rec["variant_id"] // 2
+    mixing, _ = L.pseudogenotype_mixing(["A", "B", "C"], 0.35)
+    penalties = L.doublet_penalties(3, 0.35)
+    dev = _PallasLogits(
+        rec, n_barcodes, mixing, penalties,
+        tile_barcodes=64, chunk_calls=0, n_variants=n_variants,
+    ).device
+    assert len(dev.band_specs) > 1  # banding actually engaged
+    assert dev.chunk_calls >= 128
