@@ -140,10 +140,11 @@ def probs_from_betas(
         # the EM chain at the bench shape vs ~0.3 ms for this form).
         denom = betas
         for d in range(1, min(max_per_snp, max(n, 1))):
-            same = jnp.pad(variant2snp[d:] == variant2snp[:-d], (0, d))[:, None]
+            run = variant2snp[d:] == variant2snp[:-d]
+            same = jnp.pad(run, (0, d))[:, None]
             fwd = jnp.pad(betas[d:], ((0, d), (0, 0)))
             denom = denom + jnp.where(same, fwd, 0.0)
-            same_b = jnp.pad(variant2snp[d:] == variant2snp[:-d], (d, 0))[:, None]
+            same_b = jnp.pad(run, (d, 0))[:, None]
             bwd = jnp.pad(betas[:-d], ((d, 0), (0, 0)))
             denom = denom + jnp.where(same_b, bwd, 0.0)
         probs = betas / jnp.clip(denom, min=1e-7)
@@ -171,10 +172,11 @@ def probs_from_betas_donor_major(
     # fused padded-shift form; see probs_from_betas for why not .at[].add
     denom = betas_dm
     for d in range(1, min(max_per_snp, max(n, 1))):
-        same = jnp.pad(variant2snp[d:] == variant2snp[:-d], (0, d))[None, :]
+        run = variant2snp[d:] == variant2snp[:-d]
+        same = jnp.pad(run, (0, d))[None, :]
         fwd = jnp.pad(betas_dm[:, d:], ((0, 0), (0, d)))
         denom = denom + jnp.where(same, fwd, 0.0)
-        same_b = jnp.pad(variant2snp[d:] == variant2snp[:-d], (d, 0))[None, :]
+        same_b = jnp.pad(run, (d, 0))[None, :]
         bwd = jnp.pad(betas_dm[:, :-d], ((0, 0), (d, 0)))
         denom = denom + jnp.where(same_b, bwd, 0.0)
     probs = betas_dm / jnp.clip(denom, min=1e-7)

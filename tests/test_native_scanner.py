@@ -1,5 +1,6 @@
 """Native C++ scanner vs the Python scanner: exact output parity."""
 import functools
+import os
 import shutil
 
 import numpy as np
@@ -9,7 +10,14 @@ from demuxalot_tpu import BarcodeHandler
 from demuxalot_tpu.frontend.snp_counter import count_snps
 from demuxalot_tpu.sim import generate_bam_file
 
-gxx_available = shutil.which("g++") is not None
+# DEMUX_NATIVE_REQUIRED=1 (set by CI) turns the no-toolchain skip into a hard
+# failure so CI can never silently exercise the Python fallback.
+gxx_available = shutil.which("g++") is not None or bool(os.environ.get("DEMUX_NATIVE_REQUIRED"))
+
+if os.environ.get("DEMUX_NATIVE_REQUIRED"):
+    from demuxalot_tpu.native import load_library
+
+    load_library()  # raises at collection time if the scanner cannot build
 
 
 def _assert_calls_equal(a, b):
