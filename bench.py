@@ -21,6 +21,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+if "--end-to-end" in sys.argv[1:]:
+    # product-level pipeline benchmark (BAM -> posteriors, stage-timed,
+    # vs a measured reference-style baseline); writes E2E_r04.json
+    from benchmarks.end_to_end import main as e2e_main
+
+    e2e_main([a for a in sys.argv[1:] if a != "--end-to-end"])
+    sys.exit(0)
+
 import numpy as np
 
 import os
@@ -325,6 +333,21 @@ def main():
             "roofline_bounds_s": bounds,
         },
     }
+
+    # embed the committed end-to-end pipeline artifact (BAM -> posteriors,
+    # reproduce: python bench.py --end-to-end) so the driver-recorded BENCH
+    # carries the product-level number alongside the kernel number
+    e2e_path = Path(__file__).resolve().parent / "E2E_r04.json"
+    if e2e_path.exists():
+        e2e = json.loads(e2e_path.read_text())
+        result["end_to_end"] = {
+            "artifact": e2e_path.name,
+            "backend": e2e.get("backend"),
+            "total_pipeline_warm_s": e2e.get("total_pipeline_warm_s"),
+            "vs_baseline_total": e2e.get("vs_baseline_total"),
+            "native_reads_per_s": e2e.get("stages", {}).get("native_reads_per_s"),
+            "reproduce": e2e.get("reproduce"),
+        }
     print(json.dumps(result))
 
 

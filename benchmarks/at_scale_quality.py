@@ -1,0 +1,279 @@
+"""Truth-accuracy of the production device path at the bench shape.
+
+VERDICT r3 ask #2: the production Pallas machinery (banding, adaptive
+chunks, log product-fold, stacked scatter — all DEFAULT knobs) is tuned at
+32 donors x 65,536 barcodes x ~4.2M calls, but quality was only ever
+measured at the reference's 20 x 1000 toy scale. This harness runs one
+truth-accuracy experiment at the kernel-tuning shape through the PUBLIC API
+(CompressedSNPCalls -> pack -> EM/posteriors) and records it as the
+``at_scale`` section of QUALITY.json:
+
+* doublet-aware posterior accuracy (prior genotypes, doublet_prior=0.35);
+* EM recovery from 90%-degraded genotypes (the regime where plain EM wins
+  at toy scale), production Pallas path vs the XLA path on identical
+  inputs — the loss agreement is the "production path computes the same
+  statistics" proof at scale.
+
+Methodology anchor: /root/reference/tests/test_synthetic.py:106-198 at 65x
+the barcode count (synthetic truth, mean -log P(true donors) loss).
+
+    python benchmarks/at_scale_quality.py          # bench shape (TPU)
+    python benchmarks/at_scale_quality.py --quick  # small smoke shape
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+from demuxalot_tpu.utils.platform import honor_jax_platforms_env, wait_for_tunnel
+
+TPU_PROBE = wait_for_tunnel(max_wait_s=float(os.environ.get("DEMUX_TPU_WAIT_S", 900)))
+honor_jax_platforms_env()
+
+QUALITY = REPO / "QUALITY.json"
+
+
+def _stage(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def synthesize_compressed_calls(
+    n_barcodes: int,
+    n_donors: int,
+    n_snps: int,
+    calls_per_barcode: int,
+    doublets_fraction: float = 0.2,
+    flip_prob: float = 0.02,
+    seed: int = 0,
+):
+    """Bench-shape synthetic truth as (genotypes, calls, truth_donors).
+
+    Same generative model as ``sim.synthesize_device_workload`` (two alleles
+    per SNP, per-donor allele at beta 100 vs 0.5, small per-call flip) but
+    emitted as real registry + CompressedSNPCalls objects so the run goes
+    through the production packing/EM path, plus doublet barcodes.
+    """
+    from demuxalot_tpu.frontend.snp_counter import (
+        MOLECULE_DTYPE, SNP_CALL_DTYPE, CompressedSNPCalls,
+    )
+    from demuxalot_tpu.models.genotypes import ProbabilisticGenotypes
+
+    rng = np.random.RandomState(seed)
+    donor_names = [f"Donor{i + 1:02}" for i in range(n_donors)]
+    donor_allele = rng.randint(0, 2, size=(n_snps, n_donors))
+
+    # registry: two variants per SNP ("A" = allele 0, "C" = allele 1),
+    # insertion in SNP order so the packed layout matches the bench shape
+    genotypes = ProbabilisticGenotypes(donor_names)
+    bases = ("A", "C")
+    for pos in range(n_snps):
+        for allele in (0, 1):
+            genotypes.get_variant_id("chr1", pos, bases[allele])
+    betas = np.full((2 * n_snps, n_donors), 0.5, dtype=np.float32)
+    rows = np.arange(n_snps) * 2
+    for donor in range(n_donors):
+        betas[rows + donor_allele[:, donor], donor] = 100.0
+    genotypes = genotypes._with_betas(betas)
+
+    # barcode truth: one donor, or two distinct donors for doublets
+    primary = rng.randint(0, n_donors, size=n_barcodes)
+    is_doublet = rng.rand(n_barcodes) < doublets_fraction
+    secondary = (primary + 1 + rng.randint(0, n_donors - 1, size=n_barcodes)) % n_donors
+    truth = [
+        sorted({donor_names[primary[b]], donor_names[secondary[b]]})
+        if is_doublet[b] else [donor_names[primary[b]]]
+        for b in range(n_barcodes)
+    ]
+
+    n_calls = n_barcodes * calls_per_barcode
+    cb = np.repeat(np.arange(n_barcodes, dtype=np.int32), calls_per_barcode)
+    # per call: pick one of the barcode's donors, emit that donor's allele
+    use_secondary = is_doublet[cb] & (rng.rand(n_calls) < 0.5)
+    call_donor = np.where(use_secondary, secondary[cb], primary[cb])
+    snp = rng.randint(0, n_snps, size=n_calls).astype(np.int32)
+    allele = donor_allele[snp, call_donor]
+    flip = rng.rand(n_calls) < flip_prob
+    allele = np.where(flip, 1 - allele, allele).astype(np.int64)
+    q = (0.1 ** (0.1 * rng.randint(20, 41, size=n_calls))).astype(np.float32)
+
+    molecules = np.empty(n_calls, dtype=MOLECULE_DTYPE)
+    molecules["compressed_cb"] = cb
+    molecules["compressed_ub"] = np.arange(n_calls, dtype=np.int32)
+    molecules["p_group_misaligned"] = 0.01
+    snp_calls = np.empty(n_calls, dtype=SNP_CALL_DTYPE)
+    snp_calls["molecule_index"] = np.arange(n_calls, dtype=np.int32)
+    snp_calls["snp_position"] = snp
+    # base codes: A=0, C=1 (utils.encoding.base_lookup)
+    snp_calls["base_index"] = allele.astype(np.uint8)
+    snp_calls["p_base_wrong"] = q
+
+    calls = CompressedSNPCalls()
+    calls.molecules = molecules
+    calls.snp_calls = snp_calls
+    calls._finalized = True
+    return genotypes, {"chr1": calls}, truth, donor_names
+
+
+def singlet_loss(probs_df, truth):
+    """Mean -log P(true donors) over singlet genotype columns (ref metric)."""
+    values = probs_df.values
+    cols = {name: j for j, name in enumerate(probs_df.columns)}
+    p = np.zeros(len(truth))
+    for b, donors in enumerate(truth):
+        for d in donors:
+            p[b] += values[b, cols[d]]
+    return float(-np.log(np.clip(p, 1e-4, None)).mean())
+
+
+def joint_loss(probs_df, truth):
+    """Mean -log P(exact truth column): 'A+B' for doublets, donor for singlets.
+
+    The right loss for doublet-aware posteriors (doublet_prior > 0), where
+    a doublet barcode's mass correctly sits on its pair column and the
+    singlet-column metric would penalize the model for being right.
+    """
+    values = probs_df.values
+    cols = {name: j for j, name in enumerate(probs_df.columns)}
+    p = np.zeros(len(truth))
+    for b, donors in enumerate(truth):
+        p[b] = values[b, cols["+".join(donors)]]
+    return float(-np.log(np.clip(p, 1e-4, None)).mean())
+
+
+def doublet_metrics(probs_df, truth):
+    assignments = [probs_df.columns[j] for j in np.argmax(probs_df.values, axis=1)]
+    singlet_ok = doublet_ok = n_singlet = n_doublet = 0
+    for called, donors in zip(assignments, truth):
+        called_set = sorted(called.split("+"))
+        if len(donors) == 1:
+            n_singlet += 1
+            singlet_ok += called_set == donors
+        else:
+            n_doublet += 1
+            doublet_ok += called_set == donors
+    return {
+        "singlet_accuracy": round(singlet_ok / max(n_singlet, 1), 4),
+        "doublet_exact_accuracy": round(doublet_ok / max(n_doublet, 1), 4),
+        "n_singlets": n_singlet,
+        "n_doublets": n_doublet,
+    }
+
+
+def main(argv=None):
+    import jax
+
+    from demuxalot_tpu import BarcodeHandler, Demultiplexer
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    quick = "--quick" in argv
+    if quick:
+        n_donors, n_barcodes, n_snps, cpb = 8, 2048, 4096, 32
+    else:
+        n_donors, n_barcodes, n_snps, cpb = 32, 65_536, 65_536, 64
+
+    backend = jax.default_backend()
+    _stage(f"synthesizing: {n_donors} donors x {n_barcodes} barcodes x "
+           f"{n_snps} snps x {cpb} calls/barcode")
+    genotypes, calls, truth, donor_names = synthesize_compressed_calls(
+        n_barcodes, n_donors, n_snps, cpb
+    )
+    handler = BarcodeHandler([f"BC{b:06}" for b in range(n_barcodes)])
+
+    # --- doublet-aware posterior quality with the full prior ---------------
+    _stage("predict_posteriors (doublet_prior=0.35, production path)")
+    t0 = time.perf_counter()
+    _lg, probs = Demultiplexer.predict_posteriors(
+        calls, genotypes, barcode_handler=handler, doublet_prior=0.35
+    )
+    t_predict = round(time.perf_counter() - t0, 2)
+    predict_quality = {
+        "loss_exact_truth_column": round(joint_loss(probs, truth), 4),
+        "loss_singlet_columns": round(singlet_loss(probs, truth), 4),
+        **doublet_metrics(probs, truth),
+        "wall_s": t_predict,
+    }
+    _stage(f"predict quality: {predict_quality}")
+
+    # --- EM recovery from 90%-degraded genotypes ---------------------------
+    noise = 0.9
+    degraded = genotypes.clone()
+    erase_rng = np.random.RandomState(1234)
+    snp_ids = degraded.get_snp_ids_for_variants()
+    erased = erase_rng.random(snp_ids.max() + 1) < noise
+    degraded.variant_betas[erased[snp_ids], :] = 0
+
+    _lg, probs0 = Demultiplexer.predict_posteriors(
+        calls, degraded, barcode_handler=handler, doublet_prior=0.0
+    )
+    loss_prior_only = round(singlet_loss(probs0, truth), 4)
+
+    results_by_path = {}
+    for path_name, use_pallas in (("pallas_production", None), ("xla", False)):
+        prev = Demultiplexer.use_pallas
+        Demultiplexer.use_pallas = use_pallas
+        try:
+            _stage(f"learn_genotypes at noise={noise} [{path_name}]")
+            t0 = time.perf_counter()
+            _learnt, probs_em = Demultiplexer.learn_genotypes(
+                calls, degraded, barcode_handler=handler, n_iterations=5
+            )
+            wall = round(time.perf_counter() - t0, 2)
+        finally:
+            Demultiplexer.use_pallas = prev
+        # doublet_prior=0 here (learn_genotypes default): only singlet
+        # metrics are meaningful
+        metrics = doublet_metrics(probs_em, truth)
+        results_by_path[path_name] = {
+            "loss_after_em": round(singlet_loss(probs_em, truth), 4),
+            "singlet_accuracy": metrics["singlet_accuracy"],
+            "wall_s": wall,
+        }
+        _stage(f"{path_name}: {results_by_path[path_name]}")
+
+    section = {
+        "config": {
+            "n_donors": n_donors,
+            "n_barcodes": n_barcodes,
+            "n_snps": n_snps,
+            "calls_per_barcode": cpb,
+            "doublets_fraction": 0.2,
+            "flip_prob": 0.02,
+            "noise_fraction_for_em": noise,
+            "seed": 0,
+            "backend": backend,
+            "default_knobs": {
+                "DEMUX_KERNEL_PRECISION": os.environ.get("DEMUX_KERNEL_PRECISION", "f32x2"),
+                "DEMUX_LOG_FOLD_WIDTH": os.environ.get("DEMUX_LOG_FOLD_WIDTH", "8"),
+                "DEMUX_STACK_SCATTER": os.environ.get("DEMUX_STACK_SCATTER", "1"),
+                "DEMUX_MSTEP_FOLD": os.environ.get("DEMUX_MSTEP_FOLD", "1"),
+                "pallas_chunk_calls": "0 (adaptive)",
+            },
+        },
+        "reproduce": "python benchmarks/at_scale_quality.py",
+        "predict_posteriors_full_prior": predict_quality,
+        "em_from_90pct_degraded": {
+            "loss_prior_only": loss_prior_only,
+            **results_by_path,
+            "pallas_vs_xla_loss_diff": round(
+                abs(results_by_path["pallas_production"]["loss_after_em"]
+                    - results_by_path["xla"]["loss_after_em"]), 5,
+            ),
+        },
+    }
+
+    if not quick:
+        quality = json.loads(QUALITY.read_text()) if QUALITY.exists() else {}
+        quality["at_scale"] = section
+        QUALITY.write_text(json.dumps(quality, indent=1) + "\n")
+    print(json.dumps(section))
+    return section
+
+
+if __name__ == "__main__":
+    main()
