@@ -305,10 +305,12 @@ def build_parser() -> argparse.ArgumentParser:
     demux.add_argument("--n-iterations", type=int, default=5)
     demux.add_argument("--doublet-prior", type=float, default=0.35)
     demux.add_argument("--p-genotype-clip", type=float, default=0.01)
-    demux.add_argument("--damping", choices=["anchor"], default=None,
+    demux.add_argument("--damping", choices=["anchor", "auto"], default=None,
                        help="'anchor' restricts EM updates to prior-informed "
                             "variants (keeps refinement monotone on sparse "
-                            "priors; see docs/API.md)")
+                            "priors); 'auto' runs plain EM and falls back to "
+                            "anchored when its confident assignments drift "
+                            "from the anchored run (see docs/API.md)")
     demux.add_argument("--sharded", action="store_true",
                        help="shard barcodes over every visible device "
                             "(multi-chip meshes; identical results)")

@@ -223,6 +223,33 @@ def _default_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def auto_damping_select(learn_with, n_genotypes: int):
+    """Shared damping="auto" selector (single-device and sharded engines).
+
+    ``learn_with(damping)`` runs the engine's learn_genotypes and returns
+    ``(learnt_genotypes, probs_df)``. See
+    :meth:`Demultiplexer._learn_genotypes_auto_damped` for the measured
+    rationale behind the disagreement statistic.
+    """
+    learnt_plain, probs_plain = learn_with(None)
+    learnt_anchor, probs_anchor = learn_with("anchor")
+    singlets_plain = probs_plain.values[:, :n_genotypes]
+    assign_plain = singlets_plain.argmax(axis=1)
+    assign_anchor = probs_anchor.values[:, :n_genotypes].argmax(axis=1)
+    confident = singlets_plain.max(axis=1) >= Demultiplexer.auto_damping_confidence
+    differs = assign_plain != assign_anchor
+    disagreement = float(
+        differs[confident].mean() if confident.any() else differs.mean()
+    )
+    anchored = disagreement > Demultiplexer.auto_damping_disagreement_threshold
+    learnt, probs = (
+        (learnt_anchor, probs_anchor) if anchored else (learnt_plain, probs_plain)
+    )
+    probs.attrs["damping_selected"] = "anchor" if anchored else None
+    probs.attrs["anchored_disagreement"] = disagreement
+    return learnt, probs
+
+
 class _SnpAggregationLayout:
     """Device-resident (barcode, snp) grouping for the aggregate_on_snps path.
 
@@ -292,7 +319,11 @@ class _EMRun:
     ):
         assert 0 <= doublet_prior < 1
         if damping not in (None, "anchor"):
-            raise ValueError(f"damping must be None or 'anchor', got {damping!r}")
+            raise ValueError(
+                f"damping must be None or 'anchor', got {damping!r}"
+                + (" ('auto' is only available through learn_genotypes, which"
+                   " needs the whole trajectory to decide)" if damping == "auto" else "")
+            )
         self.damping = damping
         self.mixing, self.column_names = L.pseudogenotype_mixing(
             genotypes.genotype_names, doublet_prior
@@ -551,15 +582,31 @@ class Demultiplexer:
             columns entirely (helpful with many donors)
         :param barcode_prior_logits: optional [n_barcodes, n_options] prior
             assignment logits, applied at the first iteration only
-        :param damping: None (default, reference-parity EM) or "anchor" —
-            restrict M-step updates to variants whose genotype prior is
-            informative (nonzero betas). Anchored EM cannot diverge in the
-            heavily-degraded unsupervised regime where the default (and the
-            reference, identically) does; the cost is that prior-less
-            variants are never refined. No effect when every variant has a
-            prior.
+        :param damping: None (default, reference-parity EM), "anchor", or
+            "auto". "anchor" restricts M-step updates to variants whose
+            genotype prior is informative (nonzero betas): anchored EM
+            cannot diverge in the heavily-degraded unsupervised regime where
+            the default (and the reference, identically) does; the cost is
+            that prior-less variants are never refined, which loses to plain
+            EM whenever plain EM converges. "auto" resolves that trade-off
+            from the data: it runs both and measures where they disagree.
+            The divergence mode is barcodes driven into *confidently wrong*
+            clusters, and the anchored run — whose donor identities cannot
+            drift — is the truth-free witness: among barcodes plain EM
+            assigns with max singlet posterior ≥ 0.9, disagreement with the
+            anchored assignment stays ≤ ~5% in every measured converging
+            run (including where plain EM beats anchored) and jumps to
+            24–39% in every diverging one. Above 15% "auto" returns the
+            anchored result, otherwise the plain one — measured
+            ``loss_after_auto_em`` ≤ min(prior-only, plain EM) at every
+            QUALITY.json sweep point. Costs two EM runs.
         :return: (learnt genotypes, last-iteration barcode posterior probs)
         """
+        if damping == "auto":
+            return Demultiplexer._learn_genotypes_auto_damped(
+                chromosome2compressed_snp_calls, genotypes, barcode_handler,
+                n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
+            )
         # device-resident loop: unlike the staged generator, only the LAST
         # iteration's posteriors/addition ever cross to the host
         run = _EMRun(
@@ -576,6 +623,45 @@ class Demultiplexer:
             genotypes.get_betas() + debug_information["genotype_addition"]
         )
         return learnt_genotypes, last_iteration_barcode_probs
+
+    # disagreement (plain vs anchored argmax, among plain-confident barcodes)
+    # above this fraction = plain EM diverged. Measured margins at the quality
+    # sweep, two independent degradation masks each (tests/
+    # test_reference_scale.py): every converging run ≤ 0.052 — including the
+    # one where plain EM BEATS anchored — every diverging run ≥ 0.239.
+    auto_damping_disagreement_threshold = 0.15
+    auto_damping_confidence = 0.9
+
+    @staticmethod
+    def _learn_genotypes_auto_damped(
+        chromosome2compressed_snp_calls, genotypes, barcode_handler,
+        n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
+    ):
+        """damping="auto": plain EM unless the anchored run refutes it.
+
+        Donor *identity* comes solely from the prior; the anchored M-step
+        (updates gated to prior-informed variants) cannot lose it, so it
+        serves as a truth-free witness. Plain-EM divergence manifests as
+        barcodes assigned confidently AND differently from the anchored
+        result — measured flat ~3% in converging regimes, 24–39% in
+        diverging ones (docs/DESIGN.md §9). Drift metrics against
+        iteration-0 posteriors were measured useless here (~1–3%
+        everywhere): the divergence does not flip the prior-confident
+        barcodes, it invents confident clusters among the unconfident rest.
+        """
+        common = dict(
+            n_iterations=n_iterations, p_genotype_clip=p_genotype_clip,
+            doublet_prior=doublet_prior,
+            barcode_prior_logits=barcode_prior_logits,
+        )
+
+        def learn_with(damping):
+            return Demultiplexer.learn_genotypes(
+                chromosome2compressed_snp_calls, genotypes, barcode_handler,
+                damping=damping, **common,
+            )
+
+        return auto_damping_select(learn_with, genotypes.n_genotypes)
 
     @staticmethod
     def staged_genotype_learning(

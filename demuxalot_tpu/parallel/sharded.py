@@ -558,6 +558,22 @@ class ShardedDemultiplexer:
         barcode_prior_logits: Optional[np.ndarray] = None,
         damping: Optional[str] = None,
     ):
+        if damping == "auto":
+            # same measured selector as the single-device engine
+            # (models/demux.py): plain EM unless its confident assignments
+            # disagree with the drift-proof anchored run
+            from ..models.demux import auto_damping_select
+
+            def learn_with(inner_damping):
+                return self.learn_genotypes(
+                    chromosome2compressed_snp_calls, genotypes, barcode_handler,
+                    n_iterations=n_iterations, p_genotype_clip=p_genotype_clip,
+                    doublet_prior=doublet_prior,
+                    barcode_prior_logits=barcode_prior_logits,
+                    damping=inner_damping,
+                )
+
+            return auto_damping_select(learn_with, genotypes.n_genotypes)
         *_, last = self.staged_genotype_learning(
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             n_iterations=n_iterations, p_genotype_clip=p_genotype_clip,

@@ -72,13 +72,22 @@ def test_reference_scale_quality(tmp_path_factory):
             damping="anchor",
         )
         loss_damped = compute_loss(barcode2donor_names, probs)
+        _learnt, probs = Demultiplexer.learn_genotypes(
+            calls, degraded, barcode_handler=barcode_handler, doublet_prior=0.0,
+            damping="auto",
+        )
+        loss_auto = compute_loss(barcode2donor_names, probs)
         results[str(noise_fraction)] = {
             "loss_prior_only": round(float(loss_prior_only), 4),
             "loss_after_em": round(float(loss_after_em), 4),
             "loss_after_damped_em": round(float(loss_damped), 4),
+            "loss_after_auto_em": round(float(loss_auto), 4),
+            "auto_selected": probs.attrs["damping_selected"] or "plain",
+            "auto_disagreement": round(float(probs.attrs["anchored_disagreement"]), 4),
         }
         print(f"noise={noise_fraction}: prior-only {loss_prior_only:.4f}, "
-              f"after EM {loss_after_em:.4f}, damped {loss_damped:.4f}")
+              f"after EM {loss_after_em:.4f}, damped {loss_damped:.4f}, "
+              f"auto {loss_auto:.4f} ({results[str(noise_fraction)]['auto_selected']})")
 
     # the original three points consume the module-seeded global stream in
     # this exact order — keeping their masks (and the 0.95 parity trajectory
@@ -96,7 +105,10 @@ def test_reference_scale_quality(tmp_path_factory):
     )
     labelling_p = np.random.random(size=len(barcode2donor_names))
     semi_supervised = {}
-    for labeled_fraction in (0.2, 0.5):
+    # the reference's own sweep spans 1-50% labeled
+    # (/root/reference/tests/test_synthetic.py:200-239); its acceptance bar
+    # is loss < 0.1 once >= 20% of barcodes carry labels
+    for labeled_fraction in (0.01, 0.05, 0.1, 0.2, 0.3, 0.5):
         prior_logits = template_probs * 0  # fresh per fraction: no label carry-over
         for (barcode, correct), p_label in zip(barcode2donor_names.items(), labelling_p):
             if len(correct) == 1 and p_label < labeled_fraction:
@@ -149,6 +161,9 @@ def test_reference_scale_quality(tmp_path_factory):
     for noise_fraction in (0.5, 0.8, 0.9):
         eval_noise(noise_fraction, np.random.RandomState(1000 + int(noise_fraction * 100)))
 
+    # keep sections other harnesses own (at_scale: benchmarks/at_scale_quality.py)
+    existing = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
+    preserved = {k: v for k, v in existing.items() if k in ("at_scale",)}
     ARTIFACT.write_text(json.dumps({
         "config": {"n_genotypes": 20, "n_barcodes": 1000, "n_reads_per_barcode": 100,
                    "doublets_fraction": 0.2, "mutation_prob": 0.01, "seed": 42},
@@ -156,7 +171,9 @@ def test_reference_scale_quality(tmp_path_factory):
             k: results[k] for k in sorted(results, key=float)
         },
         "semi_supervised_loss_by_labeled_fraction": semi_supervised,
+        "semi_supervised_reference_bar": "loss < 0.1 required at labeled_fraction >= 0.2",
         "reference_em_parity": parity,
+        **preserved,
     }, indent=1) + "\n")
 
     # in the mid-noise regime EM must actually help, and anchoring must not
@@ -174,9 +191,16 @@ def test_reference_scale_quality(tmp_path_factory):
     # reference's, identically — ends far above prior-only here)
     assert (results["0.95"]["loss_after_damped_em"]
             < results["0.95"]["loss_prior_only"])
-    # labels recover genotypes from nothing (reference bar: loss < 0.1 at 20%)
-    assert semi_supervised["0.2"] < 0.1
-    assert semi_supervised["0.5"] < 0.1
+    # damping="auto" must match the better of plain EM and prior-only at
+    # every point — the selector's whole contract (VERDICT r3 ask #5)
+    for point, row in results.items():
+        bar = min(row["loss_prior_only"], row["loss_after_em"]) + 1e-6
+        assert row["loss_after_auto_em"] <= bar, (point, row)
+    # labels recover genotypes from nothing (reference bar: loss < 0.1 at
+    # every >= 20% point; the low-label 1-10% cliff is recorded, not gated)
+    for fraction, loss in semi_supervised.items():
+        if float(fraction) >= 0.2:
+            assert loss < 0.1, (fraction, loss)
     if parity is not None:
         # the EM trajectory — including the divergence both implementations
         # exhibit at 95% unsupervised degradation — must match the reference

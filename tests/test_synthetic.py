@@ -174,6 +174,59 @@ def test_anchored_damping(synthetic_data):
         )
 
 
+def test_auto_damping(synthetic_data):
+    """damping="auto" matches the better of plain and anchored EM.
+
+    The selector's contract (measured separation: converging runs disagree
+    ≤ ~5% with the anchored witness, diverging ones ≥ 24%): never worse
+    than both prior-only inference and plain EM, and exactly the plain
+    result when every variant carries a prior (anchor == plain there).
+    """
+    _f, genotypes, barcode2correct_donor, barcode_handler, calls = synthetic_data
+
+    ng = genotypes.clone()
+    snp_ids = ng.get_snp_ids_for_variants()
+    snp_mask = np.random.RandomState(5).random_sample(snp_ids.max() + 1) < 0.95
+    ng.variant_betas[np.nonzero(snp_mask[snp_ids])[0], :] = 0
+
+    _lg, prior_probs = Demultiplexer.predict_posteriors(
+        calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0
+    )
+    _l, plain_probs = Demultiplexer.learn_genotypes(
+        calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0
+    )
+    learnt, auto_probs = Demultiplexer.learn_genotypes(
+        calls, ng, barcode_handler=barcode_handler, doublet_prior=0.0,
+        damping="auto",
+    )
+    loss_auto = compute_loss(barcode2correct_donor, auto_probs)
+    loss_bar = min(
+        compute_loss(barcode2correct_donor, prior_probs),
+        compute_loss(barcode2correct_donor, plain_probs),
+    )
+    assert auto_probs.attrs["damping_selected"] in (None, "anchor")
+    assert 0.0 <= auto_probs.attrs["anchored_disagreement"] <= 1.0
+    assert loss_auto <= loss_bar + 1e-3, (loss_auto, loss_bar)
+
+    # full prior: anchor == plain, so auto must return the plain result
+    a, pa = Demultiplexer.learn_genotypes(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=2,
+        damping="auto",
+    )
+    b, pb = Demultiplexer.learn_genotypes(
+        calls, genotypes, barcode_handler=barcode_handler, n_iterations=2,
+    )
+    assert pa.attrs["damping_selected"] is None
+    np.testing.assert_allclose(pa.values, pb.values, atol=1e-6)
+    np.testing.assert_allclose(a.get_betas(), b.get_betas(), rtol=1e-6)
+
+    # the staged generator cannot decide mid-flight; the error says so
+    with pytest.raises(ValueError, match="learn_genotypes"):
+        next(Demultiplexer.staged_genotype_learning(
+            calls, ng, barcode_handler=barcode_handler, damping="auto"
+        ))
+
+
 def test_genotypes_export_and_loading(synthetic_data):
     _f, genotypes, *_ = synthetic_data
     with tempfile.TemporaryDirectory() as dir:
