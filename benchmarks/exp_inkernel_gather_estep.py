@@ -75,8 +75,10 @@ def main():
         return jnp.sum(out) * 1e-30
 
     def inkernel(c, a):
+        from inkernel_gather_kernels import tiled_logits_inkernel_gather
+
         g, o = a
-        out = tiled_logits_impl(g + c, *o, **common, inkernel_gather=True)
+        out = tiled_logits_inkernel_gather(g + c, *o, **common)
         return jnp.sum(out) * 1e-30
 
     t_main = chain_time(mainline, (gp, args))

@@ -67,13 +67,18 @@ def main():
 
         def step(c, a):
             p, d_ = a
-            out = tiled_mstep_impl(
-                p + c, *d_,
+            kw = dict(
                 n_variants=n_variants, n_genotypes=N_DONORS,
                 tv=layout.tile_variants, tc=layout.chunk_calls,
                 sps=layout.subtiles_per_super, contribution_power=2.0,
-                band_specs=layout.band_specs, inkernel_gather=inkernel,
+                band_specs=layout.band_specs,
             )
+            if inkernel:
+                from inkernel_gather_kernels import tiled_mstep_inkernel_gather
+
+                out = tiled_mstep_inkernel_gather(p + c, *d_, **kw)
+            else:
+                out = tiled_mstep_impl(p + c, *d_, **kw)
             return jnp.sum(out) * 1e-30
 
         t = chain_time(step, (post_dev, dev), k=12)

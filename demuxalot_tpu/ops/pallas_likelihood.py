@@ -329,135 +329,6 @@ def _likelihood_kernel(
             probs_ref[:] = e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _likelihood_kernel_ig(
-    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]
-    suboff_ref,  # SMEM scalar prefetch [n_chunks]
-    vid_hbm,  # ANY [1, n_chunks*TC] BAND-LOCAL variant id per call slot
-    sg_hbm,  # ANY [1, n_chunks*GPC]
-    q_hbm,  # ANY [1, n_chunks*TC]
-    table_ref,  # VMEM [v_band_pad, D_pad] — this band's genotype rows
-    mix_ref,  # VMEM [PG_sl, D_pad]
-    pen_ref,  # VMEM [1, PGp]
-    out_ref,  # VMEM [TBS, PGp]
-    vid_buf,  # VMEM scratch [2, 1, TC] i32
-    sg_buf,  # VMEM scratch [2, 1, GPC] i32
-    q_buf,  # VMEM scratch [2, 1, TC] f32
-    vid_sem,
-    sg_sem,
-    q_sem,
-    *,
-    tb: int,
-    tc: int,
-    pg_sl: int,
-    n_words: int,
-    n_super: int,
-):
-    """EXPERIMENTAL in-kernel-gather variant (``inkernel_gather=True``).
-
-    The mainline kernel consumes XLA-pre-gathered log arguments U — paying
-    the gather engine's measured ~2.6 ns/row floor outside the kernel. This
-    variant keeps each variant band's genotype rows RESIDENT in VMEM
-    (fetched once per grid step as a pipelined block) and gathers per call
-    with ``jnp.take`` on the sublane axis, so the gather (a) runs on-core
-    and (b) overlaps the MXU work instead of preceding it. Whether Mosaic
-    lowers the take to a fast dynamic-gather is exactly what
-    benchmarks/exp_kernel_gather.py's canary decides; until then the path
-    is interpret-tested and env-gated off.
-    """
-    group = max(1, tc // 128)
-    gpc = tc // group
-    s = pl.program_id(0)
-    band = pl.program_id(1)
-    at = band * (n_super + 1) + s
-    lo = bounds_ref[at]
-    hi = bounds_ref[at + 1]
-    n = hi - lo
-
-    def dmas(slot, ci):
-        return (
-            pltpu.make_async_copy(
-                vid_hbm.at[:, pl.ds((lo + ci) * tc, tc)], vid_buf.at[slot], vid_sem.at[slot]
-            ),
-            pltpu.make_async_copy(
-                sg_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], sg_buf.at[slot], sg_sem.at[slot]
-            ),
-            pltpu.make_async_copy(
-                q_hbm.at[:, pl.ds((lo + ci) * tc, tc)], q_buf.at[slot], q_sem.at[slot]
-            ),
-        )
-
-    @pl.when(band == 0)
-    def _init():
-        out_ref[:] = jnp.broadcast_to(pen_ref[0, :], out_ref.shape)
-
-    @pl.when(n > 0)
-    def _warmup():
-        for d in dmas(0, 0):
-            d.start()
-
-    def body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        next_slot = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n)
-        def _prefetch():
-            for d in dmas(next_slot, ci + 1):
-                d.start()
-
-        for d in dmas(slot, ci):
-            d.wait()
-
-        # the gather: TC genotype rows from the resident band table
-        rows = jnp.take(table_ref[:], vid_buf[slot][0, :], axis=0)  # [TC, D_pad]
-        q = q_buf[slot][0, :]
-        # fold: padding calls (q = 1) give u = 1 -> args = Σ mix = 1 -> log 0;
-        # padded donor columns carry zero mixing, so their u values are inert
-        u = rows * (1.0 - q)[:, None] + jnp.maximum(q, 1e-4)[:, None]
-        args = dot_words(mix_ref[:], u, ((1,), (1,)), n_words, split="b")  # [PG_sl, TC]
-
-        # same product-before-log fold as the mainline kernel (see
-        # _likelihood_kernel) so the A/B compares like against like
-        gs = None
-        for j0 in range(0, group, _LOG_FOLD_WIDTH):
-            ps = args[:, j0 * gpc : (j0 + 1) * gpc]
-            for j in range(j0 + 1, min(j0 + _LOG_FOLD_WIDTH, group)):
-                ps = ps * args[:, j * gpc : (j + 1) * gpc]
-            part = jnp.log(jnp.maximum(ps, 1e-30))
-            gs = part if gs is None else gs + part
-
-        sg = sg_buf[slot][0, :]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, gpc), 0)
-        onehot = (row_ids == sg[None, :]).astype(jnp.float32)
-        contribution = dot_words(onehot, gs, ((1,), (1,)), n_words)
-
-        off = pl.multiple_of(suboff_ref[lo + ci] * tb, tb)
-        out_ref[pl.ds(off, tb), :pg_sl] += contribution
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-
-
-def banded_table(genotype_prob, band_specs, v_band_pad: int, d_pad: int,
-                 donor_major: bool = False):
-    """Stack per-band genotype rows into [n_bands·v_band_pad, D_pad].
-
-    Each band's rows are padded to a uniform sublane-aligned height so the
-    in-kernel-gather variant can fetch band k as one pipelined VMEM block.
-    Padding rows are zeros; band-local ids never reach them.
-    """
-    parts = []
-    for v_lo, v_hi, _c_lo, _c_hi in band_specs:
-        if donor_major:
-            block = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=1).T
-        else:
-            block = jax.lax.slice_in_dim(genotype_prob, v_lo, v_hi, axis=0)
-        d = block.shape[1]
-        parts.append(
-            jnp.pad(block, ((0, v_band_pad - block.shape[0]), (0, d_pad - d)))
-        )
-    return jnp.concatenate(parts, axis=0)
-
-
 def tiled_logits_impl(
     genotype_prob,  # f32 [V, D] (or [D, V] with donor_major=True)
     mixing_sl,  # f32 [PG_sl, Dp] (pseudogenotypes on sublanes, donors 8-padded)
@@ -479,7 +350,6 @@ def tiled_logits_impl(
     donor_major: bool = False,
     softmax_out: bool = False,
     n_pseudogenotypes: int = 0,  # true pg count; required with softmax_out
-    inkernel_gather: bool = False,  # EXPERIMENTAL: see _likelihood_kernel_ig
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -515,16 +385,6 @@ def tiled_logits_impl(
     if not band_specs:
         band_specs = ((0, n_variants, 0, n_chunks),)
     n_bands = len(band_specs)
-
-    if inkernel_gather:
-        if softmax_out:
-            raise NotImplementedError("inkernel_gather + softmax_out")
-        return _tiled_logits_inkernel_gather(
-            genotype_prob, mixing_sl, penalties_p, vid, seg_group, q,
-            chunk_bounds, chunk_suboff,
-            n_super=n_super, tbs=tbs, tb=tb, tc=tc, band_specs=band_specs,
-            interpret=interpret, n_words=n_words, donor_major=donor_major,
-        )
 
     # stage slack: the staged DMA fetches SB chunks per transfer, so the
     # last block of the last region may read up to SB-1 chunks past the
@@ -621,81 +481,11 @@ def tiled_logits_impl(
     return tuple(out) if softmax_out else out
 
 
-def _tiled_logits_inkernel_gather(
-    genotype_prob, mixing_sl, penalties_p, vid, seg_group, q,
-    chunk_bounds, chunk_suboff,
-    *,
-    n_super: int, tbs: int, tb: int, tc: int, band_specs: tuple,
-    interpret: bool, n_words: int, donor_major: bool,
-):
-    """Launcher for the experimental in-kernel-gather kernel."""
-    pg_sl, d_pad = mixing_sl.shape
-    pgp = penalties_p.shape[1]
-    gpc = tc // max(1, tc // 128)
-    n_bands = len(band_specs)
-    n_chunks = chunk_suboff.shape[0]
-    v_band_pad = _round_up(max(v_hi - v_lo for v_lo, v_hi, *_ in band_specs), 8)
-
-    table = banded_table(genotype_prob, band_specs, v_band_pad, d_pad, donor_major)
-    vid2d = vid.reshape(1, -1)
-
-    from .tiling import check_kernel_budgets
-
-    check_kernel_budgets(
-        "likelihood-ig",
-        tbs * pgp * 4
-        + 2 * v_band_pad * d_pad * 4  # pipelined band table blocks
-        + mixing_sl.size * 4 + pgp * 4
-        + 2 * (tc * 4 + gpc * 4 + tc * 4),
-        n_super * n_bands,
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_super, n_bands),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # vid
-            pl.BlockSpec(memory_space=pl.ANY),  # seg_group
-            pl.BlockSpec(memory_space=pl.ANY),  # q
-            pl.BlockSpec((v_band_pad, d_pad), lambda s, k, *_: (k, 0)),  # band table
-            pl.BlockSpec(mixing_sl.shape, lambda s, k, *_: (0, 0)),
-            pl.BlockSpec((1, pgp), lambda s, k, *_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tbs, pgp), lambda s, k, *_: (s, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, tc), jnp.int32),
-            pltpu.VMEM((2, 1, gpc), jnp.int32),
-            pltpu.VMEM((2, 1, tc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _likelihood_kernel_ig, tb=tb, tc=tc, pg_sl=pg_sl, n_words=n_words,
-        n_super=n_super,
-    )
-    passes = max(n_words, 1)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_super * tbs, pgp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=n_chunks * (2 * tc * d_pad * pg_sl + 2 * tb * gpc * pg_sl) * passes,
-            bytes_accessed=n_chunks * tc * 12
-            + n_super * n_bands * v_band_pad * d_pad * 4
-            + n_super * tbs * pgp * 4,
-            transcendentals=n_chunks * tc * pg_sl,
-        ),
-        interpret=interpret,
-    )(chunk_bounds, chunk_suboff, vid2d, seg_group, q, table, mixing_sl, penalties_p)
-
-
 _tiled_logits = functools.partial(
     jax.jit,
     static_argnames=("n_super", "tbs", "tb", "tc", "band_specs", "interpret",
                      "n_words", "stack_k", "donor_major", "softmax_out",
-                     "n_pseudogenotypes", "inkernel_gather"),
+                     "n_pseudogenotypes"),
 )(tiled_logits_impl)
 
 

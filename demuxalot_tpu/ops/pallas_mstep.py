@@ -168,93 +168,6 @@ def _mstep_kernel(
     jax.lax.fori_loop(0, jax.lax.div(n + sb - 1, sb), body, 0)
 
 
-def _mstep_kernel_ig(
-    bounds_ref,  # SMEM scalar prefetch [n_bands * (n_super + 1)]
-    suboff_ref,  # SMEM scalar prefetch [n_chunks]
-    cb_hbm,  # ANY [1, n_chunks*TC] BAND-LOCAL barcode per call
-    vl_hbm,  # ANY [1, n_chunks*GPC]
-    q_hbm,  # ANY [1, n_chunks*TC] — (1−q)^p pre-folded (padding rows = 0)
-    table_ref,  # VMEM [b_band_pad, D] this band's posterior^p rows
-    out_ref,  # VMEM [D, SPS*TV]
-    cb_buf,  # VMEM scratch [2, 1, TC] i32
-    vl_buf,  # VMEM scratch [2, 1, GPC] i32
-    q_buf,  # VMEM scratch [2, 1, TC] f32
-    cb_sem,
-    vl_sem,
-    q_sem,
-    *,
-    tv: int,
-    tc: int,
-    n_words: int,
-    n_super: int,
-):
-    """EXPERIMENTAL in-kernel-gather M-step (DEMUX kernels, see the E-step
-    twin `_likelihood_kernel_ig`): the posterior band stays VMEM-resident
-    and each chunk's rows are gathered with jnp.take on the sublane axis,
-    replacing the XLA pre-gather (the M-step's dominant cost at the bench
-    shape). Calls arrive in the barcode-banded TiledMstepCalls layout
-    (band-local barcode ids); the power fold is mandatory here — the table
-    arrives pre-raised and q carries (1−q)^p with padding at exact 0.
-    """
-    group = max(1, tc // 128)
-    gpc = tc // group
-    s = pl.program_id(0)
-    band = pl.program_id(1)
-    at = band * (n_super + 1) + s
-    lo = bounds_ref[at]
-    hi = bounds_ref[at + 1]
-    n = hi - lo
-
-    def dmas(slot, ci):
-        base = (lo + ci) * tc
-        return (
-            pltpu.make_async_copy(cb_hbm.at[:, pl.ds(base, tc)], cb_buf.at[slot], cb_sem.at[slot]),
-            pltpu.make_async_copy(
-                vl_hbm.at[:, pl.ds((lo + ci) * gpc, gpc)], vl_buf.at[slot], vl_sem.at[slot]
-            ),
-            pltpu.make_async_copy(q_hbm.at[:, pl.ds(base, tc)], q_buf.at[slot], q_sem.at[slot]),
-        )
-
-    @pl.when(band == 0)
-    def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(n > 0)
-    def _warmup():
-        for d in dmas(0, 0):
-            d.start()
-
-    def body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        next_slot = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n)
-        def _prefetch():
-            for d in dmas(next_slot, ci + 1):
-                d.start()
-
-        for d in dmas(slot, ci):
-            d.wait()
-
-        rows = jnp.take(table_ref[:], cb_buf[slot][0, :], axis=0)  # [TC, D]
-        w = rows * q_buf[slot][0, :][:, None]  # padding rows carry q2 = 0
-
-        # per-group sums along the call (sublane) axis -> [GPC, D]
-        gw = w[0:gpc, :]
-        for j in range(1, group):
-            gw = gw + w[j * gpc : (j + 1) * gpc, :]
-
-        vl = vl_buf[slot][0, :]
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tv, gpc), 0)
-        onehot = (col_ids == vl[None, :]).astype(jnp.float32)  # [TV, GPC]
-        off = pl.multiple_of(suboff_ref[lo + ci] * tv, tv)
-        # contract the group axis: gw axis 0 vs onehot axis 1 -> [D, TV]
-        out_ref[:, pl.ds(off, tv)] += dot_words(gw, onehot, ((0,), (1,)), n_words, split="a")
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-
-
 def tiled_mstep_impl(
     posterior,  # f32 [n_barcodes(+pad), n_pseudogenotypes]
     cb_global,  # i32 [n_chunks * TC] barcode per call, band-LOCAL when banded
@@ -273,7 +186,6 @@ def tiled_mstep_impl(
     interpret: bool = False,
     donor_major_out: bool = False,
     fold_power: bool | None = None,
-    inkernel_gather: bool = False,  # EXPERIMENTAL: see _mstep_kernel_ig
 ):
     """Trace-time kernel invocation (jit-free; usable inside shard_map).
 
@@ -296,22 +208,6 @@ def tiled_mstep_impl(
         fold_power = resolve_fold_power()
     # p <= 0 would turn the q = 1 padding rows into 1s instead of 0s
     fold_power = fold_power and contribution_power > 0
-
-    if inkernel_gather:
-        if not band_specs or len(band_specs) < 2:
-            raise ValueError(
-                "inkernel_gather needs a barcode-banded layout "
-                "(TiledMstepCalls with n_bands sized for VMEM band blocks)"
-            )
-        if contribution_power <= 0:
-            raise ValueError("inkernel_gather requires contribution_power > 0")
-        return _tiled_mstep_inkernel_gather(
-            posterior, cb_global, vl, q, chunk_bounds, chunk_suboff,
-            n_variants=n_variants, n_genotypes=n_genotypes,
-            tv=tv, tc=tc, sps=sps, contribution_power=contribution_power,
-            band_specs=band_specs, interpret=interpret,
-            donor_major_out=donor_major_out,
-        )
 
     if fold_power:
         # fold the contribution power into the XLA side: the table is
@@ -407,87 +303,11 @@ def tiled_mstep_impl(
     return block if donor_major_out else block.T  # [n_variants, D] by default
 
 
-def _tiled_mstep_inkernel_gather(
-    posterior, cb_global, vl, q, chunk_bounds, chunk_suboff,
-    *,
-    n_variants: int, n_genotypes: int, tv: int, tc: int, sps: int,
-    contribution_power: float, band_specs: tuple, interpret: bool,
-    donor_major_out: bool,
-):
-    """Launcher for the experimental in-kernel posterior-gather M-step."""
-    from .pallas_likelihood import banded_table
-    from .tiling import check_kernel_budgets
-
-    n_bands = len(band_specs)
-    n_super = chunk_bounds.shape[0] // n_bands - 1
-    gpc = tc // max(1, tc // 128)
-    d = -(-n_genotypes // 8) * 8
-    b_band_pad = -(-max(b_hi - b_lo for b_lo, b_hi, *_ in band_specs) // 8) * 8
-
-    # power fold is structural here: the resident table is posterior^p and
-    # the q stream carries (1−q)^p with padding rows at exact 0
-    table = banded_table(
-        posterior[:, :n_genotypes] ** contribution_power,
-        band_specs, b_band_pad, d,
-    )
-    q2 = (1.0 - q) ** contribution_power
-    cb2d = cb_global.reshape(1, -1)
-
-    check_kernel_budgets(
-        "mstep-ig",
-        d * sps * tv * 4
-        + 2 * b_band_pad * d * 4
-        + 2 * (tc * 4 + gpc * 4 + tc * 4),
-        n_super * n_bands,
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_super, n_bands),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # cb
-            pl.BlockSpec(memory_space=pl.ANY),  # vl
-            pl.BlockSpec(memory_space=pl.ANY),  # q2
-            pl.BlockSpec((b_band_pad, d), lambda s, k, *_: (k, 0)),  # band table
-        ],
-        out_specs=pl.BlockSpec((d, sps * tv), lambda s, k, *_: (0, s)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, tc), jnp.int32),
-            pltpu.VMEM((2, 1, gpc), jnp.int32),
-            pltpu.VMEM((2, 1, tc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _mstep_kernel_ig, tv=tv, tc=tc,
-        n_words=_SPLIT_WORDS[KERNEL_PRECISION], n_super=n_super,
-    )
-    n_chunks = chunk_suboff.shape[0]
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, n_super * sps * tv), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=n_chunks * 2 * d * tc * tv,
-            bytes_accessed=n_chunks * tc * 12
-            + n_super * n_bands * b_band_pad * d * 4
-            + n_super * sps * d * tv * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(chunk_bounds, chunk_suboff, cb2d, vl, q2, table)
-    block = out[:n_genotypes, :n_variants]
-    return block if donor_major_out else block.T
-
-
 _tiled_mstep = functools.partial(
     jax.jit,
     static_argnames=(
         "n_variants", "n_genotypes", "tv", "tc", "sps", "contribution_power",
         "band_specs", "interpret", "donor_major_out", "fold_power",
-        "inkernel_gather",
     ),
 )(tiled_mstep_impl)
 

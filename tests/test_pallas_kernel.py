@@ -496,72 +496,6 @@ def test_banded_layout_randomized_invariants(trial):
     np.testing.assert_array_equal(q_flat[~real], 1.0)
 
 
-@pytest.mark.parametrize("donor_major", [False, True])
-def test_inkernel_gather_matches_mainline(donor_major):
-    """EXPERIMENTAL in-kernel-gather kernel == the pre-gathered mainline."""
-    from demuxalot_tpu.ops.pallas_likelihood import TiledDeviceCalls, tiled_logits_impl
-    from demuxalot_tpu.ops.tiling import tile_barcode_calls_banded
-
-    gprob, mixing, penalties, vid, cb, q, n_barcodes, _ref = _problem(
-        n_snps=90, n_calls=5000, doublet_prior=0.3
-    )
-    n_variants = gprob.shape[0]
-    tiled = tile_barcode_calls_banded(
-        cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=3,
-        tile_barcodes=16, chunk_calls=128,
-    )
-    dev = TiledDeviceCalls(mixing, penalties, tiled)
-    gp = jnp.asarray(gprob.T.copy()) if donor_major else jnp.asarray(gprob)
-    kwargs = dict(
-        n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
-        tc=dev.chunk_calls, band_specs=dev.band_specs, interpret=True,
-        donor_major=donor_major,
-    )
-    args = (dev.mixing_sl, dev.penalties_p, dev.vid, dev.seg_group, dev.q,
-            dev.chunk_bounds, dev.chunk_suboff)
-    mainline = np.asarray(tiled_logits_impl(gp, *args, **kwargs))
-    ig = np.asarray(tiled_logits_impl(gp, *args, **kwargs, inkernel_gather=True))
-    np.testing.assert_allclose(ig, mainline, rtol=1e-5, atol=1e-4)
-
-
-def test_mstep_inkernel_gather_matches_oracle():
-    """EXPERIMENTAL in-kernel posterior-gather M-step == oracle (banded)."""
-    from demuxalot_tpu.ops.pallas_mstep import TiledMstepCalls, tiled_mstep_impl
-    from oracle import oracle_mstep
-
-    rng = np.random.RandomState(23)
-    n_variants, n_donors, n_barcodes, n_calls = 260, 12, 340, 15000
-    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
-    cb = rng.randint(0, n_barcodes, n_calls).astype(np.int32)
-    q = (rng.rand(n_calls) * 0.8).astype(np.float32)
-    post = rng.rand(n_barcodes, n_donors + 3).astype(np.float32)  # extra pg cols
-    post /= post.sum(axis=1, keepdims=True)
-
-    order = np.argsort(vid, kind="stable")
-    layout = TiledMstepCalls(
-        vid[order], cb[order], q[order], n_variants,
-        tile_variants=64, chunk_calls=128, n_barcodes=n_barcodes,
-        n_bands=3, n_genotypes=n_donors,
-    )
-    assert len(layout.band_specs) >= 2, "layout must actually band barcodes"
-    dev = tuple(jnp.asarray(x) for x in (
-        layout.cb_global, layout.vl, layout.q, layout.chunk_bounds, layout.chunk_suboff
-    ))
-    for dm_out in (False, True):
-        ours = np.asarray(tiled_mstep_impl(
-            jnp.asarray(post), *dev,
-            n_variants=n_variants, n_genotypes=n_donors,
-            tv=layout.tile_variants, tc=layout.chunk_calls,
-            sps=layout.subtiles_per_super, contribution_power=2.0,
-            band_specs=layout.band_specs, interpret=True,
-            inkernel_gather=True, donor_major_out=dm_out,
-        ))
-        if dm_out:
-            ours = ours.T
-        ref = oracle_mstep(post, vid, cb, q, n_variants, n_donors, 2.0)
-        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
-
-
 def test_adaptive_chunk_calls_tracks_skew():
     """choose_chunk_calls_from_counts: uniform fills reward big chunks
     (group padding is free when counts divide G), heavy-tailed fills
