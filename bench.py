@@ -95,16 +95,31 @@ def main():
 
     small = jnp.ones((8,))
 
-    def measure(fn, iters=N_TIMING_ITERS):
+    # audit record (ask: every number reconstructible from the artifact):
+    # each timing's raw samples, the tunnel latency subtracted, and k
+    timing_audit = {}
+
+    def _audit(name, kind, samples, latency, k=1):
+        timing_audit[name] = {
+            "method": kind,
+            "k_chained": k,
+            "samples_s": [round(s, 5) for s in sorted(samples)],
+            "tunnel_latency_subtracted_s": round(latency, 5),
+            "reported_s": round(max(min(samples) - latency, 1e-9) / k, 5),
+        }
+
+    def measure(fn, iters=N_TIMING_ITERS, name=None):
         """Min-of-iterations timing: robust to shared-pool contention spikes."""
         float(jnp.sum(fn()))  # warm / compile
         latency = min(
             _timed(lambda: float(trivial(small))) for _ in range(5)
         )
-        best = min(_timed(lambda: float(jnp.sum(fn()))) for _ in range(iters))
-        return max(best - latency, 1e-9)
+        samples = [_timed(lambda: float(jnp.sum(fn()))) for _ in range(iters)]
+        if name:
+            _audit(name, "min_of_iters_minus_latency", samples, latency)
+        return max(min(samples) - latency, 1e-9)
 
-    def chain_time(step, carry0, operands, k, iters=3):
+    def chain_time(step, carry0, operands, k, iters=3, name=None):
         """Amortized timing: one jit runs k DEPENDENT steps; (T − latency)/k.
 
         Single-dispatch timings through this tunnel are unreliable below
@@ -121,10 +136,12 @@ def main():
         )
         float(jnp.sum(chain(carry0, operands)))  # compile + warm
         latency = min(_timed(lambda: float(trivial(small))) for _ in range(5))
-        best = min(
+        samples = [
             _timed(lambda: float(jnp.sum(chain(carry0, operands)))) for _ in range(iters)
-        )
-        return max(best - latency, 1e-9) / k
+        ]
+        if name:
+            _audit(name, "chained_min_of_iters_minus_latency", samples, latency, k=k)
+        return max(min(samples) - latency, 1e-9) / k
 
     def _timed(thunk):
         t0 = time.perf_counter()
@@ -162,17 +179,21 @@ def main():
         xla_time = chain_time(
             xla_step, jnp.float32(0.0),
             (gp_dev, mix_d, pen_d, vid_d, cb_d, q_d), k=4,
+            name="xla_estep",
         )
     else:
         xla_time = measure(
             lambda: xla_forward(gp_dev, mix_d, pen_d, vid_d, cb_d, q_d,
-                                n_barcodes=N_BARCODES, call_chunk=512 * 1024)
+                                n_barcodes=N_BARCODES, call_chunk=512 * 1024),
+            name="xla_estep",
         )
 
     # --- Pallas path (TPU only): the PRODUCTION layout selection ----------
     pallas_time = None
     em_iter_time = None
     mstep_time = None
+    estep_gather_time = None
+    estep_decomposition = None
     if backend == "tpu":
         from demuxalot_tpu.models.demux import _PallasLogits
         from demuxalot_tpu.ops.packing import BARCODE_CALLS_DTYPE
@@ -207,8 +228,20 @@ def main():
             pallas_time = chain_time(
                 lambda c, a: jnp.sum(pallas_logits(a[0] + c, a[1])) * 1e-30,
                 jnp.float32(0.0), (gp_dev, dev_ops), k=12,
+                name="pallas_estep",
             )
-            _stage(f"Pallas E-step {pallas_time*1e3:.1f} ms; M-step path")
+
+            # measured decomposition: the XLA gather+fold alone (exactly the
+            # kernel program's pre-kernel stage: same slot stream, same fold)
+            estep_gather_time = chain_time(
+                lambda c, a: jnp.sum(
+                    (a[0] + c).T[:, a[1]] * (1.0 - a[2]) + jnp.maximum(a[2], 1e-4)
+                ) * 1e-30,
+                jnp.float32(0.0), (gp_dev, dev.vid, dev.q), k=12,
+                name="estep_gather_fold_only",
+            )
+            _stage(f"Pallas E-step {pallas_time*1e3:.1f} ms "
+                   f"(gather+fold alone {estep_gather_time*1e3:.1f} ms); M-step path")
         except Exception as e:
             print(f"# pallas path failed: {e}", file=sys.stderr)
 
@@ -244,6 +277,7 @@ def main():
             mstep_time = chain_time(
                 lambda c, a: jnp.sum(mstep_addition(a[0] + c, a[1])) * 1e-30,
                 jnp.float32(0.0), (probs_fixed, m_ops), k=12,
+                name="pallas_mstep",
             )
 
             # the true production chain: addition feeds the next iteration's
@@ -276,10 +310,60 @@ def main():
             em_iter_time = chain_time(
                 em_iteration, jnp.zeros_like(betas_dm),
                 (betas_dm, v2s_dev, dev_ops, m_ops), k=8,
+                name="em_iteration",
             )
             _stage(f"EM iteration {em_iter_time*1e3:.1f} ms")
         except Exception as e:
             print(f"# em path failed: {e}", file=sys.stderr)
+
+    if pallas_time and estep_gather_time:
+        # kernel-side bound accounting (round-4 ask): each remaining ms at a
+        # named hardware limit, from the layout's exact slot counts and the
+        # measured DMA issue model (benchmarks/exp_dma_pattern.py: 64 KB
+        # transfers stream at ~120 GB/s, >= 1 MB at ~234 GB/s => per-transfer
+        # issue overhead ~0.27 us on top of a 234 GB/s stream)
+        from demuxalot_tpu.ops.pallas_likelihood import (
+            _LOG_FOLD_WIDTH, stage_chunks,
+        )
+
+        tc = dev.chunk_calls
+        n_chunks = dev.n_chunks
+        slots = n_chunks * tc
+        pg_sl, d_pad = (int(x) for x in dev.mixing_sl.shape)
+        gpc = tc // max(1, tc // 128)
+        tb = dev.tile_barcodes
+        sb = stage_chunks(tc)
+        n_words = 2  # f32x2 default
+        dma_issue_s = 64 * 1024 * (1 / 120e9 - 1 / 234e9)  # ~2.66e-7
+        u_bytes = d_pad * slots * 4
+        u_dma_s = (n_chunks / sb) * dma_issue_s + u_bytes / 234e9
+        bf16_peak = 197e12  # v5e MXU, DEFAULT-precision passes
+        # stacked-K expansion: one pass per chunk, contraction padded to 128
+        mxu_expansion_s = 2 * slots * pg_sl * max(d_pad * n_words, 128) / bf16_peak
+        # stacked scatter: one pass, contraction n_words*GPC (<= 256)
+        mxu_scatter_s = n_chunks * 2 * tb * pg_sl * (n_words * gpc) / bf16_peak
+        vpu_log_s = slots * pg_sl / _LOG_FOLD_WIDTH / 0.4e12
+        kernel_side_s = pallas_time - estep_gather_time
+        compute_s = mxu_expansion_s + mxu_scatter_s + vpu_log_s
+        estep_decomposition = {
+            "measured_estep_s": round(pallas_time, 5),
+            "measured_gather_fold_s": round(estep_gather_time, 5),
+            "kernel_side_s": round(kernel_side_s, 5),
+            "kernel_side_bounds_s": {
+                "u_stream_dma_s": round(u_dma_s, 5),
+                "mxu_expansion_stackedK_s": round(mxu_expansion_s, 5),
+                "mxu_scatter_s": round(mxu_scatter_s, 5),
+                "vpu_log_folded_s": round(vpu_log_s, 5),
+            },
+            # double-buffered DMA overlaps compute: the kernel's floor is
+            # max(dma, compute), not their sum
+            "kernel_side_floor_s": round(max(u_dma_s, compute_s), 5),
+            "kernel_side_efficiency": round(
+                max(u_dma_s, compute_s) / max(kernel_side_s, 1e-9), 3
+            ),
+            "layout": {"tc": tc, "n_chunks": n_chunks, "slots": slots,
+                       "pg_sl": pg_sl, "d_pad": d_pad, "sb": sb},
+        }
 
     best_time = min(t for t in (xla_time, pallas_time) if t is not None)
     device_rate = evals / best_time
@@ -331,6 +415,24 @@ def main():
             # binding bound is a measured implementation ceiling (gather
             # engine), not just physics — don't let it absorb the gap
             "roofline_bounds_s": bounds,
+        },
+        # every number reconstructible from the artifact: raw samples, the
+        # tunnel latency subtracted, chain length k per measurement
+        "timing_audit": timing_audit,
+        # kernel-side bound table: each remaining ms at a named hardware
+        # limit (measured gather+fold split + DMA/MXU/VPU models)
+        "estep_decomposition": estep_decomposition,
+        "env_knobs": {
+            k: os.environ.get(k, default)
+            for k, default in (
+                ("DEMUX_KERNEL_PRECISION", "f32x2"),
+                ("DEMUX_MATMUL_PRECISION", "high"),
+                ("DEMUX_LOG_FOLD_WIDTH", "8"),
+                ("DEMUX_STACK_SCATTER", "1"),
+                ("DEMUX_STAGE_COLS", "128"),
+                ("DEMUX_MSTEP_FOLD", "1"),
+                ("DEMUX_EM_FUSED_SOFTMAX", "0"),
+            )
         },
     }
 

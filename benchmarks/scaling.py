@@ -244,7 +244,19 @@ def main():
     base = results[0]["barcodes_per_s"]
     for r in results:
         r["weak_scaling_efficiency"] = round(r["barcodes_per_s"] / (base * r["devices"]), 3)
-    out = {"backend": backend, "weak_scaling": results}
+    # the iteration's single collective: one psum of the M-step partials
+    n_variants = N_SNPS * 2  # synthesize_device_workload: two alleles per SNP
+    out = {
+        "backend": backend,
+        "config": {
+            "barcodes_per_shard": BARCODES_PER_SHARD,
+            "n_donors": N_DONORS,
+            "n_snps": N_SNPS,
+            "calls_per_barcode": CALLS_PER_BARCODE,
+        },
+        "psum_payload_bytes": n_variants * N_DONORS * 4,
+        "weak_scaling": results,
+    }
     if backend == "cpu":
         # second track: process-per-device (the faithful chip model on a CPU
         # host — private runtime per device), collective added from the
@@ -254,8 +266,20 @@ def main():
         # max-over-children makes each point an order statistic of tenant
         # noise, so this track needs more repeats than the shard_map one
         pp_repeats = max(repeats, int(os.environ.get("DEMUX_SCALING_PP_REPEATS", 5)))
-        for n in (1, 2, 4):
+        for n in (1, 2, 4, 8):
             if n > host_cores:
+                # an N-way point where children share cores would measure
+                # host oversubscription, not scaling — record the ceiling
+                # in the artifact instead of silently stopping at 4
+                out["host_core_ceiling"] = {
+                    "host_cores": host_cores,
+                    "max_faithful_devices": host_cores,
+                    "reason": "process_parallel gives each emulated chip a "
+                              "private core; this VM has too few cores for "
+                              f"an {n}-way point (children would time-share "
+                              "cores and the number would measure host "
+                              "oversubscription, which has no TPU analogue)",
+                }
                 break
             runs = [_measure_process_parallel(n) for _ in range(pp_repeats)]
             r = min(runs, key=lambda x: x["em_iteration_s"])
@@ -268,6 +292,16 @@ def main():
         for r in pp:
             r["weak_scaling_efficiency"] = round(r["barcodes_per_s"] / (pbase * r["devices"]), 3)
         out["weak_scaling_process_parallel"] = pp
+
+        # third track: 2 OS processes joined through jax.distributed — the
+        # faithful DCN/multi-host analogue (cross-process collectives on the
+        # same machinery a pod uses). Its 1-process twin at the identical
+        # shape isolates the cross-process overhead, which projects the
+        # 2-host efficiency from measured quantities.
+        try:
+            out["jax_distributed_2proc"] = _measure_2proc_track(repeats)
+        except Exception as e:  # artifact must say why the point is absent
+            out["jax_distributed_2proc"] = {"error": str(e)[-500:]}
         out["method"] = (
             "two tracks. (1) shard_map: each N-virtual-device point in one child "
             f"pinned to min(N, {host_cores}) cores; its psum_only_s field is the "
@@ -277,9 +311,66 @@ def main():
             "faithful analogue of chips with private silicon — with the measured "
             "psum added; this track's weak_scaling_efficiency is the headline. "
             "The gap between the tracks is XLA:CPU in-process multi-device "
-            "runtime overhead, which has no TPU counterpart."
+            "runtime overhead, which has no TPU counterpart. (3) "
+            "jax_distributed_2proc: two OS processes, 4 virtual devices each, "
+            "joined into one 8-device mesh through jax.distributed (the "
+            "multi-host machinery); its overhead vs the identical-shape "
+            "single-process run is the measured cross-process collective "
+            "cost, from which projected_2host_efficiency is derived."
         )
     print(json.dumps(out))
+
+
+def _measure_2proc_track(repeats: int):
+    """jax.distributed 2-process point + identical-shape 1-process twin."""
+    import subprocess
+
+    here = Path(__file__).resolve().parent
+
+    best_2proc = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, str(here / "scaling_2proc.py")],
+            capture_output=True, text=True, timeout=900,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"scaling_2proc failed:\n{out.stderr[-1000:]}")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best_2proc is None or r["em_iteration_s"] < best_2proc["em_iteration_s"]:
+            best_2proc = r
+
+    # the twin: same total barcodes (65536) and the same 8-device mesh, one
+    # process — isolates what crossing the process boundary costs
+    env = dict(os.environ)
+    env["DEMUX_SCALING_BARCODES_PER_SHARD"] = str(best_2proc["n_barcodes"] // 8)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    best_1proc = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, __file__, "--one", "8"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"1-proc twin failed:\n{out.stderr[-1000:]}")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best_1proc is None or r["em_iteration_s"] < best_1proc["em_iteration_s"]:
+            best_1proc = r
+
+    cross_overhead = max(best_2proc["em_iteration_s"] - best_1proc["em_iteration_s"], 0.0)
+    # projection: a 2-host pod runs the per-shard compute at full speed on
+    # each host and pays the measured cross-process collective once per
+    # iteration => efficiency = compute / (compute + overhead)
+    projected = best_1proc["em_iteration_s"] / (
+        best_1proc["em_iteration_s"] + cross_overhead
+    )
+    return {
+        "two_process": best_2proc,
+        "one_process_same_shape": best_1proc,
+        "cross_process_overhead_s": round(cross_overhead, 4),
+        "projected_2host_efficiency": round(projected, 3),
+        "projection_formula": "one_process_em / (one_process_em + cross_process_overhead)",
+    }
 
 
 if __name__ == "__main__":

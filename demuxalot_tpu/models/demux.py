@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ..native.hostops import stable_argsort
 from ..ops import likelihood as L
 from ..ops import packing as P
 from ..utils.barcodes import BarcodeHandler
@@ -123,7 +124,7 @@ class _PallasLogits:
         )
 
         cb = barcode_calls["compressed_cb"].astype(np.int32)
-        order = np.argsort(cb, kind="stable")
+        order = stable_argsort(cb)
         args = (
             cb[order],
             barcode_calls["variant_id"].astype(np.int32)[order],
@@ -284,7 +285,7 @@ class _SnpAggregationLayout:
             molecule_calls.compressed_cb, snp_ids
         )
         barcode_of_group, _snp_of_group = groups.lookup_for_individual_features()
-        by_group = np.argsort(group_of_call, kind="stable")
+        by_group = stable_argsort(group_of_call)
         return cls(
             vid_by_group=jnp.asarray(molecule_calls.variant_id[by_group]),
             q_by_group=jnp.asarray(molecule_calls.p_base_wrong[by_group]),
@@ -377,7 +378,7 @@ class _EMRun:
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
                 n_variants=self.n_variants,
             )
-            vorder = np.argsort(barcode_calls["variant_id"], kind="stable")
+            vorder = stable_argsort(barcode_calls["variant_id"])
             self.pallas_mstep = TiledMstepCalls(
                 barcode_calls["variant_id"].astype(np.int32)[vorder],
                 barcode_calls["compressed_cb"].astype(np.int32)[vorder],
@@ -848,7 +849,7 @@ class Demultiplexer:
         mixing, column_names = L.pseudogenotype_mixing(list(genotype_names), doublet_prior)
         penalties = L.doublet_penalties(n_genotypes, doublet_prior)
         cb = np.asarray(barcode_calls["compressed_cb"], dtype=np.int32)
-        order = np.argsort(cb, kind="stable")
+        order = stable_argsort(cb)
         logits = np.asarray(
             L.barcode_logits(
                 jnp.asarray(np.asarray(genotype_prob, dtype=np.float32)),

@@ -24,6 +24,8 @@ from typing import Dict, List, Sequence
 from warnings import warn
 
 import numpy as np
+
+from ..native.hostops import stable_argsort
 import pandas as pd
 
 # packed registry key: (chrom_slot * POSITION_SPAN + position) * BASE_SPAN + base_slot,
@@ -177,7 +179,7 @@ class ProbabilisticGenotypes:
         """Variant row -> dense SNP id (variants sharing (chrom, pos))."""
         n = self._n_rows
         site_key = self._col_chrom[:n].astype(np.int64) * _POSITION_SPAN + self._col_pos[:n]
-        order = np.argsort(site_key, kind="stable")
+        order = stable_argsort(site_key)
         ordered = site_key[order]
         first_of_run = np.ones(n, dtype=bool)
         first_of_run[1:] = ordered[1:] != ordered[:-1]

@@ -13,20 +13,46 @@ from pathlib import Path
 _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "scanner.cpp"
 _LIB = _DIR / "libdemuxscan.so"
+_HOST_SRC = _DIR / "hostops.cpp"
+_HOST_LIB = _DIR / "libdemuxhost.so"
 
 _lib_handle = None
+_host_handle = None
+
+
+def _compile(src: Path, lib: Path, extra=()) -> None:
+    import os
+
+    tmp = f"{lib}.{os.getpid()}.tmp"  # unique per process: parallel workers may race
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(src), *extra, "-o", tmp,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    Path(tmp).replace(lib)  # atomic on POSIX
 
 
 def _build() -> None:
-    import os
+    _compile(_SRC, _LIB, extra=("-lz",))
 
-    tmp = f"{_LIB}.{os.getpid()}.tmp"  # unique per process: parallel workers may race
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-lz", "-o", tmp,
+
+def load_host_library() -> ctypes.CDLL:
+    """Compile (if needed) and load the host-ops library (sort/join)."""
+    global _host_handle
+    if _host_handle is not None:
+        return _host_handle
+    if not _HOST_LIB.exists() or _HOST_LIB.stat().st_mtime < _HOST_SRC.stat().st_mtime:
+        _compile(_HOST_SRC, _HOST_LIB)
+    lib = ctypes.CDLL(str(_HOST_LIB))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.demux_radix_argsort_i64.restype = None
+    lib.demux_radix_argsort_i64.argtypes = [i64p, ctypes.c_int64, i64p]
+    lib.demux_hash_match_i64.restype = None
+    lib.demux_hash_match_i64.argtypes = [
+        i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    Path(tmp).replace(_LIB)  # atomic on POSIX
+    _host_handle = lib
+    return lib
 
 
 def load_library() -> ctypes.CDLL:

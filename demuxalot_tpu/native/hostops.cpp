@@ -1,0 +1,144 @@
+// Host-side packing primitives: stable radix argsort and hash join.
+//
+// The packing layer (ops/packing.py) and the kernel layout builders
+// (ops/tiling.py, models/demux.py) are dominated by two numpy calls at
+// product scale (~9M calls): np.argsort(kind="stable") on integer keys
+// (~1.7 s) and np.searchsorted of calls into the variant registry
+// (~1.4 s). Both are memory-shaped problems a specialized C++ routine
+// beats ~10x: an LSD radix sort that only visits occupied bytes, and an
+// open-addressing hash join whose table fits in L2.
+//
+// The reference has no counterpart (its packing is numpy end to end,
+// demuxalot/demux.py:276-392); this is the "native runtime around the
+// device compute path" layer of the TPU build.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC hostops.cpp -o libdemuxhost.so
+// (no external dependencies; see native/__init__.py for the on-demand build)
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <vector>
+
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
+namespace {
+
+// This VM stalls hard on transparent-huge-page faults (compaction): a fresh
+// ~300 MB allocation's first touch costs seconds (same pathology
+// utils/platform.py:tune_numpy_allocator fixes for numpy). Opt the scratch
+// buffers out BEFORE first touch.
+template <typename T>
+std::unique_ptr<T[]> alloc_nohuge(int64_t n) {
+  // new T[n] without () leaves the memory untouched (no value-init)
+  std::unique_ptr<T[]> p(new T[n]);
+#ifdef __linux__
+  auto addr = (uintptr_t)p.get();
+  auto base = addr & ~(uintptr_t)4095;
+  madvise((void*)base, (size_t)n * sizeof(T) + (addr - base), MADV_NOHUGEPAGE);
+#endif
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable ascending argsort of non-negative int64 keys.
+// out_order must hold n int64 slots. LSD radix with 11-bit digits over
+// the varying bit range only: keys at demux scale occupy <= ~35 bits
+// (variant_id * cb_span + cb), so the sort costs 3-4 passes instead of
+// numpy's comparison sort. Each pass moves (key, index) pairs; the digit
+// width balances histogram size (2048 entries, L1-resident) against pass
+// count.
+void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order) {
+  if (n <= 0) return;
+  constexpr int kDigitBits = 11;
+  constexpr int kBuckets = 1 << kDigitBits;
+  uint64_t or_all = 0;
+  for (int64_t i = 0; i < n; i++) or_all |= (uint64_t)keys[i];
+  int top_bit = 0;
+  while (or_all >> top_bit) top_bit++;  // bits actually used
+
+  auto cur_keys_p = alloc_nohuge<uint64_t>(n);
+  auto nxt_keys_p = alloc_nohuge<uint64_t>(n);
+  auto cur_idx_p = alloc_nohuge<int64_t>(n);
+  auto nxt_idx_p = alloc_nohuge<int64_t>(n);
+  uint64_t* cur_keys = cur_keys_p.get();
+  uint64_t* nxt_keys = nxt_keys_p.get();
+  int64_t* cur_idx = cur_idx_p.get();
+  int64_t* nxt_idx = nxt_idx_p.get();
+  for (int64_t i = 0; i < n; i++) {
+    cur_keys[i] = (uint64_t)keys[i];
+    cur_idx[i] = i;
+  }
+
+  std::vector<int64_t> hist(kBuckets);
+  for (int shift = 0; shift < top_bit; shift += kDigitBits) {
+    std::memset(hist.data(), 0, kBuckets * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) hist[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
+    int64_t sum = 0;
+    for (int b = 0; b < kBuckets; b++) {
+      int64_t c = hist[b];
+      hist[b] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n; i++) {
+      int64_t dst = hist[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
+      nxt_keys[dst] = cur_keys[i];
+      nxt_idx[dst] = cur_idx[i];
+    }
+    std::swap(cur_keys, nxt_keys);
+    std::swap(cur_idx, nxt_idx);
+  }
+  std::memcpy(out_order, cur_idx, (size_t)n * sizeof(int64_t));
+}
+
+// Hash join: out[i] = value of the table entry whose key equals query[i],
+// or -1 when absent. Table keys must be unique and non-negative.
+// Open addressing with linear probing at load factor <= 0.5; the slot
+// array for a 131k-variant registry is ~4 MB (L2/L3-resident), so the
+// 9M-query loop runs at ~1-2 probes per lookup.
+void demux_hash_match_i64(const int64_t* table_keys, const int64_t* table_vals,
+                          int64_t m, const int64_t* query, int64_t n,
+                          int64_t* out) {
+  uint64_t cap = 1;
+  while (cap < (uint64_t)(m * 2 + 1)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  // key+1 so 0 marks an empty slot (keys are non-negative)
+  auto slot_key_p = alloc_nohuge<uint64_t>(cap);
+  auto slot_val_p = alloc_nohuge<int64_t>(cap);
+  uint64_t* slot_key = slot_key_p.get();
+  int64_t* slot_val = slot_val_p.get();
+  std::memset(slot_key, 0, cap * sizeof(uint64_t));
+  auto mix = [](uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdull;
+    x ^= x >> 33;
+    return x;
+  };
+  for (int64_t j = 0; j < m; j++) {
+    uint64_t k = (uint64_t)table_keys[j] + 1;
+    uint64_t h = mix(k) & mask;
+    while (slot_key[h] != 0) h = (h + 1) & mask;
+    slot_key[h] = k;
+    slot_val[h] = table_vals[j];
+  }
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t k = (uint64_t)query[i] + 1;
+    uint64_t h = mix(k) & mask;
+    int64_t v = -1;
+    while (slot_key[h] != 0) {
+      if (slot_key[h] == k) {
+        v = slot_val[h];
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+    out[i] = v;
+  }
+}
+
+}  // extern "C"

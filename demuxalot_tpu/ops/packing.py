@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from ..native.hostops import match_keys, stable_argsort
 from ..utils.encoding import base_lookup
 
 
@@ -76,8 +77,7 @@ def match_calls_to_variants(
     for slot, chrom in enumerate(chrom_names):
         sel = np.asarray(chrom_slots) == slot
         keys = np.asarray(positions, dtype=np.int64)[sel] * 6 + base_codes[sel]
-        order = np.argsort(keys, kind="stable")
-        chrom2keys[chrom] = (keys[order], all_vids[sel][order])
+        chrom2keys[chrom] = (keys, all_vids[sel])
 
     collected = {name: [] for name in (
         "variant_id", "snp_id", "compressed_cb", "molecule_id", "p_base_wrong", "p_molecule_aligned_wrong",
@@ -89,13 +89,14 @@ def match_calls_to_variants(
         molecules = compressed.molecules
         if chromosome not in chrom2keys or len(calls) == 0:
             continue
-        sorted_keys, sorted_vids = chrom2keys[chromosome]
+        table_keys, table_vids = chrom2keys[chromosome]
         call_keys = calls["snp_position"].astype(np.int64) * 6 + calls["base_index"].astype(np.int64)
-        idx = np.searchsorted(sorted_keys, call_keys).clip(0, len(sorted_keys) - 1)
-        matched = sorted_keys[idx] == call_keys
+        # hash join (native; searchsorted fallback): vid per call or -1
+        joined = match_keys(table_keys, table_vids, call_keys)
+        matched = joined >= 0
         if not matched.any():
             continue
-        variant_id = sorted_vids[idx][matched].astype(np.int32)
+        variant_id = joined[matched].astype(np.int32)
         mol_index = calls["molecule_index"][matched]
 
         collected["variant_id"].append(variant_id)
@@ -146,7 +147,7 @@ def molecule_calls_to_barcode_calls(molecule_calls: MoleculeCalls) -> np.recarra
     cb_span = int(cb.max()) + 1 if n else 1
     group_key = vid * cb_span + cb
 
-    order = np.argsort(group_key, kind="stable")
+    order = stable_argsort(group_key)
     sorted_keys = group_key[order]
     starts = _group_boundaries(sorted_keys)
     n_groups = len(starts)
@@ -168,7 +169,7 @@ def molecule_calls_to_barcode_calls(molecule_calls: MoleculeCalls) -> np.recarra
 
     # molecules per (snp, barcode), broadcast back to rows
     snp_cb_key = out_snp.astype(np.int64) * cb_span + out_cb
-    order2 = np.argsort(snp_cb_key, kind="stable")
+    order2 = stable_argsort(snp_cb_key)
     sorted2 = snp_cb_key[order2]
     starts2 = _group_boundaries(sorted2)
     if n_groups:
@@ -268,7 +269,7 @@ class VariantReindex:
     @classmethod
     def build(cls, variant2snp: np.ndarray) -> "VariantReindex":
         v2s = np.asarray(variant2snp)
-        order = np.argsort(v2s, kind="stable")
+        order = stable_argsort(v2s)
         inverse = np.empty(len(order), dtype=np.int32)
         inverse[order] = np.arange(len(order), dtype=np.int32)
         sorted_v2s = np.ascontiguousarray(v2s[order].astype(np.int32))
@@ -398,7 +399,7 @@ def device_pack_barcode_calls(
             n_shards=n_shards,
         )
 
-    order_b = np.argsort(cb, kind="stable")
+    order_b = stable_argsort(cb)
     cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]
     shard_of_call = cb_sorted // per_shard_b
     boundaries = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
@@ -423,7 +424,7 @@ def device_pack_barcode_calls(
         vid_b[block, :n] = local_vid
         q_b[block, :n] = local_q
         # same shard's calls re-sorted by variant for the M-step
-        vorder = np.argsort(local_vid, kind="stable")
+        vorder = stable_argsort(local_vid)
         cb_v[block, :n] = local_cb[vorder]
         vid_v[block, :n] = local_vid[vorder]
         q_v[block, :n] = local_q[vorder]

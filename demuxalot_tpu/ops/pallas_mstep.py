@@ -33,6 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..native.hostops import stable_argsort
 from .pallas_likelihood import (
     KERNEL_PRECISION, _SPLIT_WORDS, dot_words, stage_chunks,
 )
@@ -358,7 +359,7 @@ class ShardedMstepLayout:
         per_shard = []
         for s in shard_ids:
             sel = shard_of_call == s
-            order = np.argsort(vid[sel], kind="stable")
+            order = stable_argsort(vid[sel])
             per_shard.append(
                 TiledMstepCalls(
                     vid[sel][order], cb_local[sel][order], q[sel][order],

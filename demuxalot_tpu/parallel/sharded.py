@@ -22,6 +22,7 @@ import pandas as pd
 from jax.sharding import Mesh, PartitionSpec as PSpec
 from jax import shard_map
 
+from ..native.hostops import stable_argsort
 from ..ops import likelihood as L
 from ..ops import packing as P
 from .mesh import (
@@ -239,7 +240,7 @@ class ShardedDemultiplexer:
             from ..ops.tiling import choose_n_bands, chunk_group, tile_barcode_calls_sharded
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
-            order = np.argsort(cb, kind="stable")
+            order = stable_argsort(cb)
             pg = mixing.shape[1]
             pgp = padded_pg(pg)
             from ..ops.tiling import (
