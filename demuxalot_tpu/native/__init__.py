@@ -51,6 +51,21 @@ def load_host_library() -> ctypes.CDLL:
     lib.demux_hash_match_i64.argtypes = [
         i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.demux_collapse_calls.restype = ctypes.c_int64
+    lib.demux_collapse_calls.argtypes = [
+        i32p, i32p, i32p, f32p, ctypes.c_int64,
+        i32p, i32p, i32p, f32p, i64p,
+    ]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.demux_group_sum_broadcast.restype = None
+    lib.demux_group_sum_broadcast.argtypes = [i64p, f64p, ctypes.c_int64, f64p]
+    lib.demux_tile_scatter.restype = None
+    lib.demux_tile_scatter.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int32, ctypes.c_int32, i32p, f32p, i32p,
+    ]
     _host_handle = lib
     return lib
 

@@ -141,4 +141,98 @@ void demux_hash_match_i64(const int64_t* table_keys, const int64_t* table_vals,
   }
 }
 
+// Collapse molecule calls to unique (variant, barcode) rows: the packing
+// layer's hottest stage (ops/packing.py molecule_calls_to_barcode_calls),
+// fused into one native pass — radix sort by (vid, cb), then one sweep
+// emitting per-group vid/cb/snp, the float32 product of p over the group's
+// members IN STABLE ORDER (bit-identical to numpy multiply.reduceat), and
+// the member count. Returns the number of groups. Output arrays must hold
+// n entries (upper bound).
+int64_t demux_collapse_calls(const int32_t* vid, const int32_t* cb,
+                             const int32_t* snp, const float* p, int64_t n,
+                             int32_t* out_vid, int32_t* out_cb,
+                             int32_t* out_snp, float* out_p,
+                             int64_t* out_count) {
+  if (n <= 0) return 0;
+  auto keys_p = alloc_nohuge<uint64_t>(n);
+  uint64_t* keys = keys_p.get();
+  for (int64_t i = 0; i < n; i++)
+    keys[i] = ((uint64_t)(uint32_t)vid[i] << 32) | (uint32_t)cb[i];
+  auto order_p = alloc_nohuge<int64_t>(n);
+  int64_t* order = order_p.get();
+  demux_radix_argsort_i64((const int64_t*)keys, n, order);
+
+  int64_t g = -1;
+  uint64_t prev = ~keys[order[0]];  // != first key
+  for (int64_t i = 0; i < n; i++) {
+    int64_t j = order[i];
+    uint64_t k = keys[j];
+    if (k != prev) {
+      g++;
+      out_vid[g] = (int32_t)(k >> 32);
+      out_cb[g] = (int32_t)(k & 0xffffffffu);
+      out_snp[g] = snp[j];
+      out_p[g] = p[j];
+      out_count[g] = 1;
+      prev = k;
+    } else {
+      out_p[g] *= p[j];  // float32 product in stable member order
+      out_count[g]++;
+    }
+  }
+  return g + 1;
+}
+
+// Per-key group sums broadcast back to rows: out[i] = sum of w over all
+// rows whose key equals keys[i]. One radix argsort + two sweeps — replaces
+// the packing layer's second grouping (argsort + reduceat + cumsum-scatter
+// chain) that fills the reference-parity barcode_snp_count column.
+void demux_group_sum_broadcast(const int64_t* keys, const double* w,
+                               int64_t n, double* out) {
+  if (n <= 0) return;
+  auto order_p = alloc_nohuge<int64_t>(n);
+  int64_t* order = order_p.get();
+  demux_radix_argsort_i64(keys, n, order);
+  int64_t run = 0;
+  while (run < n) {
+    int64_t end = run;
+    const int64_t k = keys[order[run]];
+    double sum = 0.0;
+    while (end < n && keys[order[end]] == k) sum += w[order[end++]];
+    for (int64_t i = run; i < end; i++) out[order[i]] = sum;
+    run = end;
+  }
+}
+
+// Fused slot scatter for the tiled kernel layout
+// (ops/tiling.py tile_barcode_calls): one pass over barcode-sorted calls
+// computing each call's chunk/lane slot and writing vid/q/seg_group.
+// b_offset[b] = slot offset of barcode b within its tile's call stream,
+// chunk_start[t] = first chunk of tile t; outputs are pre-filled with the
+// padding values (vid 0, q 1, seg 0) by the caller.
+void demux_tile_scatter(const int32_t* cb, const int32_t* vid, const float* q,
+                        int64_t n, const int64_t* b_offset,
+                        const int64_t* chunk_start, int32_t tb, int32_t tc,
+                        int32_t* out_vid, float* out_q, int32_t* out_seg) {
+  const int32_t G = tc >= 128 ? tc / 128 : 1;
+  const int32_t GPC = tc / G;
+  int64_t run_start = 0;
+  int32_t prev_b = -1;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t b = cb[i];
+    if (b != prev_b) {
+      run_start = i;
+      prev_b = b;
+    }
+    int64_t s = b_offset[b] + (i - run_start);
+    int64_t tile = b / tb;
+    int64_t c = chunk_start[tile] + s / tc;
+    int32_t iin = (int32_t)(s % tc);
+    int32_t lane = (iin % G) * GPC + iin / G;
+    out_vid[c * tc + lane] = vid[i];
+    out_q[c * tc + lane] = q[i];
+    out_seg[c * GPC + iin / G] = b - (int32_t)(tile * tb);
+  }
+}
+
 }  // extern "C"

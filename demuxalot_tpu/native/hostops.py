@@ -57,6 +57,92 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     return order
 
 
+def collapse_calls(vid: np.ndarray, cb: np.ndarray, snp: np.ndarray,
+                   p: np.ndarray):
+    """Group calls by (vid, cb): per group vid/cb/snp, f32 product of p in
+    stable member order, and member count — or None to request the numpy
+    path. All inputs int32/float32, vid/cb non-negative.
+    """
+    lib = _host_lib()
+    n = len(vid)
+    if lib is None or n < 65_536:
+        return None
+    vid = np.ascontiguousarray(vid, dtype=np.int32)
+    cb = np.ascontiguousarray(cb, dtype=np.int32)
+    snp = np.ascontiguousarray(snp, dtype=np.int32)
+    p = np.ascontiguousarray(p, dtype=np.float32)
+    out_vid = np.empty(n, np.int32)
+    out_cb = np.empty(n, np.int32)
+    out_snp = np.empty(n, np.int32)
+    out_p = np.empty(n, np.float32)
+    out_count = np.empty(n, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    g = lib.demux_collapse_calls(
+        vid.ctypes.data_as(i32p), cb.ctypes.data_as(i32p),
+        snp.ctypes.data_as(i32p), p.ctypes.data_as(f32p), n,
+        out_vid.ctypes.data_as(i32p), out_cb.ctypes.data_as(i32p),
+        out_snp.ctypes.data_as(i32p), out_p.ctypes.data_as(f32p),
+        out_count.ctypes.data_as(i64p),
+    )
+    return (out_vid[:g].copy(), out_cb[:g].copy(), out_snp[:g].copy(),
+            out_p[:g].copy(), out_count[:g].copy())
+
+
+def group_sum_broadcast(keys: np.ndarray, weights: np.ndarray):
+    """out[i] = sum of weights over rows sharing keys[i]; None = numpy path.
+
+    Keys int64 non-negative; weights float64; f64 accumulation order is the
+    stable sorted-member order (matches the numpy reduceat path).
+    """
+    lib = _host_lib()
+    n = len(keys)
+    if lib is None or n < 65_536:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty(n, np.float64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.demux_group_sum_broadcast(
+        keys.ctypes.data_as(i64p), weights.ctypes.data_as(f64p), n,
+        out.ctypes.data_as(f64p),
+    )
+    return out
+
+
+def tile_scatter(cb_sorted, vid_sorted, q_sorted, b_offset, chunk_start,
+                 tb: int, tc: int, out_vid, out_q, out_seg) -> bool:
+    """Fused slot scatter for the tiled layout; False = use the numpy path.
+
+    Writes into the pre-filled (padding-valued) out arrays in place.
+    """
+    lib = _host_lib()
+    n = len(cb_sorted)
+    if lib is None or n < 65_536:
+        return False
+    cb_sorted = np.ascontiguousarray(cb_sorted, dtype=np.int32)
+    vid_sorted = np.ascontiguousarray(vid_sorted, dtype=np.int32)
+    q_sorted = np.ascontiguousarray(q_sorted, dtype=np.float32)
+    b_offset = np.ascontiguousarray(b_offset, dtype=np.int64)
+    chunk_start = np.ascontiguousarray(chunk_start, dtype=np.int64)
+    assert out_vid.flags.c_contiguous and out_q.flags.c_contiguous
+    assert out_seg.flags.c_contiguous
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.demux_tile_scatter(
+        cb_sorted.ctypes.data_as(i32p), vid_sorted.ctypes.data_as(i32p),
+        q_sorted.ctypes.data_as(f32p), n,
+        b_offset.ctypes.data_as(i64p), chunk_start.ctypes.data_as(i64p),
+        tb, tc,
+        out_vid.ctypes.data_as(i32p), out_q.ctypes.data_as(f32p),
+        out_seg.ctypes.data_as(i32p),
+    )
+    return True
+
+
 def match_keys(table_keys: np.ndarray, table_vals: np.ndarray,
                queries: np.ndarray) -> np.ndarray:
     """For each query key: the matching table value, or -1 when absent.

@@ -19,7 +19,9 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..native.hostops import match_keys, stable_argsort
+from ..native.hostops import (
+    collapse_calls, group_sum_broadcast, match_keys, stable_argsort,
+)
 from ..utils.encoding import base_lookup
 
 
@@ -142,46 +144,60 @@ def molecule_calls_to_barcode_calls(molecule_calls: MoleculeCalls) -> np.recarra
     millions of rows on this numpy build.
     """
     n = len(molecule_calls)
-    vid = molecule_calls.variant_id.astype(np.int64)
-    cb = molecule_calls.compressed_cb.astype(np.int64)
-    cb_span = int(cb.max()) + 1 if n else 1
-    group_key = vid * cb_span + cb
-
-    order = stable_argsort(group_key)
-    sorted_keys = group_key[order]
-    starts = _group_boundaries(sorted_keys)
-    n_groups = len(starts)
-    unique_keys = sorted_keys[starts]
-    barcode_variant_counts = np.diff(np.append(starts, n))
-
-    out_vid = (unique_keys // cb_span).astype(np.int32)
-    out_cb = (unique_keys % cb_span).astype(np.int32)
-    # snp_id is a function of variant_id: take it from the first member row
-    out_snp = molecule_calls.snp_id[order[starts]] if n else np.zeros(0, np.int32)
-
-    # probability of a wrong base = product of member molecules' probabilities
-    if n:
-        p_base_wrong = np.multiply.reduceat(
-            molecule_calls.p_base_wrong[order], starts
-        ).astype("float32")
+    cb_span = int(molecule_calls.compressed_cb.max()) + 1 if n else 1
+    native = collapse_calls(
+        molecule_calls.variant_id, molecule_calls.compressed_cb,
+        molecule_calls.snp_id, molecule_calls.p_base_wrong,
+    ) if n else None
+    if native is not None:
+        # fused C++ pass (native/hostops.cpp): same group order (sorted by
+        # (variant, barcode)) and bit-identical stable-order f32 products
+        out_vid, out_cb, out_snp, p_base_wrong, barcode_variant_counts = native
+        n_groups = len(out_vid)
     else:
-        p_base_wrong = np.zeros(0, "float32")
+        vid = molecule_calls.variant_id.astype(np.int64)
+        cb = molecule_calls.compressed_cb.astype(np.int64)
+        group_key = vid * cb_span + cb
 
-    # molecules per (snp, barcode), broadcast back to rows
+        order = stable_argsort(group_key)
+        sorted_keys = group_key[order]
+        starts = _group_boundaries(sorted_keys)
+        n_groups = len(starts)
+        unique_keys = sorted_keys[starts]
+        barcode_variant_counts = np.diff(np.append(starts, n))
+
+        out_vid = (unique_keys // cb_span).astype(np.int32)
+        out_cb = (unique_keys % cb_span).astype(np.int32)
+        # snp_id is a function of variant_id: take it from the first member row
+        out_snp = molecule_calls.snp_id[order[starts]] if n else np.zeros(0, np.int32)
+
+        # probability of a wrong base = product of member molecules' probabilities
+        if n:
+            p_base_wrong = np.multiply.reduceat(
+                molecule_calls.p_base_wrong[order], starts
+            ).astype("float32")
+        else:
+            p_base_wrong = np.zeros(0, "float32")
+
+    # molecules per (snp, barcode), broadcast back to rows (f64 sums of
+    # small int counts are exact, so native/numpy agree bit-for-bit)
     snp_cb_key = out_snp.astype(np.int64) * cb_span + out_cb
-    order2 = stable_argsort(snp_cb_key)
-    sorted2 = snp_cb_key[order2]
-    starts2 = _group_boundaries(sorted2)
-    if n_groups:
-        sums2 = np.add.reduceat(barcode_variant_counts[order2].astype(np.float64), starts2)
-        # map each row to its (snp, barcode) group sum
-        group_of_sorted = np.zeros(n_groups, dtype=np.int64)
-        group_of_sorted[starts2] = 1
-        group_of_sorted = np.cumsum(group_of_sorted) - 1
-        barcode_snp_count = np.empty(n_groups, dtype=np.float64)
-        barcode_snp_count[order2] = sums2[group_of_sorted]
-    else:
-        barcode_snp_count = np.zeros(0, dtype=np.float64)
+    weights = barcode_variant_counts.astype(np.float64)
+    barcode_snp_count = group_sum_broadcast(snp_cb_key, weights) if n_groups else None
+    if barcode_snp_count is None:
+        if n_groups:
+            order2 = stable_argsort(snp_cb_key)
+            sorted2 = snp_cb_key[order2]
+            starts2 = _group_boundaries(sorted2)
+            sums2 = np.add.reduceat(weights[order2], starts2)
+            # map each row to its (snp, barcode) group sum
+            group_of_sorted = np.zeros(n_groups, dtype=np.int64)
+            group_of_sorted[starts2] = 1
+            group_of_sorted = np.cumsum(group_of_sorted) - 1
+            barcode_snp_count = np.empty(n_groups, dtype=np.float64)
+            barcode_snp_count[order2] = sums2[group_of_sorted]
+        else:
+            barcode_snp_count = np.zeros(0, dtype=np.float64)
 
     result = np.recarray(n_groups, dtype=BARCODE_CALLS_DTYPE)
     result["variant_id"] = out_vid

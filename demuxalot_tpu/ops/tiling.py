@@ -104,17 +104,22 @@ def tile_barcode_calls(
         slot_cum = np.concatenate([[0], np.cumsum(padded)])
         tile_of_b = np.arange(nb_pad, dtype=np.int64) // TB
         b_offset = slot_cum[:-1] - slot_cum[tile_of_b * TB]
-        call_start = np.concatenate([[0], np.cumsum(counts)])
 
-        b = cb_sorted.astype(np.int64)
-        rank = np.arange(n_calls, dtype=np.int64) - call_start[b]
-        s = b_offset[b] + rank  # slot within the tile's call stream
-        c_global = chunk_start[tile_of_b[b]] + s // TC
-        i_in = s % TC
-        lane = (i_in % G) * GPC + i_in // G
-        vid[c_global * TC + lane] = vid_sorted
-        q[c_global * TC + lane] = q_sorted
-        seg_group[c_global * GPC + i_in // G] = (b - tile_of_b[b] * TB).astype(np.int32)
+        from ..native.hostops import tile_scatter
+
+        if not tile_scatter(cb_sorted, vid_sorted, q_sorted, b_offset,
+                            np.asarray(chunk_start, dtype=np.int64), TB, TC,
+                            vid, q, seg_group):
+            call_start = np.concatenate([[0], np.cumsum(counts)])
+            b = cb_sorted.astype(np.int64)
+            rank = np.arange(n_calls, dtype=np.int64) - call_start[b]
+            s = b_offset[b] + rank  # slot within the tile's call stream
+            c_global = chunk_start[tile_of_b[b]] + s // TC
+            i_in = s % TC
+            lane = (i_in % G) * GPC + i_in // G
+            vid[c_global * TC + lane] = vid_sorted
+            q[c_global * TC + lane] = q_sorted
+            seg_group[c_global * GPC + i_in // G] = (b - tile_of_b[b] * TB).astype(np.int32)
 
     return TiledCalls(
         vid=vid,

@@ -65,6 +65,61 @@ def test_hash_match_matches_searchsorted_join(seed=3):
     assert (got == -1).any() and (got >= 0).any()  # both outcomes exercised
 
 
+def _force_numpy_fallback(monkeypatch):
+    """Make every hostops wrapper take its numpy path."""
+    import demuxalot_tpu.native.hostops as H
+
+    monkeypatch.setattr(H, "_lib", None)
+    monkeypatch.setattr(H, "_lib_failed", True)
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_collapse_calls_matches_numpy_path(monkeypatch):
+    """Native fused collapse == the numpy sort+reduceat path, bit-exact."""
+    from demuxalot_tpu.ops.packing import MoleculeCalls, molecule_calls_to_barcode_calls
+
+    rng = np.random.RandomState(11)
+    n = 200_000
+    vid = rng.randint(0, 5_000, n).astype(np.int32)
+    snp_of_vid = rng.randint(0, 2_500, 5_000).astype(np.int32)
+    mc = MoleculeCalls(
+        variant_id=vid,
+        snp_id=snp_of_vid[vid],
+        compressed_cb=rng.randint(0, 3_000, n).astype(np.int32),
+        molecule_id=np.arange(n, dtype=np.int32),
+        p_base_wrong=rng.rand(n).astype(np.float32),
+        p_molecule_aligned_wrong=np.full(n, 0.01, np.float32),
+    )
+    native = molecule_calls_to_barcode_calls(mc)
+    _force_numpy_fallback(monkeypatch)
+    ref = molecule_calls_to_barcode_calls(mc)
+    assert len(native) == len(ref)
+    for field in ("variant_id", "snp_id", "compressed_cb",
+                  "barcode_variant_count", "barcode_snp_count"):
+        np.testing.assert_array_equal(native[field], ref[field])
+    # stable member order => bit-identical float32 products
+    np.testing.assert_array_equal(native["p_base_wrong"], ref["p_base_wrong"])
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_tile_scatter_matches_numpy_path(monkeypatch):
+    """Native fused tile layout == the numpy index-math path, bit-exact."""
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls
+
+    rng = np.random.RandomState(12)
+    n, n_barcodes = 200_000, 3_001
+    cb = np.sort(rng.randint(0, n_barcodes, n)).astype(np.int32)
+    vid = rng.randint(0, 9_999, n).astype(np.int32)
+    q = rng.rand(n).astype(np.float32)
+    native = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=32, chunk_calls=512)
+    _force_numpy_fallback(monkeypatch)
+    ref = tile_barcode_calls(cb, vid, q, n_barcodes, tile_barcodes=32, chunk_calls=512)
+    np.testing.assert_array_equal(native.vid, ref.vid)
+    np.testing.assert_array_equal(native.q, ref.q)
+    np.testing.assert_array_equal(native.seg_group, ref.seg_group)
+    np.testing.assert_array_equal(native.chunk2tile, ref.chunk2tile)
+
+
 def test_hash_match_empty_table():
     out = match_keys(
         np.empty(0, np.int64), np.empty(0, np.int64), np.arange(10, dtype=np.int64)
