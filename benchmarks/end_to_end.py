@@ -232,6 +232,14 @@ def main(argv=None):
     result = {
         "benchmark": "end_to_end_pipeline",
         "round": 4,
+        "wall_clock_caveat": (
+            "this machine reaches its TPU through a tunnel measured at "
+            "~27 MB/s for device->host transfers (utils/platform.py), so "
+            "the warm EM/posterior stages include ~5 s per returned "
+            "posterior/logits frame (2 x [65536, 528] f32) that a directly "
+            "attached chip would move in ~15 ms; the device EM loop itself "
+            "is ~30 ms/iteration (BENCH artifact)"
+        ),
         "backend": backend,
         "tpu_unreachable": bool(TPU_PROBE["expected"] and backend != "tpu"),
         "reproduce": "python bench.py --end-to-end",

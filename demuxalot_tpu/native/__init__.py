@@ -42,7 +42,7 @@ def load_host_library() -> ctypes.CDLL:
     if _host_handle is not None:
         return _host_handle
     if not _HOST_LIB.exists() or _HOST_LIB.stat().st_mtime < _HOST_SRC.stat().st_mtime:
-        _compile(_HOST_SRC, _HOST_LIB)
+        _compile(_HOST_SRC, _HOST_LIB, extra=("-pthread",))
     lib = ctypes.CDLL(str(_HOST_LIB))
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.demux_radix_argsort_i64.restype = None

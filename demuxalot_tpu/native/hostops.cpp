@@ -15,9 +15,11 @@
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC hostops.cpp -o libdemuxhost.so
 // (no external dependencies; see native/__init__.py for the on-demand build)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <thread>
 #include <vector>
 
 #ifdef __linux__
@@ -75,20 +77,51 @@ void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order)
     cur_idx[i] = i;
   }
 
-  std::vector<int64_t> hist(kBuckets);
+  // threaded per pass: per-block histograms, a (block, bucket) exclusive
+  // scan in bucket-major order (keeps the sort stable — lower blocks write
+  // a bucket's lower slots), then a parallel scatter
+  const int hw = (int)std::thread::hardware_concurrency();
+  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int64_t block = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> hist((size_t)n_threads * kBuckets);
+
   for (int shift = 0; shift < top_bit; shift += kDigitBits) {
-    std::memset(hist.data(), 0, kBuckets * sizeof(int64_t));
-    for (int64_t i = 0; i < n; i++) hist[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
-    int64_t sum = 0;
-    for (int b = 0; b < kBuckets; b++) {
-      int64_t c = hist[b];
-      hist[b] = sum;
-      sum += c;
+    auto count_fn = [&](int t) {
+      int64_t* h = hist.data() + (size_t)t * kBuckets;
+      std::memset(h, 0, kBuckets * sizeof(int64_t));
+      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+      for (int64_t i = lo; i < hi; i++) h[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
+    };
+    auto scatter_fn = [&](int t) {
+      int64_t* h = hist.data() + (size_t)t * kBuckets;
+      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t dst = h[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
+        nxt_keys[dst] = cur_keys[i];
+        nxt_idx[dst] = cur_idx[i];
+      }
+    };
+    if (n_threads == 1) {
+      count_fn(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (int t = 0; t < n_threads; t++) ts.emplace_back(count_fn, t);
+      for (auto& th : ts) th.join();
     }
-    for (int64_t i = 0; i < n; i++) {
-      int64_t dst = hist[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
-      nxt_keys[dst] = cur_keys[i];
-      nxt_idx[dst] = cur_idx[i];
+    int64_t sum = 0;
+    for (int b = 0; b < kBuckets; b++)
+      for (int t = 0; t < n_threads; t++) {
+        int64_t& slot = hist[(size_t)t * kBuckets + b];
+        int64_t c = slot;
+        slot = sum;
+        sum += c;
+      }
+    if (n_threads == 1) {
+      scatter_fn(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (int t = 0; t < n_threads; t++) ts.emplace_back(scatter_fn, t);
+      for (auto& th : ts) th.join();
     }
     std::swap(cur_keys, nxt_keys);
     std::swap(cur_idx, nxt_idx);
