@@ -224,6 +224,38 @@ def _default_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# below this measured device->host throughput, pulling BOTH the logits and
+# probs frames doubles the dominant cost of posterior materialization (this
+# dev machine tunnels its TPU at ~27 MB/s; a directly-attached chip moves
+# ~10 GB/s and never takes the host path)
+_SLOW_LINK_BYTES_PER_S = 200e6
+
+
+def _materialize_logits_and_probs(logits_dev, probs_dev=None):
+    """Host (logits, probs) from device logits, adapting to link speed.
+
+    Times the (unavoidable) logits transfer; on a fast link the probs frame
+    comes from the device too (bit-exact f32 softmax), on a slow link probs
+    are derived on host (f64 accumulate, f32 result — differs from the
+    device softmax only in the last ulps). ``probs_dev`` may pass an
+    already-computed device softmax to use on the fast path.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    logits = np.asarray(logits_dev)
+    dt = max(time.perf_counter() - t0, 1e-9)
+    if logits.nbytes / dt >= _SLOW_LINK_BYTES_PER_S:
+        if probs_dev is None:
+            probs_dev = jax.nn.softmax(jnp.asarray(logits_dev), axis=-1)
+        return logits, np.asarray(probs_dev)
+    x = logits.astype(np.float64)
+    x -= x.max(axis=1, keepdims=True)
+    np.exp(x, out=x)
+    x /= x.sum(axis=1, keepdims=True)
+    return logits, x.astype(np.float32)
+
+
 def auto_damping_select(learn_with, n_genotypes: int):
     """Shared damping="auto" selector (single-device and sharded engines).
 
@@ -519,8 +551,9 @@ class _EMRun:
     def materialize(self, state) -> Tuple[pd.DataFrame, dict]:
         """One device state → (posterior probs df, debug dict) on the host."""
         probs_dev, logits_dev, addition_dev = state
+        logits_np, probs_np = _materialize_logits_and_probs(logits_dev, probs_dev)
         barcode_posterior_probs_df = pd.DataFrame(
-            data=np.asarray(probs_dev),
+            data=probs_np,
             index=self.barcode_handler.ordered_barcodes,
             columns=self.column_names,
         )
@@ -528,7 +561,7 @@ class _EMRun:
         if self.donor_major:
             addition = addition.T
         debug_information = {
-            "barcode_logits": np.asarray(logits_dev),
+            "barcode_logits": logits_np,
             "genotype_prior": self.prior_betas,
             "genotype_addition": self.reindex.unpermute_rows(addition),
         }
@@ -768,9 +801,9 @@ class Demultiplexer:
                 max_per_snp=max_per_snp,
             )
 
-        # softmax on device while the logits are still there (no host round trip)
-        probs = np.asarray(jax.nn.softmax(logits_dev, axis=1))
-        barcode_posterior_logits = np.asarray(logits_dev)
+        # posteriors: one frame transfer + host softmax over slow links,
+        # device softmax + second frame otherwise (measured adaptively)
+        barcode_posterior_logits, probs = _materialize_logits_and_probs(logits_dev)
         logits_df = pd.DataFrame(
             data=barcode_posterior_logits,
             index=list(barcode_handler.ordered_barcodes),

@@ -307,3 +307,25 @@ def test_snp_aggregated_logits_matches_oracle():
     ))
     want = oracle_snp_aggregated_logits(gp, mixing, vid, q, cb, snp_id, n_barcodes)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_materialize_logits_and_probs_host_path(monkeypatch):
+    """The slow-link host softmax equals the device softmax to float32 ulps."""
+    import jax
+    import jax.numpy as jnp
+
+    from demuxalot_tpu.models import demux as D
+
+    rng = np.random.RandomState(3)
+    logits_dev = jnp.asarray(rng.randn(257, 23).astype(np.float32) * 10)
+    want = np.asarray(jax.nn.softmax(logits_dev, axis=-1))
+
+    monkeypatch.setattr(D, "_SLOW_LINK_BYTES_PER_S", float("inf"))  # force host path
+    logits, probs = D._materialize_logits_and_probs(logits_dev)
+    np.testing.assert_array_equal(logits, np.asarray(logits_dev))
+    np.testing.assert_allclose(probs, want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-6)
+
+    monkeypatch.setattr(D, "_SLOW_LINK_BYTES_PER_S", 0.0)  # force device path
+    _lg, probs_dev_path = D._materialize_logits_and_probs(logits_dev)
+    np.testing.assert_array_equal(probs_dev_path, want)
