@@ -9,7 +9,6 @@ device-level workloads of arbitrary scale without BAM involvement.
 """
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -18,12 +17,22 @@ from .bamio import AlignedRead, BamWriter, index_bam, sort_bam
 from .models.genotypes import ProbabilisticGenotypes
 
 
+_BASES = np.array(list("ACGT"))
+
+
 def random_bases(length: int) -> np.ndarray:
-    return np.random.choice(list("ACGT"), length)
+    # identical RNG stream and output to np.random.choice(list("ACGT"), n)
+    # (choice draws via randint for uniform array sampling) without the
+    # per-call list/array construction — this is the synthetic generator's
+    # hottest call (two per read for name/UMI)
+    return _BASES[np.random.randint(0, 4, length)]
+
+
+_BASE_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def random_string(length: int) -> str:
-    return "".join(random_bases(length))
+    return _BASE_ASCII[np.random.randint(0, 4, length)].tobytes().decode("ascii")
 
 
 class SyntheticReference:
@@ -53,16 +62,27 @@ class SyntheticReference:
             result.chromosome2sequence[chrom] = seq
         return result
 
+    def _rendered(self, chromosome: str) -> str:
+        """Chromosome as one Python string (read slicing is O(read), not
+        a per-base join); cached, invalidated implicitly by immutability —
+        sequences are never mutated in place after construction."""
+        cache = getattr(self, "_string_cache", None)
+        if cache is None:
+            cache = self._string_cache = {}
+        s = cache.get(chromosome)
+        if s is None:
+            s = cache[chromosome] = "".join(self.chromosome2sequence[chromosome])
+        return s
+
     def make_read(self, read_length: int, query_name: str, cb: str, ub: str) -> AlignedRead:
         """One cellranger-style tagged read from a random location."""
         reference_id = np.random.randint(len(self.chromosome2length))
         chromosome, chr_length = list(self.chromosome2length.items())[reference_id]
-        seq = self.chromosome2sequence[chromosome]
         start = np.random.randint(0, chr_length - read_length)
 
         a = AlignedRead()
         a.query_name = query_name
-        a.query_sequence = "".join(seq[start : start + read_length])
+        a.query_sequence = self._rendered(chromosome)[start : start + read_length]
         a.flag = 99
         a.reference_id = reference_id
         a.reference_start = int(start)
@@ -85,25 +105,27 @@ def genotypes_from_donor_genomes(donor_genomes: List[SyntheticReference]) -> Pro
     """Ground-truth betas: 100 at each donor's base, 0.5 elsewhere.
 
     Only polymorphic positions (where donors disagree) become variants.
+    Registration order (per chromosome, ascending position, donor order
+    within a position) is load-bearing: variant/SNP ids derive from it and
+    the quality harnesses key degradation masks off those ids — this
+    vectorized scan preserves the original per-position dict walk exactly.
     """
-    chr_pos2donor2base = defaultdict(dict)
     donor_names = [f"Donor{donor_id + 1:02}" for donor_id in range(len(donor_genomes))]
-    for donor_name, genome in zip(donor_names, donor_genomes):
-        for chrom, seq in genome.chromosome2sequence.items():
-            for pos, base in enumerate(seq):
-                chr_pos2donor2base[chrom, pos][donor_name] = base
-
     result = ProbabilisticGenotypes(donor_names)
-    for (chrom, pos), donor2base in chr_pos2donor2base.items():
-        if len(set(donor2base.values())) == 1:
-            continue
-        for donor, base in donor2base.items():
-            row = result.get_variant_id(chrom, pos, base)
-            result.variant_betas[row, donor_names.index(donor)] = 100
+    rows: List[int] = []
+    donor_of_row: List[int] = []
+    for chrom in donor_genomes[0].chromosome2length:
+        seqs = np.stack([g.chromosome2sequence[chrom] for g in donor_genomes])  # [D, L]
+        polymorphic = (seqs != seqs[:1]).any(axis=0)
+        for pos in np.nonzero(polymorphic)[0]:
+            for donor_index, base in enumerate(seqs[:, pos]):
+                rows.append(result.get_variant_id(chrom, int(pos), str(base)))
+                donor_of_row.append(donor_index)
     # everything not explicitly supported gets a weak 0.5 pseudo-count;
     # _with_betas also trims spare capacity so callers can mask full arrays
-    betas = result.variant_betas[: result.n_variants].copy()
-    betas[betas == 0] = 0.5
+    betas = np.full((result.n_variants, len(donor_names)), 0.5, dtype=np.float32)
+    if rows:
+        betas[np.asarray(rows), np.asarray(donor_of_row)] = 100.0
     return result._with_betas(betas)
 
 
