@@ -83,15 +83,24 @@ def main(argv=None):
 
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv
+    pmbc = "--pmbc" in argv
     skip_baseline = "--skip-baseline" in argv
 
+    mutation_prob = 0.003
     if quick:
         n_donors, n_barcodes, n_reads = 16, 4000, 20
         chrom2len = {f"chr{i}": 10_000 for i in range(1, 5)}
+    elif pmbc:
+        # the preprint's scale regime (README.md:36-41, 57: 32 donors,
+        # SNP-array variant counts): ~350k polymorphic sites / ~800k
+        # variants over a 2.4 Mbp synthetic genome, 131k barcodes — the
+        # shape where the E-step's variant banding engages in production
+        n_donors, n_barcodes, n_reads = 32, 131_072, 15
+        chrom2len = {f"chr{i}": 300_000 for i in range(1, 9)}
+        mutation_prob = 0.005
     else:
         n_donors, n_barcodes, n_reads = 32, 65_536, 20
         chrom2len = {f"chr{i}": 20_000 for i in range(1, 9)}
-    mutation_prob = 0.003
     em_iterations = 5
 
     backend = jax.default_backend()
@@ -270,7 +279,10 @@ def main(argv=None):
             baseline["count_python_s"] / stages["count_native_s"], 2
         )
 
-    if not quick:
+    if pmbc:
+        result["reproduce"] = "python bench.py --end-to-end --pmbc"
+        (REPO / "E2E_PMBC_r04.json").write_text(json.dumps(result, indent=1) + "\n")
+    elif not quick:
         (REPO / "E2E_r04.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     return result

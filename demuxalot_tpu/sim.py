@@ -118,8 +118,14 @@ def genotypes_from_donor_genomes(donor_genomes: List[SyntheticReference]) -> Pro
         seqs = np.stack([g.chromosome2sequence[chrom] for g in donor_genomes])  # [D, L]
         polymorphic = (seqs != seqs[:1]).any(axis=0)
         for pos in np.nonzero(polymorphic)[0]:
-            for donor_index, base in enumerate(seqs[:, pos]):
-                rows.append(result.get_variant_id(chrom, int(pos), str(base)))
+            # registry call per UNIQUE base only (typically 2 of D), in the
+            # same first-seen donor order as the per-donor walk
+            local: Dict[str, int] = {}
+            for donor_index, base in enumerate(seqs[:, pos].tolist()):
+                row = local.get(base)
+                if row is None:
+                    row = local[base] = result.get_variant_id(chrom, int(pos), base)
+                rows.append(row)
                 donor_of_row.append(donor_index)
     # everything not explicitly supported gets a weak 0.5 pseudo-count;
     # _with_betas also trims spare capacity so callers can mask full arrays
