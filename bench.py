@@ -439,17 +439,21 @@ def main():
     # embed the committed end-to-end pipeline artifact (BAM -> posteriors,
     # reproduce: python bench.py --end-to-end) so the driver-recorded BENCH
     # carries the product-level number alongside the kernel number
-    e2e_path = Path(__file__).resolve().parent / "E2E_r04.json"
-    if e2e_path.exists():
-        e2e = json.loads(e2e_path.read_text())
-        result["end_to_end"] = {
-            "artifact": e2e_path.name,
-            "backend": e2e.get("backend"),
-            "total_pipeline_warm_s": e2e.get("total_pipeline_warm_s"),
-            "vs_baseline_total": e2e.get("vs_baseline_total"),
-            "native_reads_per_s": e2e.get("stages", {}).get("native_reads_per_s"),
-            "reproduce": e2e.get("reproduce"),
-        }
+    here = Path(__file__).resolve().parent
+    for key, name in (("end_to_end", "E2E_r04.json"),
+                      ("end_to_end_pmbc", "E2E_PMBC_r04.json")):
+        e2e_path = here / name
+        if e2e_path.exists():
+            e2e = json.loads(e2e_path.read_text())
+            result[key] = {
+                "artifact": e2e_path.name,
+                "backend": e2e.get("backend"),
+                "n_barcodes": e2e.get("config", {}).get("n_barcodes"),
+                "total_pipeline_warm_s": e2e.get("total_pipeline_warm_s"),
+                "vs_baseline_total": e2e.get("vs_baseline_total"),
+                "native_reads_per_s": e2e.get("stages", {}).get("native_reads_per_s"),
+                "reproduce": e2e.get("reproduce"),
+            }
     print(json.dumps(result))
 
 
