@@ -323,7 +323,7 @@ def main():
         # transfers stream at ~120 GB/s, >= 1 MB at ~234 GB/s => per-transfer
         # issue overhead ~0.27 us on top of a 234 GB/s stream)
         from demuxalot_tpu.ops.pallas_likelihood import (
-            _LOG_FOLD_WIDTH, stage_chunks,
+            _LOG_FOLD_WIDTH, _SPLIT_WORDS, KERNEL_PRECISION, stage_chunks,
         )
 
         tc = dev.chunk_calls
@@ -333,7 +333,7 @@ def main():
         gpc = tc // max(1, tc // 128)
         tb = dev.tile_barcodes
         sb = stage_chunks(tc)
-        n_words = 2  # f32x2 default
+        n_words = max(_SPLIT_WORDS[KERNEL_PRECISION], 1)
         dma_issue_s = 64 * 1024 * (1 / 120e9 - 1 / 234e9)  # ~2.66e-7
         u_bytes = d_pad * slots * 4
         u_dma_s = (n_chunks / sb) * dma_issue_s + u_bytes / 234e9

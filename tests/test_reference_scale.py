@@ -209,3 +209,23 @@ def test_reference_scale_quality(tmp_path_factory):
         # converges (semi_supervised above), and at 90% degradation with
         # fewer donors it improves (test_synthetic.py).
         assert parity["max_abs_diff"] <= 2e-3, parity
+
+
+@pytest.mark.perf
+def test_end_to_end_harness_smoke(monkeypatch):
+    """The E2E artifact harness stays runnable (quick shape, no baseline).
+
+    Guards the reproducibility of E2E_r04.json / E2E_PMBC_r04.json: the
+    harness is the round artifact generator, so its breakage should show
+    up in a perf run, not when regenerating the artifact.
+    """
+    monkeypatch.setenv("DEMUX_TPU_WAIT_S", "0")
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from benchmarks.end_to_end import main as e2e_main
+
+    result = e2e_main(["--quick", "--skip-baseline"])
+    assert result["config"]["n_barcodes"] == 4000
+    assert result["total_pipeline_warm_s"] > 0
+    assert result["quality"]["singlet_accuracy"] > 0.95
+    assert not (Path(__file__).resolve().parent.parent / "E2E_quick.json").exists()
