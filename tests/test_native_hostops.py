@@ -35,6 +35,43 @@ def test_radix_argsort_matches_numpy_stable(seed):
 
 
 @pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_radix_argsort_threaded_path_matches(seed=5):
+    """Above ~2M keys the sort fans out across cores; stability and
+    determinism must survive the per-block histogram + bucket-major scan
+    (the 200k-key tests above run the single-thread path)."""
+    rng = np.random.RandomState(seed)
+    n = 3_000_000
+    keys = (rng.randint(0, 1 << 17, n).astype(np.int64) << 17) | rng.randint(0, 1 << 17, n)
+    got = stable_argsort(keys)
+    np.testing.assert_array_equal(got, stable_argsort(keys))  # deterministic
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_collapse_threaded_sort_matches(seed=6):
+    """Collapse with the threaded sort engaged (2M+ rows), incl. duplicates."""
+    from demuxalot_tpu.native.hostops import collapse_calls
+
+    rng = np.random.RandomState(seed)
+    n = 2_200_000
+    vid = rng.randint(0, 40_000, n).astype(np.int32)
+    cb = rng.randint(0, 20_000, n).astype(np.int32)
+    snp = (vid // 2).astype(np.int32)
+    p = rng.rand(n).astype(np.float32)
+    out_vid, out_cb, out_snp, out_p, out_count = collapse_calls(vid, cb, snp, p)
+    # reference: numpy stable sort + reduceat in the same member order
+    key = vid.astype(np.int64) * 20_000 + cb
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    np.testing.assert_array_equal(out_vid, (sk[starts] // 20_000).astype(np.int32))
+    np.testing.assert_array_equal(out_cb, (sk[starts] % 20_000).astype(np.int32))
+    np.testing.assert_array_equal(out_snp, snp[order[starts]])
+    np.testing.assert_array_equal(out_count, np.diff(np.append(starts, n)))
+    np.testing.assert_array_equal(out_p, np.multiply.reduceat(p[order], starts).astype(np.float32))
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
 def test_radix_argsort_small_and_int32():
     rng = np.random.RandomState(2)
     small = rng.randint(0, 1000, 500).astype(np.int32)  # below threshold: numpy path
