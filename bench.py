@@ -232,16 +232,23 @@ def main():
             )
 
             # measured decomposition: the XLA gather+fold alone (exactly the
-            # kernel program's pre-kernel stage: same slot stream, same fold)
-            estep_gather_time = chain_time(
-                lambda c, a: jnp.sum(
-                    (a[0] + c).T[:, a[1]] * (1.0 - a[2]) + jnp.maximum(a[2], 1e-4)
-                ) * 1e-30,
-                jnp.float32(0.0), (gp_dev, dev.vid, dev.q), k=12,
-                name="estep_gather_fold_only",
+            # kernel program's pre-kernel stage: same slot stream, same
+            # fold). Only valid unbanded — a banded layout's vid stream is
+            # band-LOCAL, so this proxy would gather wrong rows from the
+            # full table and inflate the number.
+            if not dev.band_specs:
+                estep_gather_time = chain_time(
+                    lambda c, a: jnp.sum(
+                        (a[0] + c).T[:, a[1]] * (1.0 - a[2]) + jnp.maximum(a[2], 1e-4)
+                    ) * 1e-30,
+                    jnp.float32(0.0), (gp_dev, dev.vid, dev.q), k=12,
+                    name="estep_gather_fold_only",
+                )
+            gather_msg = (
+                f"(gather+fold alone {estep_gather_time*1e3:.1f} ms)"
+                if estep_gather_time else "(banded: gather proxy skipped)"
             )
-            _stage(f"Pallas E-step {pallas_time*1e3:.1f} ms "
-                   f"(gather+fold alone {estep_gather_time*1e3:.1f} ms); M-step path")
+            _stage(f"Pallas E-step {pallas_time*1e3:.1f} ms {gather_msg}; M-step path")
         except Exception as e:
             print(f"# pallas path failed: {e}", file=sys.stderr)
 
@@ -316,6 +323,12 @@ def main():
         except Exception as e:
             print(f"# em path failed: {e}", file=sys.stderr)
 
+    if pallas_time and not estep_gather_time:
+        estep_decomposition = {
+            "skipped": "banded E-step layout: the gather+fold proxy would "
+                       "index band-local ids against the full table; run at "
+                       "an unbanded shape for the measured split"
+        }
     if pallas_time and estep_gather_time:
         # kernel-side bound accounting (round-4 ask): each remaining ms at a
         # named hardware limit, from the layout's exact slot counts and the

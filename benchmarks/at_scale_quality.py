@@ -38,6 +38,8 @@ honor_jax_platforms_env()
 
 QUALITY = REPO / "QUALITY.json"
 
+from _metrics import doublet_metrics, joint_loss, singlet_loss  # noqa: E402
+
 
 def _stage(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
@@ -118,51 +120,6 @@ def synthesize_compressed_calls(
     calls.snp_calls = snp_calls
     calls._finalized = True
     return genotypes, {"chr1": calls}, truth, donor_names
-
-
-def singlet_loss(probs_df, truth):
-    """Mean -log P(true donors) over singlet genotype columns (ref metric)."""
-    values = probs_df.values
-    cols = {name: j for j, name in enumerate(probs_df.columns)}
-    p = np.zeros(len(truth))
-    for b, donors in enumerate(truth):
-        for d in donors:
-            p[b] += values[b, cols[d]]
-    return float(-np.log(np.clip(p, 1e-4, None)).mean())
-
-
-def joint_loss(probs_df, truth):
-    """Mean -log P(exact truth column): 'A+B' for doublets, donor for singlets.
-
-    The right loss for doublet-aware posteriors (doublet_prior > 0), where
-    a doublet barcode's mass correctly sits on its pair column and the
-    singlet-column metric would penalize the model for being right.
-    """
-    values = probs_df.values
-    cols = {name: j for j, name in enumerate(probs_df.columns)}
-    p = np.zeros(len(truth))
-    for b, donors in enumerate(truth):
-        p[b] = values[b, cols["+".join(donors)]]
-    return float(-np.log(np.clip(p, 1e-4, None)).mean())
-
-
-def doublet_metrics(probs_df, truth):
-    assignments = [probs_df.columns[j] for j in np.argmax(probs_df.values, axis=1)]
-    singlet_ok = doublet_ok = n_singlet = n_doublet = 0
-    for called, donors in zip(assignments, truth):
-        called_set = sorted(called.split("+"))
-        if len(donors) == 1:
-            n_singlet += 1
-            singlet_ok += called_set == donors
-        else:
-            n_doublet += 1
-            doublet_ok += called_set == donors
-    return {
-        "singlet_accuracy": round(singlet_ok / max(n_singlet, 1), 4),
-        "doublet_exact_accuracy": round(doublet_ok / max(n_doublet, 1), 4),
-        "n_singlets": n_singlet,
-        "n_doublets": n_doublet,
-    }
 
 
 def main(argv=None):

@@ -39,38 +39,21 @@ TPU_PROBE = wait_for_tunnel(max_wait_s=float(os.environ.get("DEMUX_TPU_WAIT_S", 
 honor_jax_platforms_env()
 
 
+sys.path.insert(0, str(REPO / "benchmarks"))
+from _metrics import doublet_metrics, singlet_loss  # noqa: E402
+
+
 def _stage(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def _accuracy(probs_df, barcode2donor_names):
-    """Assignment accuracy + doublet detection vs the generator's truth."""
-    assignments = probs_df.idxmax(axis=1)
-    singlet_ok = doublet_ok = n_singlet = n_doublet = 0
-    for barcode, truth in barcode2donor_names.items():
-        called = assignments.loc[barcode].split("+")
-        if len(set(truth)) == 1:
-            n_singlet += 1
-            # a X+X-style truth is a singlet; correct iff the singlet column wins
-            singlet_ok += called == [truth[0]]
-        else:
-            n_doublet += 1
-            doublet_ok += sorted(called) == sorted(set(truth))
-    return {
-        "singlet_accuracy": round(singlet_ok / max(n_singlet, 1), 4),
-        "doublet_exact_accuracy": round(doublet_ok / max(n_doublet, 1), 4),
-        "n_singlets": n_singlet,
-        "n_doublets": n_doublet,
-    }
+def _truth_list(barcode2donor_names, probs_df):
+    """De-duplicated truth aligned with the posterior dataframe's rows.
 
-
-def _loss(probs_df, barcode2donor_names):
-    """Mean -log P(true donors), the reference synthetic harness's metric."""
-    probs = probs_df * 0
-    for barcode, correct in barcode2donor_names.items():
-        for donor in set(correct):
-            probs.loc[barcode, donor] = probs_df.loc[barcode, donor]
-    return float(-np.log(probs.sum(axis=1).clip(1e-4)).mean())
+    BarcodeHandler SORTS the whitelist, so alignment must go through the
+    dataframe index, not the generator dict's insertion order.
+    """
+    return [sorted(set(barcode2donor_names[b])) for b in probs_df.index]
 
 
 def main(argv=None):
@@ -175,10 +158,11 @@ def main(argv=None):
             + stages["learn_genotypes_warm_s"]
             + stages["predict_posteriors_warm_s"], 2,
         )
+        truth = _truth_list(barcode2donor_names, probs)
         quality = {
-            "loss_em": round(_loss(probs_em, barcode2donor_names), 4),
-            "loss_predict": round(_loss(probs, barcode2donor_names), 4),
-            **_accuracy(probs, barcode2donor_names),
+            "loss_em": round(singlet_loss(probs_em, truth), 4),
+            "loss_predict": round(singlet_loss(probs, truth), 4),
+            **doublet_metrics(probs, truth),
         }
 
         # --- reference-style baseline on the SAME inputs --------------------
@@ -217,9 +201,9 @@ def main(argv=None):
                 )
                 ref_times["predict_posteriors_s"] = round(time.perf_counter() - t0, 2)
                 ref_quality = {
-                    "loss_em": round(_loss(ref_probs_em, barcode2donor_names), 4),
-                    "loss_predict": round(_loss(ref_probs, barcode2donor_names), 4),
-                    **_accuracy(ref_probs, barcode2donor_names),
+                    "loss_em": round(singlet_loss(ref_probs_em, truth), 4),
+                    "loss_predict": round(singlet_loss(ref_probs, truth), 4),
+                    **doublet_metrics(ref_probs, truth),
                 }
                 ref_total = round(
                     t_count_py + ref_times["learn_genotypes_s"]

@@ -485,7 +485,8 @@ def self_test():
 
 
 if __name__ == "__main__":
-    from demuxalot_tpu.utils.platform import honor_jax_platforms_env
-
-    honor_jax_platforms_env()
+    # interpret-mode equality needs a CPU backend: under the default axon
+    # TPU platform interpret dots run at TPU default precision and the
+    # tolerances here fail (same forcing tests/conftest.py applies)
+    jax.config.update("jax_platforms", "cpu")
     self_test()

@@ -239,13 +239,23 @@ def _materialize_logits_and_probs(logits_dev, probs_dev=None):
     are derived on host (f64 accumulate, f32 result — differs from the
     device softmax only in the last ulps). ``probs_dev`` may pass an
     already-computed device softmax to use on the fast path.
+
+    The measured rate conflates any pending device compute with the
+    transfer, and a borderline link could flip branches between runs
+    (last-ulp nondeterminism). DEMUX_HOST_SOFTMAX pins the choice:
+    "1" = always host, "0" = always device, unset/"auto" = measure.
     """
     import time
 
+    pinned = os.environ.get("DEMUX_HOST_SOFTMAX", "auto").lower()
     t0 = time.perf_counter()
     logits = np.asarray(logits_dev)
     dt = max(time.perf_counter() - t0, 1e-9)
-    if logits.nbytes / dt >= _SLOW_LINK_BYTES_PER_S:
+    device_path = (
+        pinned == "0"
+        or (pinned != "1" and logits.nbytes / dt >= _SLOW_LINK_BYTES_PER_S)
+    )
+    if device_path:
         if probs_dev is None:
             probs_dev = jax.nn.softmax(jnp.asarray(logits_dev), axis=-1)
         return logits, np.asarray(probs_dev)

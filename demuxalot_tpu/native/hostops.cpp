@@ -62,7 +62,10 @@ void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order)
   uint64_t or_all = 0;
   for (int64_t i = 0; i < n; i++) or_all |= (uint64_t)keys[i];
   int top_bit = 0;
-  while (or_all >> top_bit) top_bit++;  // bits actually used
+  while (top_bit < 64 && (or_all >> top_bit)) top_bit++;  // bits actually used
+  // (the < 64 guard keeps a stray sign bit from shifting by >= 64 — UB that
+  // on x86 wraps the shift count and would loop forever; negative keys are
+  // rejected by the Python wrappers, this is defense in depth)
 
   auto cur_keys_p = alloc_nohuge<uint64_t>(n);
   auto nxt_keys_p = alloc_nohuge<uint64_t>(n);

@@ -69,6 +69,8 @@ def collapse_calls(vid: np.ndarray, cb: np.ndarray, snp: np.ndarray,
         return None
     vid = np.ascontiguousarray(vid, dtype=np.int32)
     cb = np.ascontiguousarray(cb, dtype=np.int32)
+    if int(vid.min()) < 0 or int(cb.min()) < 0:
+        return None  # negative ids (e.g. unmatched sentinels): numpy path
     snp = np.ascontiguousarray(snp, dtype=np.int32)
     p = np.ascontiguousarray(p, dtype=np.float32)
     out_vid = np.empty(n, np.int32)
@@ -101,6 +103,8 @@ def group_sum_broadcast(keys: np.ndarray, weights: np.ndarray):
     if lib is None or n < 65_536:
         return None
     keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if int(keys.min()) < 0:
+        return None  # negative keys: numpy path
     weights = np.ascontiguousarray(weights, dtype=np.float64)
     out = np.empty(n, np.float64)
     i64p = ctypes.POINTER(ctypes.c_int64)

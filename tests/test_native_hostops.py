@@ -15,6 +15,21 @@ from demuxalot_tpu.native.hostops import match_keys, stable_argsort
 
 gxx_available = shutil.which("g++") is not None or bool(os.environ.get("DEMUX_NATIVE_REQUIRED"))
 
+if os.environ.get("DEMUX_NATIVE_REQUIRED"):
+    from demuxalot_tpu.native import load_host_library
+
+    load_host_library()  # raises at collection time if hostops cannot build
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_host_library_actually_loads():
+    """Guards against vacuous parity: with a toolchain present the native
+    library must load, otherwise every test below would compare the numpy
+    fallback against itself and stay green on a broken build."""
+    import demuxalot_tpu.native.hostops as H
+
+    assert H._host_lib() is not None
+
 
 @pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
 @pytest.mark.parametrize("seed", [0, 1])
