@@ -49,33 +49,43 @@ def main():
     rec = np.recarray(len(vid), dtype=BARCODE_CALLS_DTYPE)
     rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
     rec["snp_id"] = v2s[vid]
-    dev = _PallasLogits(
-        rec, N_BARCODES, mixing, pen,
-        Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-        n_variants=betas.shape[0],
-    ).device
     gp = L.probs_from_betas(jnp.asarray(betas), jnp.asarray(v2s), N_SNPS, 0.01)
-    ops = (dev.mixing_sl, dev.penalties_p, dev.vid, dev.seg_group, dev.q,
-           dev.chunk_bounds, dev.chunk_suboff)
-    common = dict(n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
-                  tc=dev.chunk_calls, band_specs=dev.band_specs)
+
+    # separate layouts: softmax_out doubles the resident (and Mosaic-
+    # pipeline-double-buffered) output blocks, so its layout must be built
+    # with out_blocks=2 or the kernel OOMs the 16 MB scoped VMEM
+    def build(out_blocks):
+        dev = _PallasLogits(
+            rec, N_BARCODES, mixing, pen,
+            Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+            n_variants=betas.shape[0], out_blocks=out_blocks,
+        ).device
+        ops = (dev.mixing_sl, dev.penalties_p, dev.vid, dev.seg_group, dev.q,
+               dev.chunk_bounds, dev.chunk_suboff)
+        common = dict(n_super=dev.n_super, tbs=dev.tbs, tb=dev.tile_barcodes,
+                      tc=dev.chunk_calls, band_specs=dev.band_specs)
+        return ops, common
+
+    ops1, common1 = build(1)
+    ops2, common2 = build(2)
+    print(f"# layouts: xla tbs={common1['tbs']} fused tbs={common2['tbs']}")
 
     def xla_side(c, a):
         g, o = a
-        out = tiled_logits_impl(g + c, *o, **common)
+        out = tiled_logits_impl(g + c, *o, **common1)
         probs = jax.nn.softmax(out[:N_BARCODES, :n_pg], axis=-1)
         return jnp.sum(probs) * 1e-30
 
     def fused(c, a):
         g, o = a
         _lg, probs = tiled_logits_impl(
-            g + c, *o, **common, softmax_out=True, n_pseudogenotypes=n_pg
+            g + c, *o, **common2, softmax_out=True, n_pseudogenotypes=n_pg
         )
         return jnp.sum(probs[:N_BARCODES, :n_pg]) * 1e-30
 
-    t_xla = chain_time(xla_side, (gp, ops))
+    t_xla = chain_time(xla_side, (gp, ops1))
     print(f"logits + XLA softmax: {t_xla*1e3:.2f} ms")
-    t_fused = chain_time(fused, (gp, ops))
+    t_fused = chain_time(fused, (gp, ops2))
     print(f"in-kernel softmax:    {t_fused*1e3:.2f} ms ({(t_xla-t_fused)*1e3:+.2f} ms)")
 
 

@@ -111,7 +111,7 @@ class _PallasLogits:
 
     def __init__(
         self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
-        n_variants: int = 0,
+        n_variants: int = 0, out_blocks: int = 1,
     ):
         from ..ops.pallas_likelihood import TiledDeviceCalls, padded_pg
         from ..ops.tiling import (
@@ -163,7 +163,7 @@ class _PallasLogits:
             tiled = tile_barcode_calls(
                 *args, tile_barcodes=tile_barcodes, chunk_calls=chunk_calls
             )
-        self.device = TiledDeviceCalls(mixing, penalties, tiled)
+        self.device = TiledDeviceCalls(mixing, penalties, tiled, out_blocks=out_blocks)
 
     def __call__(
         self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0,
@@ -419,6 +419,9 @@ class _EMRun:
                 barcode_calls, n_barcodes, self.mixing, self.penalties,
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
                 n_variants=self.n_variants,
+                # the fused-softmax knob doubles the kernel's resident
+                # output blocks; the layout must know at build time
+                out_blocks=2 if os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1" else 1,
             )
             vorder = stable_argsort(barcode_calls["variant_id"])
             self.pallas_mstep = TiledMstepCalls(
@@ -501,8 +504,11 @@ class _EMRun:
                     )
                 )
             elif self.pallas_forward is not None:
-                # in-kernel softmax (env-gated until TPU-measured faster;
-                # interpret-mode equality is test-pinned either way)
+                # in-kernel softmax: TPU-measured NEUTRAL at the bench
+                # shape (17.02 vs 17.06 ms, benchmarks/exp_fused_softmax.py
+                # with the halved-row out_blocks=2 layout) — the fused
+                # block write costs what the XLA pass saves. Stays opt-in;
+                # interpret-mode equality is test-pinned either way
                 fused_softmax = os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1"
                 out = self.pallas_forward(
                     self.prior_betas_dev, self.variant2snp_dev, self.n_snps,

@@ -424,8 +424,11 @@ def tiled_logits_impl(
 
     check_kernel_budgets(
         "likelihood",
-        # softmax_out keeps a SECOND resident (tbs, pgp) out block (probs)
-        (2 if softmax_out else 1) * tbs * pgp * 4
+        # out blocks are PIPELINE-DOUBLE-BUFFERED by Mosaic (measured: a
+        # softmax_out layout sized 1x per block OOMed scoped VMEM at
+        # exactly 4x tbs*pgp*4), so each output block counts twice;
+        # softmax_out keeps a SECOND resident (tbs, pgp) block (probs)
+        (2 if softmax_out else 1) * 2 * tbs * pgp * 4
         + mix_block.size * 4 + pgp * 4
         # double-buffered SB-chunk staging blocks
         + 2 * d_pad * sb * tc * 4 + 2 * sb * gpc * 4,
@@ -510,6 +513,7 @@ class TiledDeviceCalls:
         penalties: np.ndarray,
         tiled,  # TiledCalls or BandedTiledCalls
         subtiles_per_super: int | None = None,
+        out_blocks: int = 1,  # 2 when logits() will request softmax_out
     ):
         from .tiling import BandedTiledCalls
 
@@ -531,8 +535,14 @@ class TiledDeviceCalls:
 
             # budget per grid step applies within the largest band region
             max_band_chunks = int(np.diff(band_chunk_offsets).max())
+            from .tiling import SUPER_ROWS_BUDGET
+
+            # softmax_out doubles the resident output footprint; halve the
+            # row budget so the doubled (and pipeline-double-buffered)
+            # blocks still fit the 16 MB scoped-VMEM limit
             subtiles_per_super = choose_subtiles_per_super(
                 tiled.n_tiles, max_band_chunks, tiled.tile_barcodes, pgp,
+                max_super_rows_bytes=SUPER_ROWS_BUDGET // max(out_blocks, 1),
                 n_bands=n_bands,
             )
         self.subtiles_per_super = subtiles_per_super

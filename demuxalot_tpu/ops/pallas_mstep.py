@@ -259,7 +259,7 @@ def tiled_mstep_impl(
 
     check_kernel_budgets(
         "M-step",
-        d * sps * tv * 4  # resident addition block
+        2 * d * sps * tv * 4  # addition block (pipeline-double-buffered)
         # double-buffered SB-chunk staging blocks
         + 2 * d * sb * tc * 4 + 2 * sb * gpc * 4 + 2 * sb * tc * 4,
         n_super * n_bands,

@@ -430,7 +430,10 @@ def test_softmax_out_budget_counts_second_block(monkeypatch):
     tiled_logits_impl(*args, **common, softmax_out=True, n_pseudogenotypes=n_pg)
     assert len(seen) == 2
     pgp = dev.penalties_p.shape[1]
-    assert seen[1] - seen[0] == dev.tbs * pgp * 4
+    # the probs block counts TWICE: Mosaic pipeline-double-buffers every
+    # output block (measured: a 1x-counted softmax layout OOMed scoped
+    # VMEM at exactly 4x tbs*pgp*4)
+    assert seen[1] - seen[0] == 2 * dev.tbs * pgp * 4
 
 
 @pytest.mark.parametrize("trial", range(4))
