@@ -53,6 +53,13 @@ def load_host_library() -> ctypes.CDLL:
     ]
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.demux_match_compact.restype = ctypes.c_int64
+    lib.demux_match_compact.argtypes = [
+        i64p, i64p, ctypes.c_int64,
+        i32p, u8p, f32p, i32p, i32p, f32p, ctypes.c_int64,
+        i32p, i32p, i32p, f32p, f32p,
+    ]
     lib.demux_collapse_calls.restype = ctypes.c_int64
     lib.demux_collapse_calls.argtypes = [
         i32p, i32p, i32p, f32p, ctypes.c_int64,

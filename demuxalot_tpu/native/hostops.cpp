@@ -177,6 +177,60 @@ void demux_hash_match_i64(const int64_t* table_keys, const int64_t* table_vals,
   }
 }
 
+// Fused calls->variants join for match_calls_to_variants: key construction
+// (pos*6 + base), hash lookup against the chromosome's variant registry,
+// match compaction, and the per-call molecule-field gathers — one pass
+// instead of five numpy array passes. Returns the number of matched calls.
+int64_t demux_match_compact(
+    const int64_t* table_keys, const int64_t* table_vids, int64_t m,
+    const int32_t* pos, const uint8_t* base, const float* p_wrong,
+    const int32_t* mol_index, const int32_t* mol_cb, const float* mol_p,
+    int64_t n,
+    int32_t* out_vid, int32_t* out_cb, int32_t* out_mol,
+    float* out_p, float* out_pmol) {
+  if (n <= 0) return 0;
+  uint64_t cap = 1;
+  while (cap < (uint64_t)(m * 2 + 1)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  auto slot_key_p = alloc_nohuge<uint64_t>(cap);
+  auto slot_val_p = alloc_nohuge<int64_t>(cap);
+  uint64_t* slot_key = slot_key_p.get();
+  int64_t* slot_val = slot_val_p.get();
+  std::memset(slot_key, 0, cap * sizeof(uint64_t));
+  auto mix = [](uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdull;
+    x ^= x >> 33;
+    return x;
+  };
+  for (int64_t j = 0; j < m; j++) {
+    uint64_t k = (uint64_t)table_keys[j] + 1;
+    uint64_t h = mix(k) & mask;
+    while (slot_key[h] != 0) h = (h + 1) & mask;
+    slot_key[h] = k;
+    slot_val[h] = table_vids[j];
+  }
+  int64_t out = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t k = (uint64_t)pos[i] * 6 + base[i] + 1;
+    uint64_t h = mix(k) & mask;
+    while (slot_key[h] != 0) {
+      if (slot_key[h] == k) {
+        int32_t mi = mol_index[i];
+        out_vid[out] = (int32_t)slot_val[h];
+        out_cb[out] = mol_cb[mi];
+        out_mol[out] = mi;
+        out_p[out] = p_wrong[i];
+        out_pmol[out] = mol_p[mi];
+        out++;
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return out;
+}
+
 // Collapse molecule calls to unique (variant, barcode) rows: the packing
 // layer's hottest stage (ops/packing.py molecule_calls_to_barcode_calls),
 // fused into one native pass — radix sort by (vid, cb), then one sweep

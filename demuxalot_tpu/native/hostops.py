@@ -57,6 +57,51 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     return order
 
 
+def match_compact(table_keys, table_vids, positions, bases, p_wrong,
+                  mol_index, mol_cb, mol_p):
+    """Fused join of calls against a chromosome's variant registry.
+
+    Returns (vid, cb, mol_index, p_wrong, p_mol) for the matched calls, in
+    call order — or None to request the numpy path. Table keys must be the
+    unique non-negative ``pos*6 + base_code`` registry keys.
+    """
+    lib = _host_lib()
+    n = len(positions)
+    m = len(table_keys)
+    if lib is None or n < 65_536 or m == 0:
+        return None
+    table_keys = np.ascontiguousarray(table_keys, dtype=np.int64)
+    if int(table_keys.min()) < 0:
+        return None
+    table_vids = np.ascontiguousarray(table_vids, dtype=np.int64)
+    positions = np.ascontiguousarray(positions, dtype=np.int32)
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    p_wrong = np.ascontiguousarray(p_wrong, dtype=np.float32)
+    mol_index = np.ascontiguousarray(mol_index, dtype=np.int32)
+    mol_cb = np.ascontiguousarray(mol_cb, dtype=np.int32)
+    mol_p = np.ascontiguousarray(mol_p, dtype=np.float32)
+    out_vid = np.empty(n, np.int32)
+    out_cb = np.empty(n, np.int32)
+    out_mol = np.empty(n, np.int32)
+    out_p = np.empty(n, np.float32)
+    out_pmol = np.empty(n, np.float32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    k = lib.demux_match_compact(
+        table_keys.ctypes.data_as(i64p), table_vids.ctypes.data_as(i64p), m,
+        positions.ctypes.data_as(i32p), bases.ctypes.data_as(u8p),
+        p_wrong.ctypes.data_as(f32p), mol_index.ctypes.data_as(i32p),
+        mol_cb.ctypes.data_as(i32p), mol_p.ctypes.data_as(f32p), n,
+        out_vid.ctypes.data_as(i32p), out_cb.ctypes.data_as(i32p),
+        out_mol.ctypes.data_as(i32p), out_p.ctypes.data_as(f32p),
+        out_pmol.ctypes.data_as(f32p),
+    )
+    return (out_vid[:k].copy(), out_cb[:k].copy(), out_mol[:k].copy(),
+            out_p[:k].copy(), out_pmol[:k].copy())
+
+
 def collapse_calls(vid: np.ndarray, cb: np.ndarray, snp: np.ndarray,
                    p: np.ndarray):
     """Group calls by (vid, cb): per group vid/cb/snp, f32 product of p in

@@ -20,7 +20,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..native.hostops import (
-    collapse_calls, group_sum_broadcast, match_keys, stable_argsort,
+    collapse_calls, group_sum_broadcast, match_compact, match_keys,
+    stable_argsort,
 )
 from ..utils.encoding import base_lookup
 
@@ -92,6 +93,25 @@ def match_calls_to_variants(
         if chromosome not in chrom2keys or len(calls) == 0:
             continue
         table_keys, table_vids = chrom2keys[chromosome]
+        native = match_compact(
+            table_keys, table_vids,
+            calls["snp_position"], calls["base_index"], calls["p_base_wrong"],
+            calls["molecule_index"],
+            molecules["compressed_cb"], molecules["p_group_misaligned"],
+        )
+        if native is not None:
+            # fused C++ join: key build + hash lookup + compaction +
+            # molecule-field gathers in one pass (native/hostops.cpp)
+            vid_m, cb_m, mol_m, p_m, pmol_m = native
+            if not len(vid_m):
+                continue
+            collected["variant_id"].append(vid_m)
+            collected["snp_id"].append(variant_index2snp_index[vid_m])
+            collected["compressed_cb"].append(cb_m)
+            collected["molecule_id"].append(mol_m)
+            collected["p_base_wrong"].append(p_m)
+            collected["p_molecule_aligned_wrong"].append(pmol_m)
+            continue
         call_keys = calls["snp_position"].astype(np.int64) * 6 + calls["base_index"].astype(np.int64)
         # hash join (native; searchsorted fallback): vid per call or -1
         joined = match_keys(table_keys, table_vids, call_keys)

@@ -172,6 +172,46 @@ def test_tile_scatter_matches_numpy_path(monkeypatch):
     np.testing.assert_array_equal(native.chunk2tile, ref.chunk2tile)
 
 
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_match_compact_matches_numpy_join(monkeypatch):
+    """Fused native calls->variants join == the numpy join, incl. drops."""
+    from demuxalot_tpu.frontend.snp_counter import MOLECULE_DTYPE, SNP_CALL_DTYPE, CompressedSNPCalls
+    from demuxalot_tpu.models.genotypes import ProbabilisticGenotypes
+    from demuxalot_tpu.ops.packing import match_calls_to_variants
+
+    rng = np.random.RandomState(13)
+    n, n_mol, n_pos = 150_000, 50_000, 3_000
+    genotypes = ProbabilisticGenotypes(["D1", "D2"])
+    # register variants at even positions only -> ~half the calls unmatched
+    for pos in range(0, n_pos, 2):
+        genotypes.get_variant_id("chr1", pos, "A")
+        genotypes.get_variant_id("chr1", pos, "C")
+    genotypes._ensure_capacity(genotypes.n_variants)
+    genotypes.variant_betas[: genotypes.n_variants] = 1.0
+
+    molecules = np.zeros(n_mol, dtype=MOLECULE_DTYPE)
+    molecules["compressed_cb"] = rng.randint(0, 500, n_mol)
+    molecules["p_group_misaligned"] = rng.rand(n_mol).astype(np.float32)
+    snp_calls = np.zeros(n, dtype=SNP_CALL_DTYPE)
+    snp_calls["molecule_index"] = rng.randint(0, n_mol, n)
+    snp_calls["snp_position"] = rng.randint(0, n_pos, n)
+    snp_calls["base_index"] = rng.randint(0, 4, n)  # G/T never match
+    snp_calls["p_base_wrong"] = rng.rand(n).astype(np.float32)
+    calls = CompressedSNPCalls()
+    calls.molecules = molecules
+    calls.snp_calls = snp_calls
+    calls._finalized = True
+
+    native = match_calls_to_variants({"chr1": calls}, genotypes)
+    _force_numpy_fallback(monkeypatch)
+    ref = match_calls_to_variants({"chr1": calls}, genotypes)
+    assert len(native) == len(ref) > 0
+    for field in ("variant_id", "snp_id", "compressed_cb", "molecule_id"):
+        np.testing.assert_array_equal(native[field], ref[field])
+    for field in ("p_base_wrong", "p_molecule_aligned_wrong"):
+        np.testing.assert_array_equal(native[field], ref[field])
+
+
 def test_hash_match_empty_table():
     out = match_keys(
         np.empty(0, np.int64), np.empty(0, np.int64), np.arange(10, dtype=np.int64)
