@@ -252,25 +252,65 @@ int64_t demux_collapse_calls(const int32_t* vid, const int32_t* cb,
   int64_t* order = order_p.get();
   demux_radix_argsort_i64((const int64_t*)keys, n, order);
 
-  int64_t g = -1;
-  uint64_t prev = ~keys[order[0]];  // != first key
-  for (int64_t i = 0; i < n; i++) {
-    int64_t j = order[i];
-    uint64_t k = keys[j];
-    if (k != prev) {
-      g++;
-      out_vid[g] = (int32_t)(k >> 32);
-      out_cb[g] = (int32_t)(k & 0xffffffffu);
-      out_snp[g] = snp[j];
-      out_p[g] = p[j];
-      out_count[g] = 1;
-      prev = k;
-    } else {
-      out_p[g] *= p[j];  // float32 product in stable member order
-      out_count[g]++;
-    }
+  // threaded emit: ranges aligned to group boundaries (a group never spans
+  // two ranges, so per-group products keep their stable member order);
+  // pass A counts each range's groups, pass B emits at prefix offsets
+  const int hw = (int)std::thread::hardware_concurrency();
+  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  std::vector<int64_t> range_lo(n_threads + 1);
+  range_lo[0] = 0;
+  range_lo[n_threads] = n;
+  const int64_t block = (n + n_threads - 1) / n_threads;
+  for (int t = 1; t < n_threads; t++) {
+    int64_t i = std::min<int64_t>(n, t * block);
+    while (i < n && i > 0 && keys[order[i]] == keys[order[i - 1]]) i++;
+    range_lo[t] = std::max(i, range_lo[t - 1]);
   }
-  return g + 1;
+  std::vector<int64_t> groups_at(n_threads + 1, 0);
+  auto count_fn = [&](int t) {
+    int64_t g = 0;
+    for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++)
+      if (i == range_lo[t] || keys[order[i]] != keys[order[i - 1]]) g++;
+    groups_at[t + 1] = g;
+  };
+  auto emit_fn = [&](int t) {
+    int64_t g = groups_at[t] - 1;
+    uint64_t prev = 0;
+    for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++) {
+      int64_t j = order[i];
+      uint64_t k = keys[j];
+      if (i == range_lo[t] || k != prev) {
+        g++;
+        out_vid[g] = (int32_t)(k >> 32);
+        out_cb[g] = (int32_t)(k & 0xffffffffu);
+        out_snp[g] = snp[j];
+        out_p[g] = p[j];
+        out_count[g] = 1;
+        prev = k;
+      } else {
+        out_p[g] *= p[j];  // float32 product in stable member order
+        out_count[g]++;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    count_fn(0);
+    groups_at[1] += groups_at[0];
+    emit_fn(0);
+    return groups_at[1];
+  }
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(count_fn, t);
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < n_threads; t++) groups_at[t + 1] += groups_at[t];
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(emit_fn, t);
+    for (auto& th : ts) th.join();
+  }
+  return groups_at[n_threads];
 }
 
 // Per-key group sums broadcast back to rows: out[i] = sum of w over all
