@@ -556,3 +556,52 @@ def test_adaptive_chunk_sentinel_with_banding():
     ).device
     assert len(dev.band_specs) > 1  # banding actually engaged
     assert dev.chunk_calls >= 128
+
+
+@pytest.mark.parametrize("n_donors,seed", [(8, 31), (24, 32), (64, 33)])
+def test_full_stack_parity_fuzz(n_donors, seed):
+    """Randomized full-stack parity: Pallas vs XLA posteriors, donor sweep.
+
+    Drives the PUBLIC pipeline (synthetic calls -> pack -> predict/learn)
+    at randomized shapes through both device paths. 64 donors crosses the
+    stacked-K boundary (n_words * D_pad > 128 disables dot_words_stacked)
+    and blows the pseudo-genotype axis up to 2080 columns — regimes the
+    fixed-shape integration test never touches.
+    """
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "benchmarks"))
+    from at_scale_quality import synthesize_compressed_calls
+
+    from demuxalot_tpu import BarcodeHandler, Demultiplexer
+
+    rng = np.random.RandomState(seed)
+    n_barcodes = int(rng.randint(150, 400))
+    n_snps = int(rng.randint(200, 800))
+    cpb = int(rng.randint(8, 40))
+    genotypes, calls, _truth, _names = synthesize_compressed_calls(
+        n_barcodes, n_donors, n_snps, cpb, seed=seed
+    )
+    bh = BarcodeHandler([f"BC{b:06}" for b in range(n_barcodes)])
+    try:
+        Demultiplexer.use_pallas = False
+        _lx, probs_x = Demultiplexer.predict_posteriors(
+            calls, genotypes, bh, doublet_prior=0.3
+        )
+        gx, px = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+        Demultiplexer.use_pallas = True
+        _lp, probs_p = Demultiplexer.predict_posteriors(
+            calls, genotypes, bh, doublet_prior=0.3
+        )
+        gp, pp = Demultiplexer.learn_genotypes(calls, genotypes, bh, n_iterations=2)
+    finally:
+        Demultiplexer.use_pallas = None
+    np.testing.assert_allclose(probs_p.values, probs_x.values, atol=2e-5)
+    # EM feeds the split-word kernel's ~3e-5 posterior error back through
+    # the M-step, so two iterations compound it slightly
+    np.testing.assert_allclose(pp.values, px.values, atol=1e-4)
+    np.testing.assert_allclose(
+        gp.variant_betas[: gp.n_variants], gx.variant_betas[: gx.n_variants],
+        rtol=1e-4, atol=1e-2,
+    )
