@@ -13,14 +13,15 @@ baseline on the SAME inputs:
   (imported from /root/reference with pysam stubbed, exactly as the
   parity tests do) vs the device EM.
 
-Writes ``E2E_r04.json`` at the repo root and prints it. Reproduce with:
+Writes ``E2E_r04.json`` (or ``E2E_PMBC_r04.json`` with ``--pmbc``) at the
+repo root and prints it. Reproduce with:
 
-    python bench.py --end-to-end          # full artifact (~20 min)
+    python bench.py --end-to-end          # full artifact (~15 min)
+    python bench.py --end-to-end --pmbc   # preprint scale (~30 min)
     python bench.py --end-to-end --quick  # small-shape smoke (~1 min)
 
-Also merges an ``at_scale`` section into QUALITY.json: truth-accuracy of
-the full production device path at this scale (VERDICT r3 ask #2), with
-the production-vs-XLA loss agreement recorded.
+The companion harness ``benchmarks/at_scale_quality.py`` records the
+bench-shape truth-accuracy section (``at_scale``) into QUALITY.json.
 """
 import json
 import os
