@@ -324,11 +324,16 @@ def main():
             print(f"# em path failed: {e}", file=sys.stderr)
 
     if pallas_time and not estep_gather_time:
-        estep_decomposition = {
-            "skipped": "banded E-step layout: the gather+fold proxy would "
-                       "index band-local ids against the full table; run at "
-                       "an unbanded shape for the measured split"
-        }
+        # distinguish "not representative" (banded layout) from "the proxy
+        # measurement itself failed" so the artifact never misdirects
+        if dev.band_specs:
+            reason = ("banded E-step layout: the gather+fold proxy would "
+                      "index band-local ids against the full table; run at "
+                      "an unbanded shape for the measured split")
+        else:
+            reason = ("gather+fold proxy measurement failed (see the run's "
+                      "stderr); decomposition unavailable for this run")
+        estep_decomposition = {"skipped": reason}
     if pallas_time and estep_gather_time:
         # kernel-side bound accounting (round-4 ask): each remaining ms at a
         # named hardware limit, from the layout's exact slot counts and the
@@ -346,15 +351,24 @@ def main():
         gpc = tc // max(1, tc // 128)
         tb = dev.tile_barcodes
         sb = stage_chunks(tc)
-        n_words = max(_SPLIT_WORDS[KERNEL_PRECISION], 1)
+        # MXU passes per dot: f32x2 = 2 word passes, default = 1,
+        # highest = Precision.HIGHEST emulation (~6 bf16 passes)
+        split = _SPLIT_WORDS[KERNEL_PRECISION]
+        passes = split if split > 0 else 6
+        # stacking fuses the word passes into one K-stacked pass only on
+        # the split-word strategy (pallas_likelihood: stack_k)
+        stacked = split >= 2 and d_pad * split <= 128
         dma_issue_s = 64 * 1024 * (1 / 120e9 - 1 / 234e9)  # ~2.66e-7
         u_bytes = d_pad * slots * 4
         u_dma_s = (n_chunks / sb) * dma_issue_s + u_bytes / 234e9
         bf16_peak = 197e12  # v5e MXU, DEFAULT-precision passes
-        # stacked-K expansion: one pass per chunk, contraction padded to 128
-        mxu_expansion_s = 2 * slots * pg_sl * max(d_pad * n_words, 128) / bf16_peak
-        # stacked scatter: one pass, contraction n_words*GPC (<= 256)
-        mxu_scatter_s = n_chunks * 2 * tb * pg_sl * (n_words * gpc) / bf16_peak
+        exp_k = max(d_pad * (split if stacked else 1), 128)
+        exp_passes = 1 if stacked else passes
+        mxu_expansion_s = 2 * slots * pg_sl * exp_k * exp_passes / bf16_peak
+        # scatter: stacked one-pass K = split*GPC on f32x2, else summed passes
+        scatter_k = split * gpc if split >= 2 else gpc
+        scatter_passes = 1 if split >= 2 else passes
+        mxu_scatter_s = n_chunks * 2 * tb * pg_sl * scatter_k * scatter_passes / bf16_peak
         vpu_log_s = slots * pg_sl / _LOG_FOLD_WIDTH / 0.4e12
         kernel_side_s = pallas_time - estep_gather_time
         compute_s = mxu_expansion_s + mxu_scatter_s + vpu_log_s

@@ -264,10 +264,11 @@ def main(argv=None):
             baseline["count_python_s"] / stages["count_native_s"], 2
         )
 
-    if pmbc:
+    # --quick must never overwrite a committed artifact with a smoke shape
+    if pmbc and not quick:
         result["reproduce"] = "python bench.py --end-to-end --pmbc"
         (REPO / "E2E_PMBC_r04.json").write_text(json.dumps(result, indent=1) + "\n")
-    elif not quick:
+    elif not pmbc and not quick:
         (REPO / "E2E_r04.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     return result

@@ -572,7 +572,10 @@ def test_full_stack_parity_fuzz(n_donors, seed):
     from pathlib import Path as _Path
 
     _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "benchmarks"))
-    from at_scale_quality import synthesize_compressed_calls
+    # synth_calls is side-effect free; at_scale_quality probes the TPU
+    # tunnel at import (15 min hang under a relay outage) — never import
+    # that module from the default suite
+    from synth_calls import synthesize_compressed_calls
 
     from demuxalot_tpu import BarcodeHandler, Demultiplexer
 
