@@ -20,6 +20,7 @@ bounding the contribution of any single molecule.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -230,6 +231,37 @@ def _default_use_pallas() -> bool:
 # ~10 GB/s and never takes the host path)
 _SLOW_LINK_BYTES_PER_S = 200e6
 
+# Benchmark-only stage-timing hook (consumed by benchmarks/end_to_end.py).
+# Set this to an empty dict before calling learn_genotypes /
+# predict_posteriors and the entry point records measured per-phase wall
+# seconds (host packing, layout build + upload issue, upload flush, device
+# loop, result readback) into it, inserting device syncs between phases —
+# scalar readbacks, because over the tunneled TPU ``block_until_ready``
+# returns before completion (utils/platform.py). None (the default) keeps
+# the production path free of any extra syncs or transfers.
+STAGE_TIMINGS: Optional[dict] = None
+
+
+def _flush_device(arrays) -> int:
+    """Force completion of all pending ops feeding ``arrays``; return bytes.
+
+    One scalar readback per call (element 0 of every array, stacked and
+    summed into a single host float) — cheap even over a slow link, and it
+    cannot complete before every upload/compute producing the inputs has.
+    """
+    dev = [a for a in arrays if isinstance(a, jax.Array) and a.size]
+    if dev:
+        float(jnp.stack([jnp.ravel(a)[0].astype(jnp.float32) for a in dev]).sum())
+    return int(sum(a.nbytes for a in dev))
+
+
+def _stage_mark(timings: Optional[dict], key: str, t0: float) -> float:
+    """Record ``key`` = now − t0 into ``timings`` (if set); return now."""
+    now = time.perf_counter()
+    if timings is not None:
+        timings[key] = round(timings.get(key, 0.0) + (now - t0), 3)
+    return now
+
 
 def _materialize_logits_and_probs(logits_dev, probs_dev=None):
     """Host (logits, probs) from device logits, adapting to link speed.
@@ -245,20 +277,28 @@ def _materialize_logits_and_probs(logits_dev, probs_dev=None):
     (last-ulp nondeterminism). DEMUX_HOST_SOFTMAX pins the choice:
     "1" = always host, "0" = always device, unset/"auto" = measure.
     """
-    import time
-
     pinned = os.environ.get("DEMUX_HOST_SOFTMAX", "auto").lower()
     t0 = time.perf_counter()
     logits = np.asarray(logits_dev)
     dt = max(time.perf_counter() - t0, 1e-9)
+    if STAGE_TIMINGS is not None:
+        STAGE_TIMINGS["d2h_logits_s"] = round(dt, 3)
+        STAGE_TIMINGS["d2h_logits_bytes"] = int(logits.nbytes)
     device_path = (
         pinned == "0"
         or (pinned != "1" and logits.nbytes / dt >= _SLOW_LINK_BYTES_PER_S)
     )
+    if STAGE_TIMINGS is not None:
+        STAGE_TIMINGS["host_softmax"] = not device_path
     if device_path:
         if probs_dev is None:
             probs_dev = jax.nn.softmax(jnp.asarray(logits_dev), axis=-1)
-        return logits, np.asarray(probs_dev)
+        t0 = time.perf_counter()
+        probs = np.asarray(probs_dev)
+        if STAGE_TIMINGS is not None:
+            STAGE_TIMINGS["d2h_probs_s"] = round(time.perf_counter() - t0, 3)
+            STAGE_TIMINGS["d2h_probs_bytes"] = int(probs.nbytes)
+        return logits, probs
     x = logits.astype(np.float64)
     x -= x.max(axis=1, keepdims=True)
     np.exp(x, out=x)
@@ -379,9 +419,12 @@ class _EMRun:
                 n_options,
             ), "wrong shape of priors"
 
+        timings = STAGE_TIMINGS
+        t_mark = time.perf_counter()
         variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=True
         )
+        t_mark = _stage_mark(timings, "pack_s", t_mark)
         self.prior_betas = prior_betas
         self.barcode_handler = barcode_handler
         self.n_iterations = n_iterations
@@ -477,6 +520,26 @@ class _EMRun:
         self.prior_logits_dev = (
             jnp.asarray(barcode_prior_logits) if barcode_prior_logits is not None else None
         )
+        t_mark = _stage_mark(timings, "layout_s", t_mark)
+        if timings is not None:
+            # flush every issued upload so layout_s (host tiling + upload
+            # issue) and upload_flush_s (link-bound backlog) split cleanly;
+            # the lazy M-step table is forced here too so the device loop
+            # measures compute only
+            arrays = [self.prior_betas_dev, self.variant2snp_dev,
+                      self.anchor_mask_dev, self.prior_logits_dev]
+            if self.pallas_forward is not None:
+                dev = self.pallas_forward.device
+                arrays += [dev.vid, dev.seg_group, dev.q,
+                           dev.chunk_bounds, dev.chunk_suboff,
+                           dev.mixing_sl, dev.penalties_p]
+            if self.pallas_mstep is not None:
+                arrays += list(self.pallas_mstep._device())
+            for name in ("vid_b", "cb_b", "q_b", "vid_v", "cb_v", "q_v",
+                         "mixing_dev", "penalties_dev"):
+                arrays.append(getattr(self, name, None))
+            timings["h2d_bytes"] = _flush_device(arrays)
+            _stage_mark(timings, "upload_flush_s", t_mark)
 
     def device_iterations(self):
         """Yield (probs_dev, logits_dev, addition_dev) per EM iteration.
@@ -573,7 +636,11 @@ class _EMRun:
             index=self.barcode_handler.ordered_barcodes,
             columns=self.column_names,
         )
+        t0 = time.perf_counter()
         addition = np.asarray(addition_dev)
+        if STAGE_TIMINGS is not None:
+            STAGE_TIMINGS["d2h_addition_s"] = round(time.perf_counter() - t0, 3)
+            STAGE_TIMINGS["d2h_addition_bytes"] = int(addition.nbytes)
         if self.donor_major:
             addition = addition.T
         debug_information = {
@@ -664,11 +731,17 @@ class Demultiplexer:
             n_iterations, p_genotype_clip, doublet_prior, barcode_prior_logits,
             damping=damping,
         )
+        timings = STAGE_TIMINGS
+        t_mark = time.perf_counter()
         state = None
         for state in run.device_iterations():
             pass
         assert state is not None, "n_iterations must be >= 1"
+        if timings is not None:
+            _flush_device(list(state))
+        t_mark = _stage_mark(timings, "device_loop_s", t_mark)
         last_iteration_barcode_probs, debug_information = run.materialize(state)
+        _stage_mark(timings, "materialize_s", t_mark)
         learnt_genotypes = genotypes._with_betas(
             genotypes.get_betas() + debug_information["genotype_addition"]
         )
@@ -756,9 +829,12 @@ class Demultiplexer:
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
 
+        timings = STAGE_TIMINGS
+        t_mark = time.perf_counter()
         variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=False
         )
+        t_mark = _stage_mark(timings, "pack_s", t_mark)
         n_variants = prior_betas.shape[0]
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
         n_barcodes = barcode_handler.n_barcodes
@@ -796,8 +872,19 @@ class Demultiplexer:
                 Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
                 n_variants=n_variants,
             )
+            betas_dev = jnp.asarray(prior_betas_sorted)
+            v2s_dev = jnp.asarray(v2s_sorted)
+            t_mark = _stage_mark(timings, "layout_s", t_mark)
+            if timings is not None:
+                dev = pallas_forward.device
+                timings["h2d_bytes"] = _flush_device([
+                    betas_dev, v2s_dev, dev.vid, dev.seg_group, dev.q,
+                    dev.chunk_bounds, dev.chunk_suboff, dev.mixing_sl,
+                    dev.penalties_p,
+                ])
+                t_mark = _stage_mark(timings, "upload_flush_s", t_mark)
             logits_dev = pallas_forward(
-                jnp.asarray(prior_betas_sorted), jnp.asarray(v2s_sorted),
+                betas_dev, v2s_dev,
                 n_snps, p_genotype_clip, max_per_snp,
             )
         else:
@@ -817,9 +904,13 @@ class Demultiplexer:
                 max_per_snp=max_per_snp,
             )
 
+        if timings is not None:
+            _flush_device([logits_dev])
+        t_mark = _stage_mark(timings, "forward_s", t_mark)
         # posteriors: one frame transfer + host softmax over slow links,
         # device softmax + second frame otherwise (measured adaptively)
         barcode_posterior_logits, probs = _materialize_logits_and_probs(logits_dev)
+        _stage_mark(timings, "materialize_s", t_mark)
         logits_df = pd.DataFrame(
             data=barcode_posterior_logits,
             index=list(barcode_handler.ordered_barcodes),

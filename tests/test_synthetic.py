@@ -296,3 +296,52 @@ def test_learn_genotypes_equals_staged_last_yield(synthetic_data):
     np.testing.assert_array_equal(probs_fast.values, probs_gen.values)
     assert list(probs_fast.index) == list(probs_gen.index)
     np.testing.assert_array_equal(learnt_fast.get_betas(), learnt_gen.get_betas())
+
+
+def test_stage_timings_hook(synthetic_data):
+    """The benchmark stage-timing hook records phases without changing results.
+
+    benchmarks/end_to_end.py relies on these keys for the artifact's
+    link_accounting section; the hook must be a pure observer (identical
+    posteriors) and default-off (no keys recorded when unset).
+    """
+    import os
+
+    from demuxalot_tpu.models import demux as demux_mod
+
+    _f, genotypes, _truth, barcode_handler, calls = synthetic_data
+    # tiny frames measure a borderline link rate, so the adaptive softmax
+    # branch could flip between the two runs (last-ulp differences); pin it
+    os.environ["DEMUX_HOST_SOFTMAX"] = "0"
+    try:
+        _lg, probs_plain = Demultiplexer.predict_posteriors(
+            calls, genotypes, barcode_handler=barcode_handler, doublet_prior=0.35
+        )
+        assert demux_mod.STAGE_TIMINGS is None
+        demux_mod.STAGE_TIMINGS = {}
+        _lg, probs_timed = Demultiplexer.predict_posteriors(
+            calls, genotypes, barcode_handler=barcode_handler, doublet_prior=0.35
+        )
+        predict_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = {}
+        _learnt, probs_em = Demultiplexer.learn_genotypes(
+            calls, genotypes, barcode_handler=barcode_handler, n_iterations=2
+        )
+        learn_detail = demux_mod.STAGE_TIMINGS
+    finally:
+        demux_mod.STAGE_TIMINGS = None
+        del os.environ["DEMUX_HOST_SOFTMAX"]
+
+    np.testing.assert_array_equal(probs_plain.values, probs_timed.values)
+    for key in ("pack_s", "forward_s", "materialize_s", "d2h_logits_s",
+                "d2h_logits_bytes"):
+        assert key in predict_detail, (key, predict_detail)
+    for key in ("pack_s", "layout_s", "upload_flush_s", "h2d_bytes",
+                "device_loop_s", "materialize_s", "d2h_addition_bytes"):
+        assert key in learn_detail, (key, learn_detail)
+    for detail in (predict_detail, learn_detail):
+        for key, value in detail.items():
+            if key.endswith("_s"):
+                assert 0 <= value < 600, (key, value)
+    assert predict_detail["d2h_logits_bytes"] == probs_timed.values.nbytes
+    assert np.allclose(probs_em.sum(axis=1).values, 1, atol=1e-3)
