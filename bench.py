@@ -479,6 +479,7 @@ def main():
                 "total_pipeline_warm_s": e2e.get("total_pipeline_warm_s"),
                 "vs_baseline_total": e2e.get("vs_baseline_total"),
                 "native_reads_per_s": e2e.get("stages", {}).get("native_reads_per_s"),
+                "link_accounting": e2e.get("link_accounting"),
                 "reproduce": e2e.get("reproduce"),
             }
     print(json.dumps(result))

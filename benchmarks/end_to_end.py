@@ -169,6 +169,27 @@ def main(argv=None):
         predict_detail = demux_mod.STAGE_TIMINGS
         demux_mod.STAGE_TIMINGS = None
 
+        # --- pack-once engine flow (the recommended product usage) ---------
+        # PackedCalls shares the join/collapse/tiling/upload between the EM
+        # and posterior entry points; the per-call flow above stays the
+        # like-for-like comparison against the reference's API shape
+        _stage("pack-once engine flow (pack_dataset + learn + predict)")
+        demux_mod.STAGE_TIMINGS = {}
+        t0 = time.perf_counter()
+        packed = Demultiplexer.pack_dataset(calls, genotypes)
+        _learnt_e, _probs_em_e = Demultiplexer.learn_genotypes(
+            packed, genotypes, barcode_handler=handler, n_iterations=em_iterations
+        )
+        lg_e, _probs_e = Demultiplexer.predict_posteriors(
+            packed, genotypes, barcode_handler=handler, doublet_prior=0.35
+        )
+        stages["engine_flow_warm_s"] = round(time.perf_counter() - t0, 2)
+        engine_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = None
+        engine_matches = bool(
+            np.allclose(lg_e.values, _lg.values, rtol=1e-6, atol=1e-6)
+        )
+
         # measured link accounting: which part of the warm wall-clock is the
         # host<->device link (uploads of the call tables + posterior frame
         # readbacks) vs host packing/tiling vs device compute. Every number
@@ -297,9 +318,20 @@ def main(argv=None):
         "stages_detail": {
             "learn_genotypes_warm": learn_detail,
             "predict_posteriors_warm": predict_detail,
+            "engine_flow_warm": engine_detail,
         },
         "link_accounting": link_accounting,
         "total_pipeline_warm_s": ours_total_warm,
+        "engine_flow": {
+            "total_pipeline_s": round(
+                stages["count_native_s"] + stages["engine_flow_warm_s"], 2
+            ),
+            "logits_match_per_call_flow": engine_matches,
+            "note": "pack-once PackedCalls engine (Demultiplexer.pack_dataset): "
+                    "join/collapse/tiling/upload shared between learn_genotypes "
+                    "and predict_posteriors; the headline total_pipeline_warm_s "
+                    "keeps the per-call flow for like-for-like comparison",
+        },
         "quality": quality,
         "baseline_reference_style": baseline,
     }
@@ -309,6 +341,9 @@ def main(argv=None):
         )
         result["vs_baseline_counting"] = round(
             baseline["count_python_s"] / stages["count_native_s"], 2
+        )
+        result["engine_flow"]["vs_baseline_total"] = round(
+            baseline["total_pipeline_s"] / result["engine_flow"]["total_pipeline_s"], 2
         )
 
     # --quick must never overwrite a committed artifact with a smoke shape

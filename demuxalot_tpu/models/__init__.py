@@ -1,4 +1,4 @@
-from .demux import Demultiplexer
+from .demux import Demultiplexer, PackedCalls
 from .genotypes import ProbabilisticGenotypes
 
-__all__ = ["Demultiplexer", "ProbabilisticGenotypes"]
+__all__ = ["Demultiplexer", "PackedCalls", "ProbabilisticGenotypes"]

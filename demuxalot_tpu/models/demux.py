@@ -378,6 +378,141 @@ class _SnpAggregationLayout:
         )
 
 
+class PackedCalls:
+    """Pack once, run many: packed call tables plus a device-layout cache.
+
+    Every entry point repeats the same expensive host stages per call — the
+    calls↔variants join (reference analogue: demuxalot/demux.py:342-347),
+    the (variant, barcode) collapse, the SNP-sorted variant reindex, the
+    kernel call tiling, and the device upload of the tiled tables — yet all
+    of them depend only on (calls, the genotype registry's variant KEYS,
+    n_barcodes), never on beta values or the doublet prior. The standard
+    product flow pays them twice (``learn_genotypes``, then
+    ``predict_posteriors`` on the learnt clone) and ``damping="auto"`` two
+    more times. Build a :class:`PackedCalls` once and pass it anywhere
+    ``chromosome2compressed_snp_calls`` is accepted::
+
+        packed = Demultiplexer.pack_dataset(calls, genotypes)
+        learnt, probs_em = Demultiplexer.learn_genotypes(packed, genotypes, handler)
+        logits, probs = Demultiplexer.predict_posteriors(packed, learnt, handler)
+
+    Genotype objects passed alongside a ``PackedCalls`` may differ in beta
+    VALUES (e.g. the learnt clone — betas regularization is recomputed per
+    use, it is cheap) but must carry the same variant registry; this is
+    verified with array compares on every use. The multi-device engine
+    (``parallel.sharded``) keeps its own shard-aware layouts and does not
+    consume this cache.
+    """
+
+    def __init__(self, chromosome2compressed_snp_calls, genotypes: ProbabilisticGenotypes):
+        self.variant2snp = genotypes.get_snp_ids_for_variants()
+        self.molecule_calls = P.match_calls_to_variants(
+            chromosome2compressed_snp_calls, genotypes
+        )
+        self.barcode_calls = P.molecule_calls_to_barcode_calls(self.molecule_calls)
+        names, chrom_slots, positions, base_chars, base_slots = genotypes.variant_columns()
+        self._registry_key = (
+            tuple(names),
+            np.array(chrom_slots, copy=True),
+            np.array(positions, copy=True),
+            tuple(base_chars),
+            np.array(base_slots, copy=True),
+        )
+        self.reindex = P.VariantReindex.build(self.variant2snp)
+        self._remapped: Optional[np.recarray] = None
+        self._forward_layouts: dict = {}
+        self._mstep_layouts: dict = {}
+        self._device_flat: dict = {}
+
+    @property
+    def n_variants(self) -> int:
+        return len(self.variant2snp)
+
+    def verify_registry(self, genotypes: ProbabilisticGenotypes) -> None:
+        """Raise if ``genotypes`` carries a different variant registry."""
+        names, chrom_slots, positions, base_chars, base_slots = genotypes.variant_columns()
+        ok = (
+            tuple(names) == self._registry_key[0]
+            and np.array_equal(chrom_slots, self._registry_key[1])
+            and np.array_equal(positions, self._registry_key[2])
+            and tuple(base_chars) == self._registry_key[3]
+            and np.array_equal(base_slots, self._registry_key[4])
+        )
+        if not ok:
+            raise ValueError(
+                "PackedCalls was built against a different variant registry; "
+                "beta values may change between uses (e.g. the learnt clone) "
+                "but variants may not — re-pack with Demultiplexer.pack_dataset"
+            )
+
+    def betas_for(self, genotypes: ProbabilisticGenotypes, add_data_prior: bool) -> np.ndarray:
+        """Regularized prior betas for THIS genotypes object (recomputed, cheap)."""
+        self.verify_registry(genotypes)
+        return P.compute_prior_betas(
+            genotypes, self.molecule_calls, self.variant2snp, add_data_prior=add_data_prior
+        )
+
+    def remapped_barcode_calls(self) -> np.recarray:
+        """Call table with variant ids in SNP-sorted device order (cached)."""
+        if self._remapped is None:
+            self._remapped = self.reindex.remap_barcode_calls(self.barcode_calls)
+        return self._remapped
+
+    def forward_layout(
+        self, n_barcodes: int, mixing: np.ndarray, penalties: np.ndarray,
+        tile_barcodes: int, chunk_calls: int, out_blocks: int = 1,
+    ) -> "_PallasLogits":
+        """Cached device-resident E-step layout (tiling + uploaded tables)."""
+        key = ("fwd", n_barcodes, tile_barcodes, chunk_calls, out_blocks,
+               mixing.tobytes(), penalties.tobytes())
+        layout = self._forward_layouts.get(key)
+        if layout is None:
+            layout = _PallasLogits(
+                self.remapped_barcode_calls(), n_barcodes, mixing, penalties,
+                tile_barcodes, chunk_calls, n_variants=self.n_variants,
+                out_blocks=out_blocks,
+            )
+            self._forward_layouts[key] = layout
+        return layout
+
+    def mstep_layout(self, n_barcodes: int, n_genotypes: int):
+        """Cached M-step layout (variant-sorted tiling, lazily uploaded)."""
+        from ..ops.pallas_mstep import TiledMstepCalls, choose_mstep_bands
+
+        key = (n_barcodes, n_genotypes)
+        layout = self._mstep_layouts.get(key)
+        if layout is None:
+            calls = self.remapped_barcode_calls()
+            vorder = stable_argsort(calls["variant_id"])
+            layout = TiledMstepCalls(
+                calls["variant_id"].astype(np.int32)[vorder],
+                calls["compressed_cb"].astype(np.int32)[vorder],
+                calls["p_base_wrong"].astype(np.float32)[vorder],
+                self.n_variants,
+                n_barcodes=n_barcodes,
+                n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
+                n_genotypes=n_genotypes,
+            )
+            self._mstep_layouts[key] = layout
+        return layout
+
+    def device_flat(self, n_barcodes: int):
+        """Cached device-resident flat dual-sort layout (XLA fallback paths).
+
+        Returns ``(vid_b, cb_b, q_b, vid_v, cb_v, q_v)`` jnp arrays.
+        """
+        arrays = self._device_flat.get(n_barcodes)
+        if arrays is None:
+            device = P.device_pack_barcode_calls(self.remapped_barcode_calls(), n_barcodes)
+            arrays = tuple(
+                jnp.asarray(x)
+                for x in (device.vid_b, device.cb_b, device.q_b,
+                          device.vid_v, device.cb_v, device.q_v)
+            )
+            self._device_flat[n_barcodes] = arrays
+        return arrays
+
+
 class _EMRun:
     """Device-resident EM loop state shared by the learning entry points.
 
@@ -421,6 +556,10 @@ class _EMRun:
 
         timings = STAGE_TIMINGS
         t_mark = time.perf_counter()
+        packed = (
+            chromosome2compressed_snp_calls
+            if isinstance(chromosome2compressed_snp_calls, PackedCalls) else None
+        )
         variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=True
         )
@@ -436,9 +575,13 @@ class _EMRun:
 
         # device EM space uses SNP-sorted variant rows (windowed genotype-prob
         # denominators); results are mapped back to registry order at yield
-        self.reindex = P.VariantReindex.build(variant2snp)
+        if packed is not None:
+            self.reindex = packed.reindex
+            barcode_calls = packed.remapped_barcode_calls()
+        else:
+            self.reindex = P.VariantReindex.build(variant2snp)
+            barcode_calls = self.reindex.remap_barcode_calls(barcode_calls)
         self.max_per_snp = self.reindex.windowed_max_per_snp
-        barcode_calls = self.reindex.remap_barcode_calls(barcode_calls)
         self.molecule_calls = molecule_calls
         self.snp_aggregation_layout = None
         if Demultiplexer.aggregate_on_snps:
@@ -456,42 +599,59 @@ class _EMRun:
         self.pallas_forward = None
         self.pallas_mstep = None
         if Demultiplexer._resolve_use_pallas() and not Demultiplexer.aggregate_on_snps:
-            from ..ops.pallas_mstep import TiledMstepCalls, choose_mstep_bands
+            # the fused-softmax knob doubles the kernel's resident
+            # output blocks; the layout must know at build time
+            out_blocks = 2 if os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1" else 1
+            if packed is not None:
+                self.pallas_forward = packed.forward_layout(
+                    n_barcodes, self.mixing, self.penalties,
+                    Demultiplexer.pallas_tile_barcodes,
+                    Demultiplexer.pallas_chunk_calls, out_blocks=out_blocks,
+                )
+                self.pallas_mstep = packed.mstep_layout(n_barcodes, self.n_genotypes)
+            else:
+                from ..ops.pallas_mstep import TiledMstepCalls, choose_mstep_bands
 
-            self.pallas_forward = _PallasLogits(
-                barcode_calls, n_barcodes, self.mixing, self.penalties,
-                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-                n_variants=self.n_variants,
-                # the fused-softmax knob doubles the kernel's resident
-                # output blocks; the layout must know at build time
-                out_blocks=2 if os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1" else 1,
-            )
-            vorder = stable_argsort(barcode_calls["variant_id"])
-            self.pallas_mstep = TiledMstepCalls(
-                barcode_calls["variant_id"].astype(np.int32)[vorder],
-                barcode_calls["compressed_cb"].astype(np.int32)[vorder],
-                barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
-                self.n_variants,
-                n_barcodes=n_barcodes,
-                n_bands=choose_mstep_bands(n_barcodes, self.n_genotypes),
-                n_genotypes=self.n_genotypes,
-            )
+                self.pallas_forward = _PallasLogits(
+                    barcode_calls, n_barcodes, self.mixing, self.penalties,
+                    Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                    n_variants=self.n_variants,
+                    out_blocks=out_blocks,
+                )
+                vorder = stable_argsort(barcode_calls["variant_id"])
+                self.pallas_mstep = TiledMstepCalls(
+                    barcode_calls["variant_id"].astype(np.int32)[vorder],
+                    barcode_calls["compressed_cb"].astype(np.int32)[vorder],
+                    barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
+                    self.n_variants,
+                    n_barcodes=n_barcodes,
+                    n_bands=choose_mstep_bands(n_barcodes, self.n_genotypes),
+                    n_genotypes=self.n_genotypes,
+                )
         elif not Demultiplexer.aggregate_on_snps:
             # flat dual-sort layout feeds the XLA segment-sum paths
-            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
             self.mixing_dev = jnp.asarray(self.mixing)
             self.penalties_dev = jnp.asarray(self.penalties)
-            self.vid_b, self.cb_b, self.q_b = (
-                jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
-            )
-            self.vid_v, self.cb_v, self.q_v = (
-                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
-            )
+            if packed is not None:
+                (self.vid_b, self.cb_b, self.q_b,
+                 self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
+            else:
+                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+                self.vid_b, self.cb_b, self.q_b = (
+                    jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
+                )
+                self.vid_v, self.cb_v, self.q_v = (
+                    jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
+                )
         else:
-            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-            self.vid_v, self.cb_v, self.q_v = (
-                jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
-            )
+            if packed is not None:
+                (_vb, _cb, _qb,
+                 self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
+            else:
+                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+                self.vid_v, self.cb_v, self.q_v = (
+                    jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
+                )
 
         # with the Pallas kernels and the windowed denominator both available,
         # the EM state stays donor-major [D, V] across iterations (the
@@ -777,6 +937,11 @@ class Demultiplexer:
             doublet_prior=doublet_prior,
             barcode_prior_logits=barcode_prior_logits,
         )
+        # the plain and anchored runs share every layout and upload: pack once
+        if not isinstance(chromosome2compressed_snp_calls, PackedCalls):
+            chromosome2compressed_snp_calls = PackedCalls(
+                chromosome2compressed_snp_calls, genotypes
+            )
 
         def learn_with(damping):
             return Demultiplexer.learn_genotypes(
@@ -831,6 +996,10 @@ class Demultiplexer:
 
         timings = STAGE_TIMINGS
         t_mark = time.perf_counter()
+        packed = (
+            chromosome2compressed_snp_calls
+            if isinstance(chromosome2compressed_snp_calls, PackedCalls) else None
+        )
         variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=False
         )
@@ -841,9 +1010,13 @@ class Demultiplexer:
 
         # SNP-sorted device variant space (see staged_genotype_learning);
         # logits are invariant to the renumbering, so nothing maps back
-        reindex = P.VariantReindex.build(variant2snp)
+        if packed is not None:
+            reindex = packed.reindex
+            barcode_calls = packed.remapped_barcode_calls()
+        else:
+            reindex = P.VariantReindex.build(variant2snp)
+            barcode_calls = reindex.remap_barcode_calls(barcode_calls)
         max_per_snp = reindex.windowed_max_per_snp
-        barcode_calls = reindex.remap_barcode_calls(barcode_calls)
         prior_betas_sorted = reindex.permute_rows(prior_betas)
         v2s_sorted = reindex.variant2snp
 
@@ -867,11 +1040,18 @@ class Demultiplexer:
                 )
             )
         elif Demultiplexer._resolve_use_pallas():
-            pallas_forward = _PallasLogits(
-                barcode_calls, n_barcodes, mixing, penalties,
-                Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-                n_variants=n_variants,
-            )
+            if packed is not None:
+                pallas_forward = packed.forward_layout(
+                    n_barcodes, mixing, penalties,
+                    Demultiplexer.pallas_tile_barcodes,
+                    Demultiplexer.pallas_chunk_calls,
+                )
+            else:
+                pallas_forward = _PallasLogits(
+                    barcode_calls, n_barcodes, mixing, penalties,
+                    Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
+                    n_variants=n_variants,
+                )
             betas_dev = jnp.asarray(prior_betas_sorted)
             v2s_dev = jnp.asarray(v2s_sorted)
             t_mark = _stage_mark(timings, "layout_s", t_mark)
@@ -888,15 +1068,22 @@ class Demultiplexer:
                 n_snps, p_genotype_clip, max_per_snp,
             )
         else:
-            device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+            if packed is not None:
+                vid_b, cb_b, q_b = packed.device_flat(n_barcodes)[:3]
+            else:
+                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
+                vid_b, cb_b, q_b = (
+                    jnp.asarray(device.vid_b), jnp.asarray(device.cb_b),
+                    jnp.asarray(device.q_b),
+                )
             logits_dev = _logits_forward(
                 jnp.asarray(prior_betas_sorted),
                 jnp.asarray(v2s_sorted),
                 jnp.asarray(mixing),
                 jnp.asarray(penalties),
-                jnp.asarray(device.vid_b),
-                jnp.asarray(device.cb_b),
-                jnp.asarray(device.q_b),
+                vid_b,
+                cb_b,
+                q_b,
                 n_snps=n_snps,
                 n_barcodes=n_barcodes,
                 p_genotype_clip=p_genotype_clip,
@@ -931,7 +1118,20 @@ class Demultiplexer:
 
     @staticmethod
     def pack_calls(chromosome2compressed_snp_calls, genotypes, add_data_prior: bool):
+        if isinstance(chromosome2compressed_snp_calls, PackedCalls):
+            packed = chromosome2compressed_snp_calls
+            return (
+                packed.variant2snp,
+                packed.betas_for(genotypes, add_data_prior),
+                packed.molecule_calls,
+                packed.barcode_calls,
+            )
         return P.pack_calls(chromosome2compressed_snp_calls, genotypes, add_data_prior)
+
+    @staticmethod
+    def pack_dataset(chromosome2compressed_snp_calls, genotypes) -> PackedCalls:
+        """Pack once for reuse across entry points (see :class:`PackedCalls`)."""
+        return PackedCalls(chromosome2compressed_snp_calls, genotypes)
 
     # parity aliases for the reference's helper names
     @staticmethod

@@ -608,3 +608,64 @@ def test_full_stack_parity_fuzz(n_donors, seed):
         gp.variant_betas[: gp.n_variants], gx.variant_betas[: gx.n_variants],
         rtol=1e-4, atol=1e-2,
     )
+
+
+def test_packed_calls_pallas_path(tmp_path):
+    """PackedCalls layout caches drive the Pallas path bit-identically.
+
+    Covers the forward_layout / mstep_layout caches (the XLA flat cache is
+    covered in tests/test_synthetic.py): same posteriors and learnt betas
+    as per-call packing, cache hit counts as expected across the
+    learn -> predict-on-learnt flow.
+    """
+    import os
+
+    import numpy as np
+    from demuxalot_tpu import BarcodeHandler, Demultiplexer, PackedCalls
+    from demuxalot_tpu.frontend.snp_counter import count_snps
+    from demuxalot_tpu.sim import generate_bam_file
+
+    np.random.seed(7)
+    filename = str(tmp_path / "t.bam")
+    filename, genotypes, _ids, names = generate_bam_file(
+        filename, n_genotypes=4, n_barcodes=60, n_reads_per_barcode=30,
+        chromosome2length={"chr1": 600},
+    )
+    bh = BarcodeHandler(list(names))
+    calls = count_snps(
+        filename, genotypes.get_chromosome2positions(), bh,
+        joblib_n_jobs=None, joblib_verbosity=0,
+    )
+    os.environ["DEMUX_HOST_SOFTMAX"] = "1"
+    try:
+        Demultiplexer.use_pallas = True
+        learnt_ref, probs_ref = Demultiplexer.learn_genotypes(
+            calls, genotypes, bh, n_iterations=2
+        )
+        packed = PackedCalls(calls, genotypes)
+        learnt_p, probs_p = Demultiplexer.learn_genotypes(
+            packed, genotypes, bh, n_iterations=2
+        )
+        np.testing.assert_array_equal(probs_ref.values, probs_p.values)
+        np.testing.assert_array_equal(
+            learnt_ref.get_betas(), learnt_p.get_betas()
+        )
+        # EM (doublet_prior=0) built one forward layout + one M-step layout
+        assert len(packed._forward_layouts) == 1
+        assert len(packed._mstep_layouts) == 1
+
+        lg_ref, _pr = Demultiplexer.predict_posteriors(
+            calls, learnt_ref, bh, doublet_prior=0.25
+        )
+        lg_p, _pp = Demultiplexer.predict_posteriors(
+            packed, learnt_p, bh, doublet_prior=0.25
+        )
+        np.testing.assert_array_equal(lg_ref.values, lg_p.values)
+        # predict's doublet mixing differs from the EM layout -> second key
+        assert len(packed._forward_layouts) == 2
+        # a repeat predict is a pure cache hit
+        Demultiplexer.predict_posteriors(packed, learnt_p, bh, doublet_prior=0.25)
+        assert len(packed._forward_layouts) == 2
+    finally:
+        Demultiplexer.use_pallas = None
+        del os.environ["DEMUX_HOST_SOFTMAX"]
