@@ -33,7 +33,9 @@ import numpy as np
 
 import os
 
-from demuxalot_tpu.utils.platform import honor_jax_platforms_env, wait_for_tunnel
+from demuxalot_tpu.utils.platform import (
+    enable_persistent_compilation_cache, honor_jax_platforms_env, wait_for_tunnel,
+)
 
 # A transient relay outage must not silently demote the round's official
 # benchmark to CPU: wait (bounded, with backoff) for the tunnel to heal
@@ -44,6 +46,7 @@ TPU_PROBE = wait_for_tunnel(max_wait_s=float(os.environ.get("DEMUX_TPU_WAIT_S", 
 
 # probes the TPU relay once more and falls back to CPU if it is unreachable
 honor_jax_platforms_env()
+enable_persistent_compilation_cache()
 
 N_DONORS = int(os.environ.get("DEMUX_BENCH_DONORS", 32))
 N_SNPS = int(os.environ.get("DEMUX_BENCH_SNPS", 65_536))

@@ -31,10 +31,13 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
-from demuxalot_tpu.utils.platform import honor_jax_platforms_env, wait_for_tunnel
+from demuxalot_tpu.utils.platform import (
+    enable_persistent_compilation_cache, honor_jax_platforms_env, wait_for_tunnel,
+)
 
 TPU_PROBE = wait_for_tunnel(max_wait_s=float(os.environ.get("DEMUX_TPU_WAIT_S", 900)))
 honor_jax_platforms_env()
+enable_persistent_compilation_cache()
 
 QUALITY = REPO / "QUALITY.json"
 

@@ -34,10 +34,19 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
-from demuxalot_tpu.utils.platform import honor_jax_platforms_env, wait_for_tunnel
+from demuxalot_tpu.utils.platform import (
+    enable_persistent_compilation_cache, honor_jax_platforms_env, wait_for_tunnel,
+)
 
 TPU_PROBE = wait_for_tunnel(max_wait_s=float(os.environ.get("DEMUX_TPU_WAIT_S", 900)))
 honor_jax_platforms_env()
+CACHE_DIR = os.environ.get(
+    "DEMUX_JAX_CACHE_DIR", os.path.expanduser("~/.cache/demuxalot_tpu/jax")
+)
+CACHE_ENTRIES_BEFORE = (
+    len(os.listdir(CACHE_DIR)) if os.path.isdir(CACHE_DIR) else 0
+)
+CACHE_ENABLED = enable_persistent_compilation_cache()
 
 
 sys.path.insert(0, str(REPO / "benchmarks"))
@@ -299,6 +308,13 @@ def main(argv=None):
         ),
         "backend": backend,
         "tpu_unreachable": bool(TPU_PROBE["expected"] and backend != "tpu"),
+        # "_cold_s" stages include jit compiles; with a primed on-disk
+        # executable cache they replay from disk instead of paying the
+        # (remote, minutes-long) compiler — this records which one this was
+        "persistent_compile_cache": {
+            "enabled": CACHE_ENABLED,
+            "entries_at_start": CACHE_ENTRIES_BEFORE,
+        },
         "reproduce": "python bench.py --end-to-end",
         "config": {
             "n_donors": n_donors,

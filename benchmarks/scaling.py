@@ -20,9 +20,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from demuxalot_tpu.utils.platform import honor_jax_platforms_env
+from demuxalot_tpu.utils.platform import (
+    enable_persistent_compilation_cache, honor_jax_platforms_env,
+)
 
 honor_jax_platforms_env()
+enable_persistent_compilation_cache()
 
 # default shard size matches a realistic per-chip serving slice; small
 # shards under-amortize fixed dispatch overhead and understate efficiency

@@ -338,9 +338,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from .utils.platform import honor_jax_platforms_env
+    from .utils.platform import (
+        enable_persistent_compilation_cache, honor_jax_platforms_env,
+    )
 
     honor_jax_platforms_env()
+    enable_persistent_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.func(args)
 

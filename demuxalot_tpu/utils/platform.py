@@ -29,6 +29,37 @@ def honor_jax_platforms_env() -> None:
     fall_back_if_tunnel_down()
 
 
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> bool:
+    """Enable JAX's on-disk executable cache for this process.
+
+    Compiles on this machine go through a remote (tunneled) compiler
+    service, so a cold program costs minutes of wall-clock even when
+    nothing changed; the persistent cache replays the serialized
+    executable instead. Called by the benchmark/entry scripts (bench.py,
+    benchmarks/*, __graft_entry__) — the library itself never writes to
+    disk implicitly. Opt out with DEMUX_JAX_CACHE=0; relocate with
+    DEMUX_JAX_CACHE_DIR. Returns True when the cache was enabled.
+    """
+    if os.environ.get("DEMUX_JAX_CACHE", "1") == "0":
+        return False
+    cache_dir = cache_dir or os.environ.get(
+        "DEMUX_JAX_CACHE_DIR",
+        os.path.expanduser("~/.cache/demuxalot_tpu/jax"),
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything: on this machine even a trivial program costs a
+        # remote compiler round trip, so there is no "too small to cache"
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:
+        return False  # older jax / read-only home: run uncached
+
+
 RELAY_PORTS = (8082, 8092, 8102, 8112)
 
 
