@@ -400,7 +400,11 @@ class ShardedDemultiplexer:
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
 
-        variant2snp, prior_betas, _mol, barcode_calls = P.pack_calls(
+        # Demultiplexer.pack_calls (not P.pack_calls) so a PackedCalls
+        # dataset reuses its host pack here too; shard layouts stay local
+        from ..models.demux import Demultiplexer as _D
+
+        variant2snp, prior_betas, _mol, barcode_calls = _D.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=False
         )
         n_snps = int(variant2snp.max()) + 1 if len(variant2snp) else 0
@@ -461,7 +465,9 @@ class ShardedDemultiplexer:
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
 
-        variant2snp, prior_betas, _mol, barcode_calls = P.pack_calls(
+        from ..models.demux import Demultiplexer as _D
+
+        variant2snp, prior_betas, _mol, barcode_calls = _D.pack_calls(
             chromosome2compressed_snp_calls, genotypes, add_data_prior=True
         )
         n_variants, n_genotypes = prior_betas.shape

@@ -308,3 +308,29 @@ def test_sharded_banded_estep_matches_plain():
         results.append(np.asarray(logits)[:n_barcodes])
 
     np.testing.assert_allclose(results[1], results[0], rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_accepts_packed_calls(small_problem):
+    """The sharded engine unwraps a PackedCalls dataset (pack-level reuse)."""
+    from demuxalot_tpu import PackedCalls
+
+    genotypes, barcode_handler, calls = small_problem
+    packed = PackedCalls(calls, genotypes)
+    sharded = ShardedDemultiplexer(make_mesh())
+    logits_dict, probs_dict = sharded.predict_posteriors(
+        calls, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    logits_packed, probs_packed = sharded.predict_posteriors(
+        packed, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    np.testing.assert_array_equal(logits_dict.values, logits_packed.values)
+    np.testing.assert_array_equal(probs_dict.values, probs_packed.values)
+
+    learnt_d, probs_d = sharded.learn_genotypes(
+        calls, genotypes, barcode_handler, n_iterations=2
+    )
+    learnt_p, probs_p = sharded.learn_genotypes(
+        packed, genotypes, barcode_handler, n_iterations=2
+    )
+    np.testing.assert_array_equal(probs_d.values, probs_p.values)
+    np.testing.assert_array_equal(learnt_d.get_betas(), learnt_p.get_betas())
