@@ -60,9 +60,14 @@ def main():
     store, whitelist = load_inputs()
     evidence = collect_evidence(store, whitelist)
 
+    # pack once: the calls<->variant join, collapse, kernel tilings, and
+    # device uploads are shared by every entry point below (results are
+    # bit-identical to passing `evidence` directly)
+    packed = Demultiplexer.pack_dataset(evidence, store)
+
     with Timer("EM refinement + posteriors"):
         learnt, posteriors = Demultiplexer.learn_genotypes(
-            evidence,
+            packed,
             genotypes=store,
             barcode_handler=whitelist,
             doublet_prior=0.25,
@@ -81,6 +86,15 @@ def main():
     print(posteriors.idxmax(axis=1).value_counts())
     print("\nfirst barcodes:")
     print(posteriors.round(3).head(8))
+
+    # inference on the refined genotypes reuses the same packed dataset
+    # (the learnt clone changes beta values only, not the variant registry)
+    with Timer("posterior inference on learnt genotypes"):
+        _logits, refined = Demultiplexer.predict_posteriors(
+            packed, learnt, barcode_handler=whitelist, doublet_prior=0.25
+        )
+    print("\nassignments from the refined genotypes:")
+    print(refined.idxmax(axis=1).value_counts())
 
 
 if __name__ == "__main__":
