@@ -15,10 +15,12 @@ from .bam import (
     sort_bam,
 )
 from .bgzf import BgzfReader, BgzfWriter
+from .sam import SamReader, open_alignment, sniff_format, write_sam
 from .vcf import VariantFile, VariantRecord, read_vcf_to_header_and_pandas
 
-# pysam-flavoured aliases so example code reads naturally
-AlignmentFile = BamReader
+# pysam-flavoured alias; format-polymorphic like pysam.AlignmentFile
+# (BAM via BamReader, SAM via SamReader, CRAM -> curated error)
+AlignmentFile = open_alignment
 
 __all__ = [
     "AlignedRead",
@@ -29,11 +31,15 @@ __all__ = [
     "BamWriter",
     "BgzfReader",
     "BgzfWriter",
+    "SamReader",
     "VariantFile",
     "VariantRecord",
     "build_bai",
     "index_bam",
+    "open_alignment",
     "qualitystring_to_array",
     "read_vcf_to_header_and_pandas",
+    "sniff_format",
     "sort_bam",
+    "write_sam",
 ]

@@ -52,6 +52,29 @@ def try_count_snps_native(
                 "barcode identities; pass a {rg: path} dict or use native=False"
             )
         return None
+    # the C++ scanner reads BGZF/BAM only; SAM inputs (accepted by the
+    # Python scanner via bamio.open_alignment) fall back, CRAM fails with
+    # the curated conversion message either way
+    from ..bamio import sniff_format
+
+    paths = (
+        list(bamfile_location.values())
+        if isinstance(bamfile_location, dict) else [bamfile_location]
+    )
+    kinds = {sniff_format(str(p)) for p in paths}
+    if "cram" in kinds:
+        from ..bamio.sam import CRAM_UNSUPPORTED_MESSAGE
+
+        bad = next(p for p in paths if sniff_format(str(p)) == "cram")
+        raise ValueError(CRAM_UNSUPPORTED_MESSAGE.format(path=bad))
+    if kinds != {"bam"}:
+        if required:
+            raise RuntimeError(
+                "native=True requires BAM input (the C++ scanner reads "
+                "BGZF/BAM only); convert SAM with `samtools view -b` or use "
+                "native=False"
+            )
+        return None
     try:
         from ..native import load_library, scanner
 

@@ -33,7 +33,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import joblib
 import numpy as np
 
-from ..bamio import BamReader
+from ..bamio import open_alignment
 from ..utils.barcodes import BarcodeHandler
 from ..utils.encoding import compress_base
 from ..utils.files import as_str
@@ -310,7 +310,7 @@ def count_call_variants_for_chromosome(
     evicted, bounding resident memory by read depth, not region size.
     """
     if isinstance(bamfile_or_filename, (str, Path)):
-        bamfile_or_filename = BamReader(as_str(bamfile_or_filename))
+        bamfile_or_filename = open_alignment(as_str(bamfile_or_filename))
     snp_lookup = ChromosomeSNPLookup(chromosome_snps_zero_based)
     collected = CompressedSNPCalls()
     open_molecules: dict = {}
@@ -461,7 +461,7 @@ def prepare_counting_tasks(
         return tasks
 
     weighted_tasks = []
-    with BamReader(as_str(bamfile_location)) as reader:
+    with open_alignment(as_str(bamfile_location)) as reader:
         mapped_reads = {stat.contig: stat.mapped for stat in reader.get_index_statistics()}
         for chromosome, positions in chromosome2positions.items():
             positions = np.asarray(positions)

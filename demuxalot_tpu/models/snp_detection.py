@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from joblib import Parallel, delayed
 
-from ..bamio import BamReader
+from ..bamio import open_alignment
 from ..frontend import cellranger
 from ..frontend.snp_counter import CompressedSNPCalls, count_snps
 from ..utils.barcodes import BarcodeHandler
@@ -51,7 +51,7 @@ def _filtered_pileup(bamfile_path, chromosome: str, start: int, stop: int, parse
         if native is not None:
             total += np.asarray(native, dtype=np.int64)
             continue
-        with BamReader(as_str(path)) as bamfile:
+        with open_alignment(as_str(path)) as bamfile:
             total += np.asarray(
                 bamfile.count_coverage(
                     chromosome, start=start, stop=stop,
@@ -314,7 +314,7 @@ def detect_snps_positions(
         if isinstance(bamfile_location, (str, Path))
         else next(iter(bamfile_location.values()))
     )
-    with BamReader(as_str(some_bam)) as reader:
+    with open_alignment(as_str(some_bam)) as reader:
         contigs = [
             (stat.contig, reader.get_reference_length(stat.contig))
             for stat in reader.get_index_statistics()

@@ -375,3 +375,109 @@ def test_bam_corrupt_record_lengths_raise(tmp_path):
             b.query_name, b.reference_start, b.query_sequence
         ), "corruption silently altered record content"
     raise AssertionError("two flipped bytes in the record stream went undetected")
+
+
+# ---------------------------------------------------------------------------
+# SAM ingestion and CRAM rejection (reference parity: pysam.AlignmentFile
+# opens SAM/CRAM transparently, /root/reference/demuxalot/snp_counter.py:247)
+# ---------------------------------------------------------------------------
+
+def _small_bam(tmp_path, n_barcodes=64):
+    from demuxalot_tpu.sim import generate_bam_file
+
+    filename, genotypes, _ids, barcode2donor = generate_bam_file(
+        str(tmp_path / "sam_src.bam"),
+        n_genotypes=4,
+        n_barcodes=n_barcodes,
+        n_reads_per_barcode=20,
+        chromosome2length={"chr1": 6_000, "chr2": 6_000},
+    )
+    return filename, genotypes, barcode2donor
+
+
+@pytest.mark.parametrize("suffix", [".sam", ".sam.gz"])
+def test_sam_counts_match_bam(tmp_path, suffix):
+    """count_snps over a SAM conversion reproduces the BAM-derived calls."""
+    from demuxalot_tpu import BarcodeHandler, count_snps
+    from demuxalot_tpu.bamio import SamReader, open_alignment, write_sam
+
+    filename, genotypes, barcode2donor = _small_bam(tmp_path)
+    sam_path = tmp_path / ("converted" + suffix)
+    with BamReader(filename) as reader:
+        write_sam(sam_path, reader.header, iter(reader))
+
+    opened = open_alignment(sam_path)
+    assert isinstance(opened, SamReader)
+    assert opened.references == ["chr1", "chr2"]
+
+    handler = BarcodeHandler(list(barcode2donor))
+    positions = genotypes.get_chromosome2positions()
+    calls_bam = count_snps(filename, positions, handler,
+                           joblib_n_jobs=None, joblib_verbosity=0, native=False)
+    calls_sam = count_snps(str(sam_path), positions, handler,
+                           joblib_n_jobs=None, joblib_verbosity=0, native=False)
+    assert set(calls_bam) == set(calls_sam)
+    for chrom in calls_bam:
+        a, b = calls_bam[chrom], calls_sam[chrom]
+        a.minimize_memory_footprint()
+        b.minimize_memory_footprint()
+        # identical molecules and calls (order included: both scanners walk
+        # coordinate order and the consensus chain is deterministic)
+        assert np.array_equal(a.molecules, b.molecules)
+        assert np.array_equal(a.snp_calls, b.snp_calls)
+
+
+def test_sam_native_scanner_falls_back(tmp_path):
+    """native=None on SAM silently falls back; native=True explains itself."""
+    from demuxalot_tpu import BarcodeHandler, count_snps
+    from demuxalot_tpu.bamio import write_sam
+
+    filename, genotypes, barcode2donor = _small_bam(tmp_path, n_barcodes=16)
+    sam_path = tmp_path / "converted.sam"
+    with BamReader(filename) as reader:
+        write_sam(sam_path, reader.header, iter(reader))
+    handler = BarcodeHandler(list(barcode2donor))
+    positions = genotypes.get_chromosome2positions()
+    calls = count_snps(str(sam_path), positions, handler,
+                       joblib_n_jobs=None, joblib_verbosity=0)  # native=auto
+    assert sum(c.n_snp_calls for c in calls.values()) > 0
+    with pytest.raises(RuntimeError, match="requires BAM input"):
+        count_snps(str(sam_path), positions, handler,
+                   joblib_n_jobs=None, joblib_verbosity=0, native=True)
+
+
+def test_cram_raises_curated_error(tmp_path):
+    from demuxalot_tpu.bamio import open_alignment, sniff_format
+
+    cram = tmp_path / "sample.cram"
+    cram.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
+    assert sniff_format(cram) == "cram"
+    with pytest.raises(ValueError, match="samtools view -b"):
+        open_alignment(cram)
+
+
+def test_sniff_format_identifies_bam(tmp_path):
+    from demuxalot_tpu.bamio import BamReader as _BR, open_alignment, sniff_format
+
+    filename, _genotypes, _b2d = _small_bam(tmp_path, n_barcodes=8)
+    assert sniff_format(filename) == "bam"
+    assert isinstance(open_alignment(filename), _BR)
+
+
+def test_sam_fetch_window_semantics(tmp_path):
+    """SamReader.fetch matches BamReader.fetch on overlap windows."""
+    from demuxalot_tpu.bamio import write_sam
+    from demuxalot_tpu.bamio.sam import SamReader
+
+    filename, _genotypes, _b2d = _small_bam(tmp_path, n_barcodes=32)
+    sam_path = tmp_path / "converted.sam"
+    with BamReader(filename) as reader:
+        write_sam(sam_path, reader.header, iter(reader))
+    sam = SamReader(sam_path)
+    with BamReader(filename) as bam:
+        for window in [(0, 500), (300, 1200), (5_500, 6_000), (2_000, 2_001)]:
+            got = [(r.query_name, r.reference_start)
+                   for r in sam.fetch("chr1", *window)]
+            want = [(r.query_name, r.reference_start)
+                    for r in bam.fetch("chr1", *window)]
+            assert got == want

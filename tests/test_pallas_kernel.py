@@ -637,6 +637,7 @@ def test_packed_calls_pallas_path(tmp_path):
         joblib_n_jobs=None, joblib_verbosity=0,
     )
     os.environ["DEMUX_HOST_SOFTMAX"] = "1"
+    prev_use_pallas = Demultiplexer.use_pallas
     try:
         Demultiplexer.use_pallas = True
         learnt_ref, probs_ref = Demultiplexer.learn_genotypes(
@@ -667,5 +668,5 @@ def test_packed_calls_pallas_path(tmp_path):
         Demultiplexer.predict_posteriors(packed, learnt_p, bh, doublet_prior=0.25)
         assert len(packed._forward_layouts) == 2
     finally:
-        Demultiplexer.use_pallas = None
+        Demultiplexer.use_pallas = prev_use_pallas
         del os.environ["DEMUX_HOST_SOFTMAX"]
