@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..native.hostops import stable_argsort
+from ..native.hostops import stable_argsort, take3
 from ..ops import likelihood as L
 from ..ops import packing as P
 from ..utils.barcodes import BarcodeHandler
@@ -127,9 +127,8 @@ class _PallasLogits:
         cb = barcode_calls["compressed_cb"].astype(np.int32)
         order = stable_argsort(cb)
         args = (
-            cb[order],
-            barcode_calls["variant_id"].astype(np.int32)[order],
-            barcode_calls["p_base_wrong"].astype(np.float32)[order],
+            *take3(order, cb, barcode_calls["variant_id"],
+                   barcode_calls["p_base_wrong"]),
             n_barcodes,
         )
         n_tiles = -(-n_barcodes // tile_barcodes)
@@ -485,9 +484,8 @@ class PackedCalls:
             calls = self.remapped_barcode_calls()
             vorder = stable_argsort(calls["variant_id"])
             layout = TiledMstepCalls(
-                calls["variant_id"].astype(np.int32)[vorder],
-                calls["compressed_cb"].astype(np.int32)[vorder],
-                calls["p_base_wrong"].astype(np.float32)[vorder],
+                *take3(vorder, calls["variant_id"], calls["compressed_cb"],
+                       calls["p_base_wrong"]),
                 self.n_variants,
                 n_barcodes=n_barcodes,
                 n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
@@ -620,9 +618,9 @@ class _EMRun:
                 )
                 vorder = stable_argsort(barcode_calls["variant_id"])
                 self.pallas_mstep = TiledMstepCalls(
-                    barcode_calls["variant_id"].astype(np.int32)[vorder],
-                    barcode_calls["compressed_cb"].astype(np.int32)[vorder],
-                    barcode_calls["p_base_wrong"].astype(np.float32)[vorder],
+                    *take3(vorder, barcode_calls["variant_id"],
+                           barcode_calls["compressed_cb"],
+                           barcode_calls["p_base_wrong"]),
                     self.n_variants,
                     n_barcodes=n_barcodes,
                     n_bands=choose_mstep_bands(n_barcodes, self.n_genotypes),

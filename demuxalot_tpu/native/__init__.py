@@ -73,6 +73,22 @@ def load_host_library() -> ctypes.CDLL:
         i32p, i32p, f32p, ctypes.c_int64, i64p, i64p,
         ctypes.c_int32, ctypes.c_int32, i32p, f32p, i32p,
     ]
+    lib.demux_band_counts.restype = None
+    lib.demux_band_counts.argtypes = [
+        i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32, i64p,
+    ]
+    lib.demux_tile_scatter_banded.restype = None
+    lib.demux_tile_scatter_banded.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64,
+        i32p, i64p, ctypes.c_int32,
+        i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, f32p, i32p,
+    ]
+    lib.demux_gather3.restype = None
+    lib.demux_gather3.argtypes = [
+        i64p, ctypes.c_int64, i32p, i32p, f32p, i32p, i32p, f32p,
+    ]
     _host_handle = lib
     return lib
 

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..native.hostops import stable_argsort
+from ..native.hostops import stable_argsort, take3
 from .pallas_likelihood import (
     KERNEL_PRECISION, _SPLIT_WORDS, dot_words, stage_chunks,
 )
@@ -362,7 +362,7 @@ class ShardedMstepLayout:
             order = stable_argsort(vid[sel])
             per_shard.append(
                 TiledMstepCalls(
-                    vid[sel][order], cb_local[sel][order], q[sel][order],
+                    *take3(order, vid[sel], cb_local[sel], q[sel]),
                     n_variants, tile_variants=tile_variants, chunk_calls=chunk_calls,
                     n_genotypes=n_genotypes,
                 )

@@ -182,9 +182,23 @@ def tile_barcode_calls_banded(
     tile_barcodes: int = 32,
     chunk_calls: int = 512,
 ) -> BandedTiledCalls:
-    """Band-major tiled layout; n_bands=1 degenerates to one full band."""
+    """Band-major tiled layout; n_bands=1 degenerates to one full band.
+
+    Product-scale builds take the fused C++ path (one threaded counts pass +
+    one threaded scatter pass, ``native/hostops.cpp``); the per-band numpy
+    loop below is its bit-identical semantic definition and the fallback
+    (forced-fallback parity pinned by tests/test_native_hostops.py).
+    """
     TB, TC = tile_barcodes, chunk_calls
     edges = np.linspace(0, n_variants, n_bands + 1).astype(np.int64)
+
+    native = _banded_native_build(
+        cb_sorted, vid_sorted, q_sorted, n_barcodes, n_variants, edges,
+        n_bands, TB, TC,
+    )
+    if native is not None:
+        return native
+
     band_of_call = np.searchsorted(edges, vid_sorted, side="right") - 1
     np.clip(band_of_call, 0, n_bands - 1, out=band_of_call)
 
@@ -210,6 +224,79 @@ def tile_barcode_calls_banded(
         band_edges=edges,
         n_barcodes=n_barcodes,
         n_tiles=parts[0].n_tiles,
+        tile_barcodes=TB,
+        chunk_calls=TC,
+        n_bands=n_bands,
+    )
+
+
+def _banded_native_build(
+    cb_sorted, vid_sorted, q_sorted, n_barcodes, n_variants, edges,
+    n_bands, TB, TC,
+) -> BandedTiledCalls | None:
+    """Fused native banded layout build, or None for the numpy path.
+
+    The offset arithmetic below reproduces :func:`tile_barcode_calls` per
+    band exactly — per-(band, barcode) group padding to G, per-(band, tile)
+    rounding to whole chunks with a 1-chunk floor, band-major chunk order —
+    so the result is bit-identical to the per-band fallback.
+    """
+    from ..native.hostops import band_counts, tile_scatter_banded
+
+    G = chunk_group(TC)
+    n_tiles = max(1, -(-n_barcodes // TB))
+    nb_pad = n_tiles * TB
+
+    # band membership lookup per variant (lut[vid] == the fallback's
+    # clipped searchsorted on the call's vid)
+    band_lut = np.clip(
+        np.searchsorted(edges, np.arange(max(n_variants, 1)), side="right") - 1,
+        0, n_bands - 1,
+    ).astype(np.int32)
+    counts = band_counts(cb_sorted, vid_sorted, band_lut, nb_pad, n_bands)
+    if counts is None:
+        return None
+
+    padded = -(-counts // G) * G  # [n_bands, nb_pad], group-aligned slots
+    tile_slots = padded.reshape(n_bands, n_tiles, TB).sum(axis=2)
+    chunks_per_tile = np.maximum(1, -(-tile_slots // TC))  # [n_bands, n_tiles]
+    band_nchunks = chunks_per_tile.sum(axis=1)
+    band_chunk_offsets = np.concatenate([[0], np.cumsum(band_nchunks)]).astype(np.int64)
+    n_chunks = int(band_chunk_offsets[-1])
+
+    # global band-major chunk index of each (band, tile)'s first chunk
+    chunk_start = np.cumsum(chunks_per_tile.reshape(-1))
+    chunk_start = np.concatenate([[0], chunk_start[:-1]]).reshape(n_bands, n_tiles)
+
+    # slot offset of each (band, barcode) within its tile's call stream
+    slot_cum = np.concatenate(
+        [np.zeros((n_bands, 1), np.int64), np.cumsum(padded, axis=1)], axis=1
+    )
+    tile_of_b = np.arange(nb_pad, dtype=np.int64) // TB
+    b_offset = slot_cum[:, :-1] - slot_cum[:, tile_of_b * TB]
+
+    GPC = TC // G
+    vid = np.zeros(n_chunks * TC, dtype=np.int32)
+    seg_group = np.zeros(n_chunks * GPC, dtype=np.int32)
+    q = np.ones(n_chunks * TC, dtype=np.float32)
+    if not tile_scatter_banded(
+        cb_sorted, vid_sorted, q_sorted, band_lut, edges[:-1],
+        b_offset, chunk_start, n_tiles, TB, TC, vid, q, seg_group,
+    ):
+        return None
+    chunk2tile = np.concatenate([
+        np.repeat(np.arange(n_tiles, dtype=np.int32), chunks_per_tile[k])
+        for k in range(n_bands)
+    ])
+    return BandedTiledCalls(
+        vid=vid,
+        seg_group=seg_group.reshape(1, -1),
+        q=q.reshape(1, -1),
+        chunk2tile=chunk2tile,
+        band_chunk_offsets=band_chunk_offsets,
+        band_edges=edges,
+        n_barcodes=n_barcodes,
+        n_tiles=n_tiles,
         tile_barcodes=TB,
         chunk_calls=TC,
         n_bands=n_bands,

@@ -22,7 +22,7 @@ import pandas as pd
 from jax.sharding import Mesh, PartitionSpec as PSpec
 from jax import shard_map
 
-from ..native.hostops import stable_argsort
+from ..native.hostops import stable_argsort, take3
 from ..ops import likelihood as L
 from ..ops import packing as P
 from .mesh import (
@@ -241,6 +241,10 @@ class ShardedDemultiplexer:
 
             cb = barcode_calls["compressed_cb"].astype(np.int32)
             order = stable_argsort(cb)
+            cb_sorted, vid_sorted, q_sorted = take3(
+                order, cb, barcode_calls["variant_id"],
+                barcode_calls["p_base_wrong"],
+            )
             pg = mixing.shape[1]
             pgp = padded_pg(pg)
             from ..ops.tiling import (
@@ -257,7 +261,6 @@ class ShardedDemultiplexer:
             n_bands = cap_bands_to_grid(
                 n_bands, n_tiles_per_shard, self.pallas_tile_barcodes, pgp
             )
-            vid_sorted = barcode_calls["variant_id"].astype(np.int32)[order]
             tc = self.pallas_chunk_calls
             band_floors = None
             if n_bands > 1:
@@ -269,16 +272,16 @@ class ShardedDemultiplexer:
                 )
                 if multi:
                     local_counts = banded_chunk_counts(
-                        cb[order], vid_sorted, per_shard, n_variants,
+                        cb_sorted, vid_sorted, per_shard, n_variants,
                         self.n_shards, n_bands, self.pallas_tile_barcodes, tc,
                     )
                     band_floors = allreduce_max_dims(
                         local_counts[my_shards].max(axis=0).tolist()
                     )
             tiled = tile_barcode_calls_sharded(
-                cb[order],
+                cb_sorted,
                 vid_sorted,
-                barcode_calls["p_base_wrong"].astype(np.float32)[order],
+                q_sorted,
                 n_barcodes,
                 n_shards=self.n_shards,
                 tile_barcodes=self.pallas_tile_barcodes,

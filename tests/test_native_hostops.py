@@ -217,3 +217,58 @@ def test_hash_match_empty_table():
         np.empty(0, np.int64), np.empty(0, np.int64), np.arange(10, dtype=np.int64)
     )
     np.testing.assert_array_equal(out, np.full(10, -1))
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+@pytest.mark.parametrize("n_bands,tb,tc,seed", [
+    (5, 32, 512, 0),
+    (1, 64, 512, 1),    # single band: the M-step layout shape
+    (16, 32, 384, 2),   # many bands, sparse tiles
+])
+def test_banded_tile_build_matches_numpy_path(monkeypatch, n_bands, tb, tc, seed):
+    """Fused C++ banded layout build == the per-band numpy definition.
+
+    Bit-identical across every BandedTiledCalls field, including chunk
+    order, group-lane slots, and stability of call order within a
+    (band, barcode) group.
+    """
+    from demuxalot_tpu.ops.tiling import tile_barcode_calls_banded
+
+    rng = np.random.RandomState(seed)
+    n, n_barcodes, n_variants = 120_000, 1_500, 40_000
+    cb = np.sort(rng.randint(0, n_barcodes, n).astype(np.int32))
+    vid = rng.randint(0, n_variants, n).astype(np.int32)
+    q = rng.rand(n).astype(np.float32)
+
+    native = tile_barcode_calls_banded(
+        cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=n_bands,
+        tile_barcodes=tb, chunk_calls=tc,
+    )
+    _force_numpy_fallback(monkeypatch)
+    ref = tile_barcode_calls_banded(
+        cb, vid, q, n_barcodes, n_variants=n_variants, n_bands=n_bands,
+        tile_barcodes=tb, chunk_calls=tc,
+    )
+    for field in ("vid", "seg_group", "q", "chunk2tile",
+                  "band_chunk_offsets", "band_edges"):
+        np.testing.assert_array_equal(
+            getattr(native, field), getattr(ref, field), err_msg=field
+        )
+    for field in ("n_barcodes", "n_tiles", "tile_barcodes", "chunk_calls", "n_bands"):
+        assert getattr(native, field) == getattr(ref, field), field
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_gather3_matches_numpy(monkeypatch):
+    from demuxalot_tpu.native.hostops import take3
+
+    rng = np.random.RandomState(3)
+    n = 80_000
+    a = rng.randint(0, 1 << 30, n).astype(np.int32)
+    b = rng.randint(0, 1 << 30, n).astype(np.int32)
+    c = rng.rand(n).astype(np.float32)
+    order = rng.permutation(n).astype(np.int64)
+    ga, gb, gc = take3(order, a, b, c)
+    np.testing.assert_array_equal(ga, a[order])
+    np.testing.assert_array_equal(gb, b[order])
+    np.testing.assert_array_equal(gc, c[order])
