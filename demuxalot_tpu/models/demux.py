@@ -107,14 +107,23 @@ def _pfb_tiled_logits(
     )
 
 
-class _PallasLogits:
-    """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
+class _ForwardCallLayout:
+    """Host tiling + uploaded call stream for the E-step kernel.
+
+    Everything here depends only on (calls, n_barcodes, n_donors, tiling
+    knobs) — NOT on the mixing matrix: band structure and chunk size are
+    chosen at the largest pseudo-genotype width the donor count can produce
+    (``pg_max = D + D(D−1)/2``), so one tiling (and one upload of the
+    ~O(calls) vid/seg/q streams) serves every doublet prior. The per-pgp
+    residue (launch-grid grouping, chunk bounds, mixing upload) lives in
+    :class:`~..ops.pallas_likelihood.TiledDeviceCalls` views and is cheap.
+    """
 
     def __init__(
-        self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
-        n_variants: int = 0, out_blocks: int = 1,
+        self, barcode_calls, n_barcodes: int, n_donors: int,
+        tile_barcodes: int, chunk_calls: int, n_variants: int = 0,
     ):
-        from ..ops.pallas_likelihood import TiledDeviceCalls, padded_pg
+        from ..ops.pallas_likelihood import TiledCallStreams, padded_pg
         from ..ops.tiling import (
             cap_bands_to_grid,
             choose_banded_chunk_calls,
@@ -132,10 +141,9 @@ class _PallasLogits:
             n_barcodes,
         )
         n_tiles = -(-n_barcodes // tile_barcodes)
-        n_bands = choose_n_bands(n_variants, mixing.shape[0]) if n_variants else 1
-        n_bands = cap_bands_to_grid(
-            n_bands, n_tiles, tile_barcodes, padded_pg(mixing.shape[1])
-        )
+        pgp_max = padded_pg(n_donors + n_donors * (n_donors - 1) // 2)
+        n_bands = choose_n_bands(n_variants, n_donors) if n_variants else 1
+        n_bands = cap_bands_to_grid(n_bands, n_tiles, tile_barcodes, pgp_max)
         if n_bands > 1:
             # large genotype tables: band the variant axis so every per-band
             # gather table stays under the fast-path size (DESIGN.md §7).
@@ -163,7 +171,29 @@ class _PallasLogits:
             tiled = tile_barcode_calls(
                 *args, tile_barcodes=tile_barcodes, chunk_calls=chunk_calls
             )
-        self.device = TiledDeviceCalls(mixing, penalties, tiled, out_blocks=out_blocks)
+        self.tiled = tiled
+        self.streams = TiledCallStreams(tiled)
+
+
+class _PallasLogits:
+    """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
+
+    def __init__(
+        self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
+        n_variants: int = 0, out_blocks: int = 1,
+        host_layout: Optional[_ForwardCallLayout] = None,
+    ):
+        from ..ops.pallas_likelihood import TiledDeviceCalls
+
+        if host_layout is None:
+            host_layout = _ForwardCallLayout(
+                barcode_calls, n_barcodes, mixing.shape[0],
+                tile_barcodes, chunk_calls, n_variants=n_variants,
+            )
+        self.device = TiledDeviceCalls(
+            mixing, penalties, host_layout.tiled, out_blocks=out_blocks,
+            streams=host_layout.streams,
+        )
 
     def __call__(
         self, betas_dev, variant2snp_dev, n_snps, p_genotype_clip, max_per_snp=0,
@@ -419,6 +449,7 @@ class PackedCalls:
         )
         self.reindex = P.VariantReindex.build(self.variant2snp)
         self._remapped: Optional[np.recarray] = None
+        self._host_tilings: dict = {}
         self._forward_layouts: dict = {}
         self._mstep_layouts: dict = {}
         self._device_flat: dict = {}
@@ -461,18 +492,52 @@ class PackedCalls:
         self, n_barcodes: int, mixing: np.ndarray, penalties: np.ndarray,
         tile_barcodes: int, chunk_calls: int, out_blocks: int = 1,
     ) -> "_PallasLogits":
-        """Cached device-resident E-step layout (tiling + uploaded tables)."""
+        """Cached device-resident E-step layout (tiling + uploaded tables).
+
+        Two-level: the expensive host tiling and its uploaded call stream
+        (O(calls) bytes) key only on (n_barcodes, n_donors, tiling knobs) —
+        bands/chunks are sized at the donor count's max pseudo-genotype
+        width — so learn(doublet_prior=0) and predict(0.35) share one
+        build and one upload; per-(mixing, penalties) views on top are
+        cheap (bounds + a [PG, D] upload).
+
+        Retention: cached layouts pin device (HBM) buffers for the life of
+        this PackedCalls — one call stream per (n_barcodes, knobs) plus one
+        small view per distinct mixing. Long sweeps over many priors should
+        call :meth:`clear` between phases if HBM is tight.
+        """
+        host_key = ("tiling", n_barcodes, mixing.shape[0], tile_barcodes, chunk_calls)
         key = ("fwd", n_barcodes, tile_barcodes, chunk_calls, out_blocks,
-               mixing.tobytes(), penalties.tobytes())
+               mixing.shape, mixing.dtype.str, mixing.tobytes(),
+               penalties.shape, penalties.dtype.str, penalties.tobytes())
         layout = self._forward_layouts.get(key)
         if layout is None:
+            host_layout = self._host_tilings.get(host_key)
+            if host_layout is None:
+                host_layout = _ForwardCallLayout(
+                    self.remapped_barcode_calls(), n_barcodes, mixing.shape[0],
+                    tile_barcodes, chunk_calls, n_variants=self.n_variants,
+                )
+                self._host_tilings[host_key] = host_layout
             layout = _PallasLogits(
-                self.remapped_barcode_calls(), n_barcodes, mixing, penalties,
+                None, n_barcodes, mixing, penalties,
                 tile_barcodes, chunk_calls, n_variants=self.n_variants,
-                out_blocks=out_blocks,
+                out_blocks=out_blocks, host_layout=host_layout,
             )
             self._forward_layouts[key] = layout
         return layout
+
+    def clear(self) -> None:
+        """Drop every cached layout (frees their pinned device buffers).
+
+        The pack itself (host call tables, registry key) survives; the next
+        entry point rebuilds layouts on demand.
+        """
+        self._host_tilings.clear()
+        self._forward_layouts.clear()
+        self._mstep_layouts.clear()
+        self._device_flat.clear()
+        self._remapped = None
 
     def mstep_layout(self, n_barcodes: int, n_genotypes: int):
         """Cached M-step layout (variant-sorted tiling, lazily uploaded)."""

@@ -500,11 +500,32 @@ def build_mixing_sl(mixing: np.ndarray) -> np.ndarray:
     return out
 
 
+class TiledCallStreams:
+    """Device-uploaded call stream of a tiled layout.
+
+    The big per-call arrays (vid / seg_group / q — hundreds of MB at
+    product scale) depend only on the tiling, never on the mixing shape, so
+    one upload serves every :class:`TiledDeviceCalls` view built over the
+    same tiling (e.g. learn at doublet_prior=0 and predict at 0.35 share
+    one stream; only the tiny bounds/suboff/mixing arrays differ per view).
+    """
+
+    __slots__ = ("vid", "seg_group", "q")
+
+    def __init__(self, tiled):
+        self.vid = jnp.asarray(tiled.vid)
+        self.seg_group = jnp.asarray(tiled.seg_group)
+        self.q = jnp.asarray(tiled.q)
+
+
 class TiledDeviceCalls:
     """Device-resident tiled layout: upload once, reuse across EM iterations.
 
     ``subtiles_per_super`` controls the launch grid: one grid step covers
     TB·SPS barcodes, chosen so the grid stays at a few hundred steps.
+    ``streams`` shares an existing :class:`TiledCallStreams` upload of the
+    same tiling; everything recomputed here (bounds, suboffsets, mixing)
+    is small.
     """
 
     def __init__(
@@ -514,6 +535,7 @@ class TiledDeviceCalls:
         tiled,  # TiledCalls or BandedTiledCalls
         subtiles_per_super: int | None = None,
         out_blocks: int = 1,  # 2 when logits() will request softmax_out
+        streams: TiledCallStreams | None = None,
     ):
         from .tiling import BandedTiledCalls
 
@@ -575,9 +597,11 @@ class TiledDeviceCalls:
         self.n_pseudogenotypes = pg
         self.mixing_sl = jnp.asarray(build_mixing_sl(mixing))
         self.penalties_p = jnp.asarray(penalties_p)
-        self.vid = jnp.asarray(tiled.vid)
-        self.seg_group = jnp.asarray(tiled.seg_group)
-        self.q = jnp.asarray(tiled.q)
+        if streams is None:
+            streams = TiledCallStreams(tiled)
+        self.vid = streams.vid
+        self.seg_group = streams.seg_group
+        self.q = streams.q
         self.chunk_bounds = jnp.asarray(np.asarray(bounds, dtype=np.int32))
         self.chunk_suboff = jnp.asarray(chunk_suboff)
         self.n_barcodes = tiled.n_barcodes

@@ -662,11 +662,24 @@ def test_packed_calls_pallas_path(tmp_path):
             packed, learnt_p, bh, doublet_prior=0.25
         )
         np.testing.assert_array_equal(lg_ref.values, lg_p.values)
-        # predict's doublet mixing differs from the EM layout -> second key
+        # predict's doublet mixing differs from the EM layout -> second VIEW,
+        # but the host tiling + uploaded call stream are built exactly once
+        # and shared across pseudo-genotype widths (r5: pgp-independent
+        # layout; bands/chunks sized at the donor count's max width)
         assert len(packed._forward_layouts) == 2
+        assert len(packed._host_tilings) == 1
+        views = list(packed._forward_layouts.values())
+        assert views[0].device.vid is views[1].device.vid
+        assert views[0].device.q is views[1].device.q
         # a repeat predict is a pure cache hit
         Demultiplexer.predict_posteriors(packed, learnt_p, bh, doublet_prior=0.25)
         assert len(packed._forward_layouts) == 2
+        assert len(packed._host_tilings) == 1
+        # clear() drops layouts but keeps the pack; next use rebuilds
+        packed.clear()
+        assert not packed._forward_layouts and not packed._host_tilings
+        lg_c, _ = Demultiplexer.predict_posteriors(packed, learnt_p, bh, doublet_prior=0.25)
+        np.testing.assert_array_equal(lg_c.values, lg_p.values)
     finally:
         Demultiplexer.use_pallas = prev_use_pallas
         del os.environ["DEMUX_HOST_SOFTMAX"]
