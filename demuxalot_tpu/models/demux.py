@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..native.hostops import stable_argsort, take3
+from ..native.hostops import sort_calls_by_cb, stable_argsort
 from ..ops import likelihood as L
 from ..ops import packing as P
 from ..utils.barcodes import BarcodeHandler
@@ -120,7 +120,7 @@ class _ForwardCallLayout:
     """
 
     def __init__(
-        self, barcode_calls, n_barcodes: int, n_donors: int,
+        self, cb_sorted, vid_sorted, q_sorted, n_barcodes: int, n_donors: int,
         tile_barcodes: int, chunk_calls: int, n_variants: int = 0,
     ):
         from ..ops.pallas_likelihood import TiledCallStreams, padded_pg
@@ -133,13 +133,8 @@ class _ForwardCallLayout:
             tile_barcode_calls_banded,
         )
 
-        cb = barcode_calls["compressed_cb"].astype(np.int32)
-        order = stable_argsort(cb)
-        args = (
-            *take3(order, cb, barcode_calls["variant_id"],
-                   barcode_calls["p_base_wrong"]),
-            n_barcodes,
-        )
+        cb = cb_sorted
+        args = (cb_sorted, vid_sorted, q_sorted, n_barcodes)
         n_tiles = -(-n_barcodes // tile_barcodes)
         pgp_max = padded_pg(n_donors + n_donors * (n_donors - 1) // 2)
         n_bands = choose_n_bands(n_variants, n_donors) if n_variants else 1
@@ -176,18 +171,28 @@ class _ForwardCallLayout:
 
 
 class _PallasLogits:
-    """Reusable Pallas forward: tiled layout built and uploaded once per dataset."""
+    """Reusable Pallas forward: tiled layout built and uploaded once per dataset.
+
+    The engine path passes a prebuilt ``host_layout`` (PackedCalls caches
+    it); the recarray form (first four positional args) remains for direct
+    experiment/benchmark use.
+    """
 
     def __init__(
-        self, barcode_calls, n_barcodes, mixing, penalties, tile_barcodes, chunk_calls,
+        self, barcode_calls=None, n_barcodes=None, mixing=None, penalties=None,
+        tile_barcodes: int = 0, chunk_calls: int = 0,
         n_variants: int = 0, out_blocks: int = 1,
         host_layout: Optional[_ForwardCallLayout] = None,
     ):
         from ..ops.pallas_likelihood import TiledDeviceCalls
 
         if host_layout is None:
+            cb_s, vid_s, q_s = sort_calls_by_cb(
+                barcode_calls["compressed_cb"], barcode_calls["variant_id"],
+                barcode_calls["p_base_wrong"],
+            )
             host_layout = _ForwardCallLayout(
-                barcode_calls, n_barcodes, mixing.shape[0],
+                cb_s, vid_s, q_s, n_barcodes, mixing.shape[0],
                 tile_barcodes, chunk_calls, n_variants=n_variants,
             )
         self.device = TiledDeviceCalls(
@@ -438,7 +443,6 @@ class PackedCalls:
         self.molecule_calls = P.match_calls_to_variants(
             chromosome2compressed_snp_calls, genotypes
         )
-        self.barcode_calls = P.molecule_calls_to_barcode_calls(self.molecule_calls)
         names, chrom_slots, positions, base_chars, base_slots = genotypes.variant_columns()
         self._registry_key = (
             tuple(names),
@@ -448,11 +452,36 @@ class PackedCalls:
             np.array(base_slots, copy=True),
         )
         self.reindex = P.VariantReindex.build(self.variant2snp)
+        # SoA engine path: one fused collapse straight into device variant
+        # order — (vid, cb)-sorted, so the M-step layout needs no sort and
+        # the E-step layout exactly one. The reference-shaped AoS recarray
+        # (registry order) is only built if someone asks (.barcode_calls).
+        self.calls_v = P.collapse_device_order(self.molecule_calls, self.reindex)
+        self._calls_b: Optional[tuple] = None
+        self._barcode_calls: Optional[np.recarray] = None
         self._remapped: Optional[np.recarray] = None
         self._host_tilings: dict = {}
         self._forward_layouts: dict = {}
         self._mstep_layouts: dict = {}
         self._device_flat: dict = {}
+
+    @property
+    def barcode_calls(self) -> np.recarray:
+        """Reference-shaped collapsed call recarray (registry variant order).
+
+        Lazy: the engine entry points run on the SoA columns (``calls_v`` /
+        ``calls_by_barcode``); this materializes only for API users of the
+        reference 4-tuple (``Demultiplexer.pack_calls``).
+        """
+        if self._barcode_calls is None:
+            self._barcode_calls = P.molecule_calls_to_barcode_calls(self.molecule_calls)
+        return self._barcode_calls
+
+    def calls_by_barcode(self) -> tuple:
+        """(cb, vid, q) columns in barcode-major order (cached one-sort view)."""
+        if self._calls_b is None:
+            self._calls_b = self.calls_v.by_barcode()
+        return self._calls_b
 
     @property
     def n_variants(self) -> int:
@@ -515,14 +544,13 @@ class PackedCalls:
             host_layout = self._host_tilings.get(host_key)
             if host_layout is None:
                 host_layout = _ForwardCallLayout(
-                    self.remapped_barcode_calls(), n_barcodes, mixing.shape[0],
+                    *self.calls_by_barcode(), n_barcodes, mixing.shape[0],
                     tile_barcodes, chunk_calls, n_variants=self.n_variants,
                 )
                 self._host_tilings[host_key] = host_layout
             layout = _PallasLogits(
-                None, n_barcodes, mixing, penalties,
-                tile_barcodes, chunk_calls, n_variants=self.n_variants,
-                out_blocks=out_blocks, host_layout=host_layout,
+                mixing=mixing, penalties=penalties, out_blocks=out_blocks,
+                host_layout=host_layout,
             )
             self._forward_layouts[key] = layout
         return layout
@@ -538,6 +566,8 @@ class PackedCalls:
         self._mstep_layouts.clear()
         self._device_flat.clear()
         self._remapped = None
+        self._calls_b = None
+        self._barcode_calls = None
 
     def mstep_layout(self, n_barcodes: int, n_genotypes: int):
         """Cached M-step layout (variant-sorted tiling, lazily uploaded)."""
@@ -546,11 +576,9 @@ class PackedCalls:
         key = (n_barcodes, n_genotypes)
         layout = self._mstep_layouts.get(key)
         if layout is None:
-            calls = self.remapped_barcode_calls()
-            vorder = stable_argsort(calls["variant_id"])
+            # calls_v is already variant-sorted (device order): no sort here
             layout = TiledMstepCalls(
-                *take3(vorder, calls["variant_id"], calls["compressed_cb"],
-                       calls["p_base_wrong"]),
+                self.calls_v.vid, self.calls_v.cb, self.calls_v.q,
                 self.n_variants,
                 n_barcodes=n_barcodes,
                 n_bands=choose_mstep_bands(n_barcodes, n_genotypes),
@@ -566,7 +594,8 @@ class PackedCalls:
         """
         arrays = self._device_flat.get(n_barcodes)
         if arrays is None:
-            device = P.device_pack_barcode_calls(self.remapped_barcode_calls(), n_barcodes)
+            cb_s, vid_s, q_s = self.calls_by_barcode()
+            device = P.device_pack_columns(cb_s, vid_s, q_s, n_barcodes)
             arrays = tuple(
                 jnp.asarray(x)
                 for x in (device.vid_b, device.cb_b, device.q_b,
@@ -619,13 +648,17 @@ class _EMRun:
 
         timings = STAGE_TIMINGS
         t_mark = time.perf_counter()
+        # every flow routes through one PackedCalls (a transient one for raw
+        # call dicts): a single packing/layout code path, so the pack-once
+        # engine is bit-identical to the per-call entry points by construction
         packed = (
             chromosome2compressed_snp_calls
-            if isinstance(chromosome2compressed_snp_calls, PackedCalls) else None
+            if isinstance(chromosome2compressed_snp_calls, PackedCalls)
+            else PackedCalls(chromosome2compressed_snp_calls, genotypes)
         )
-        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
-            chromosome2compressed_snp_calls, genotypes, add_data_prior=True
-        )
+        variant2snp = packed.variant2snp
+        prior_betas = packed.betas_for(genotypes, add_data_prior=True)
+        molecule_calls = packed.molecule_calls
         t_mark = _stage_mark(timings, "pack_s", t_mark)
         self.prior_betas = prior_betas
         self.barcode_handler = barcode_handler
@@ -638,12 +671,7 @@ class _EMRun:
 
         # device EM space uses SNP-sorted variant rows (windowed genotype-prob
         # denominators); results are mapped back to registry order at yield
-        if packed is not None:
-            self.reindex = packed.reindex
-            barcode_calls = packed.remapped_barcode_calls()
-        else:
-            self.reindex = P.VariantReindex.build(variant2snp)
-            barcode_calls = self.reindex.remap_barcode_calls(barcode_calls)
+        self.reindex = packed.reindex
         self.max_per_snp = self.reindex.windowed_max_per_snp
         self.molecule_calls = molecule_calls
         self.snp_aggregation_layout = None
@@ -665,56 +693,21 @@ class _EMRun:
             # the fused-softmax knob doubles the kernel's resident
             # output blocks; the layout must know at build time
             out_blocks = 2 if os.environ.get("DEMUX_EM_FUSED_SOFTMAX") == "1" else 1
-            if packed is not None:
-                self.pallas_forward = packed.forward_layout(
-                    n_barcodes, self.mixing, self.penalties,
-                    Demultiplexer.pallas_tile_barcodes,
-                    Demultiplexer.pallas_chunk_calls, out_blocks=out_blocks,
-                )
-                self.pallas_mstep = packed.mstep_layout(n_barcodes, self.n_genotypes)
-            else:
-                from ..ops.pallas_mstep import TiledMstepCalls, choose_mstep_bands
-
-                self.pallas_forward = _PallasLogits(
-                    barcode_calls, n_barcodes, self.mixing, self.penalties,
-                    Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-                    n_variants=self.n_variants,
-                    out_blocks=out_blocks,
-                )
-                vorder = stable_argsort(barcode_calls["variant_id"])
-                self.pallas_mstep = TiledMstepCalls(
-                    *take3(vorder, barcode_calls["variant_id"],
-                           barcode_calls["compressed_cb"],
-                           barcode_calls["p_base_wrong"]),
-                    self.n_variants,
-                    n_barcodes=n_barcodes,
-                    n_bands=choose_mstep_bands(n_barcodes, self.n_genotypes),
-                    n_genotypes=self.n_genotypes,
-                )
+            self.pallas_forward = packed.forward_layout(
+                n_barcodes, self.mixing, self.penalties,
+                Demultiplexer.pallas_tile_barcodes,
+                Demultiplexer.pallas_chunk_calls, out_blocks=out_blocks,
+            )
+            self.pallas_mstep = packed.mstep_layout(n_barcodes, self.n_genotypes)
         elif not Demultiplexer.aggregate_on_snps:
             # flat dual-sort layout feeds the XLA segment-sum paths
             self.mixing_dev = jnp.asarray(self.mixing)
             self.penalties_dev = jnp.asarray(self.penalties)
-            if packed is not None:
-                (self.vid_b, self.cb_b, self.q_b,
-                 self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
-            else:
-                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-                self.vid_b, self.cb_b, self.q_b = (
-                    jnp.asarray(device.vid_b), jnp.asarray(device.cb_b), jnp.asarray(device.q_b)
-                )
-                self.vid_v, self.cb_v, self.q_v = (
-                    jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
-                )
+            (self.vid_b, self.cb_b, self.q_b,
+             self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
         else:
-            if packed is not None:
-                (_vb, _cb, _qb,
-                 self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
-            else:
-                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-                self.vid_v, self.cb_v, self.q_v = (
-                    jnp.asarray(device.vid_v), jnp.asarray(device.cb_v), jnp.asarray(device.q_v)
-                )
+            (_vb, _cb, _qb,
+             self.vid_v, self.cb_v, self.q_v) = packed.device_flat(n_barcodes)
 
         # with the Pallas kernels and the windowed denominator both available,
         # the EM state stays donor-major [D, V] across iterations (the
@@ -1059,13 +1052,16 @@ class Demultiplexer:
 
         timings = STAGE_TIMINGS
         t_mark = time.perf_counter()
+        # single packing/layout path: raw call dicts get a transient
+        # PackedCalls (see _EMRun — bit-identity with the pack-once engine)
         packed = (
             chromosome2compressed_snp_calls
-            if isinstance(chromosome2compressed_snp_calls, PackedCalls) else None
+            if isinstance(chromosome2compressed_snp_calls, PackedCalls)
+            else PackedCalls(chromosome2compressed_snp_calls, genotypes)
         )
-        variant2snp, prior_betas, molecule_calls, barcode_calls = Demultiplexer.pack_calls(
-            chromosome2compressed_snp_calls, genotypes, add_data_prior=False
-        )
+        variant2snp = packed.variant2snp
+        prior_betas = packed.betas_for(genotypes, add_data_prior=False)
+        molecule_calls = packed.molecule_calls
         t_mark = _stage_mark(timings, "pack_s", t_mark)
         n_variants = prior_betas.shape[0]
         n_snps = int(variant2snp.max()) + 1 if n_variants else 0
@@ -1073,12 +1069,7 @@ class Demultiplexer:
 
         # SNP-sorted device variant space (see staged_genotype_learning);
         # logits are invariant to the renumbering, so nothing maps back
-        if packed is not None:
-            reindex = packed.reindex
-            barcode_calls = packed.remapped_barcode_calls()
-        else:
-            reindex = P.VariantReindex.build(variant2snp)
-            barcode_calls = reindex.remap_barcode_calls(barcode_calls)
+        reindex = packed.reindex
         max_per_snp = reindex.windowed_max_per_snp
         prior_betas_sorted = reindex.permute_rows(prior_betas)
         v2s_sorted = reindex.variant2snp
@@ -1103,18 +1094,11 @@ class Demultiplexer:
                 )
             )
         elif Demultiplexer._resolve_use_pallas():
-            if packed is not None:
-                pallas_forward = packed.forward_layout(
-                    n_barcodes, mixing, penalties,
-                    Demultiplexer.pallas_tile_barcodes,
-                    Demultiplexer.pallas_chunk_calls,
-                )
-            else:
-                pallas_forward = _PallasLogits(
-                    barcode_calls, n_barcodes, mixing, penalties,
-                    Demultiplexer.pallas_tile_barcodes, Demultiplexer.pallas_chunk_calls,
-                    n_variants=n_variants,
-                )
+            pallas_forward = packed.forward_layout(
+                n_barcodes, mixing, penalties,
+                Demultiplexer.pallas_tile_barcodes,
+                Demultiplexer.pallas_chunk_calls,
+            )
             betas_dev = jnp.asarray(prior_betas_sorted)
             v2s_dev = jnp.asarray(v2s_sorted)
             t_mark = _stage_mark(timings, "layout_s", t_mark)
@@ -1131,14 +1115,7 @@ class Demultiplexer:
                 n_snps, p_genotype_clip, max_per_snp,
             )
         else:
-            if packed is not None:
-                vid_b, cb_b, q_b = packed.device_flat(n_barcodes)[:3]
-            else:
-                device = P.device_pack_barcode_calls(barcode_calls, n_barcodes)
-                vid_b, cb_b, q_b = (
-                    jnp.asarray(device.vid_b), jnp.asarray(device.cb_b),
-                    jnp.asarray(device.q_b),
-                )
+            vid_b, cb_b, q_b = packed.device_flat(n_barcodes)[:3]
             logits_dev = _logits_forward(
                 jnp.asarray(prior_betas_sorted),
                 jnp.asarray(v2s_sorted),

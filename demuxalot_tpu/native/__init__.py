@@ -53,11 +53,13 @@ def load_host_library() -> ctypes.CDLL:
     ]
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.demux_match_compact.restype = ctypes.c_int64
-    lib.demux_match_compact.argtypes = [
+    lib.demux_match_compact_strided.restype = ctypes.c_int64
+    lib.demux_match_compact_strided.argtypes = [
         i64p, i64p, ctypes.c_int64,
-        i32p, u8p, f32p, i32p, i32p, f32p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
         i32p, i32p, i32p, f32p, f32p,
     ]
     lib.demux_collapse_calls.restype = ctypes.c_int64
@@ -88,6 +90,15 @@ def load_host_library() -> ctypes.CDLL:
     lib.demux_gather3.restype = None
     lib.demux_gather3.argtypes = [
         i64p, ctypes.c_int64, i32p, i32p, f32p, i32p, i32p, f32p,
+    ]
+    lib.demux_collapse_calls_keyed.restype = ctypes.c_int64
+    lib.demux_collapse_calls_keyed.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, i32p, ctypes.c_int32,
+        i32p, i32p, f32p, i64p,
+    ]
+    lib.demux_sort_calls_by_cb.restype = None
+    lib.demux_sort_calls_by_cb.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, i32p, i32p, f32p,
     ]
     _host_handle = lib
     return lib

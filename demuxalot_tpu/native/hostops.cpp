@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -44,73 +45,111 @@ std::unique_ptr<T[]> alloc_nohuge(int64_t n) {
   return p;
 }
 
+int pick_threads(int64_t n) {
+  const int hw = (int)std::thread::hardware_concurrency();
+  return std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+}
+
+template <typename Fn>
+void run_threaded(int n_threads, Fn&& fn) {
+  if (n_threads == 1) {
+    fn(0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) ts.emplace_back(fn, t);
+  for (auto& th : ts) th.join();
+}
+
+// Persistent grow-only scratch arena. glibc serves the multi-hundred-MB
+// scratch buffers these routines need straight from mmap and unmaps them on
+// delete, so EVERY call used to re-fault its whole working set — ~250k minor
+// faults whose kernel servicing on this VM is erratic (measured 0.5-3.6 s
+// of stime for identical work back to back). Keeping one pre-touched arena
+// alive across calls removes the faults entirely after the first use.
+// Callers hold g_arena_mu for the duration of the call (the Python wrappers
+// release the GIL inside ctypes, so two Python threads could otherwise race;
+// in practice hostops calls are serial and the lock is uncontended).
+std::mutex g_arena_mu;
+
+class Arena {
+ public:
+  char* ensure(size_t bytes) {
+    if (bytes > cap_) {
+      buf_.reset();  // free before alloc: no doubled peak
+      size_t newcap = bytes + bytes / 8;
+      buf_ = alloc_nohuge<char>(newcap);
+      // pre-fault in parallel once; later calls reuse the warm pages
+      const int n_threads = pick_threads((int64_t)newcap / 4096);
+      char* p = buf_.get();
+      const size_t block = (newcap + n_threads - 1) / n_threads;
+      run_threaded(n_threads, [&](int t) {
+        size_t lo = t * block, hi = std::min(newcap, lo + block);
+        if (lo < hi) std::memset(p + lo, 0, hi - lo);
+      });
+      cap_ = newcap;
+    }
+    used_ = 0;
+    return buf_.get();
+  }
+  // carve a sub-buffer (64-byte aligned) out of the ensured region
+  template <typename T>
+  T* take(int64_t count) {
+    size_t bytes = ((size_t)count * sizeof(T) + 63) & ~(size_t)63;
+    char* p = buf_.get() + used_;
+    used_ += bytes;
+    return (T*)p;
+  }
+
+ private:
+  std::unique_ptr<char[]> buf_;
+  size_t cap_ = 0;
+  size_t used_ = 0;
+};
+
+Arena g_arena;
+
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Stable ascending argsort of non-negative int64 keys.
-// out_order must hold n int64 slots. LSD radix with 11-bit digits over
-// the varying bit range only: keys at demux scale occupy <= ~35 bits
-// (variant_id * cb_span + cb), so the sort costs 3-4 passes instead of
-// numpy's comparison sort. Each pass moves (key, index) pairs; the digit
-// width balances histogram size (2048 entries, L1-resident) against pass
-// count.
-void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order) {
-  if (n <= 0) return;
+// LSD radix passes over (key, 8-byte payload) pairs with 11-bit digits,
+// visiting only the occupied bit range: keys at demux scale occupy <= ~35
+// bits (variant_id * cb_span + cb), so the sort costs 3-4 passes instead of
+// numpy's comparison sort. Threaded per pass: per-block histograms, a
+// (block, bucket) exclusive scan in bucket-major order (keeps the sort
+// stable — lower blocks write a bucket's lower slots), then a parallel
+// scatter. Returns the buffer pair holding the sorted result (may be either
+// of cur/nxt depending on pass parity).
+struct RadixBufs {
+  uint64_t* keys;
+  uint64_t* payload;
+};
+
+RadixBufs radix_pairs(uint64_t* cur_keys, uint64_t* cur_pay,
+                      uint64_t* nxt_keys, uint64_t* nxt_pay, int64_t n) {
   constexpr int kDigitBits = 11;
   constexpr int kBuckets = 1 << kDigitBits;
   uint64_t or_all = 0;
-  for (int64_t i = 0; i < n; i++) or_all |= (uint64_t)keys[i];
+  for (int64_t i = 0; i < n; i++) or_all |= cur_keys[i];
   int top_bit = 0;
   while (top_bit < 64 && (or_all >> top_bit)) top_bit++;  // bits actually used
   // (the < 64 guard keeps a stray sign bit from shifting by >= 64 — UB that
   // on x86 wraps the shift count and would loop forever; negative keys are
   // rejected by the Python wrappers, this is defense in depth)
 
-  auto cur_keys_p = alloc_nohuge<uint64_t>(n);
-  auto nxt_keys_p = alloc_nohuge<uint64_t>(n);
-  auto cur_idx_p = alloc_nohuge<int64_t>(n);
-  auto nxt_idx_p = alloc_nohuge<int64_t>(n);
-  uint64_t* cur_keys = cur_keys_p.get();
-  uint64_t* nxt_keys = nxt_keys_p.get();
-  int64_t* cur_idx = cur_idx_p.get();
-  int64_t* nxt_idx = nxt_idx_p.get();
-  for (int64_t i = 0; i < n; i++) {
-    cur_keys[i] = (uint64_t)keys[i];
-    cur_idx[i] = i;
-  }
-
-  // threaded per pass: per-block histograms, a (block, bucket) exclusive
-  // scan in bucket-major order (keeps the sort stable — lower blocks write
-  // a bucket's lower slots), then a parallel scatter
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::vector<int64_t> hist((size_t)n_threads * kBuckets);
 
   for (int shift = 0; shift < top_bit; shift += kDigitBits) {
-    auto count_fn = [&](int t) {
+    run_threaded(n_threads, [&](int t) {
       int64_t* h = hist.data() + (size_t)t * kBuckets;
       std::memset(h, 0, kBuckets * sizeof(int64_t));
       const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
       for (int64_t i = lo; i < hi; i++) h[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
-    };
-    auto scatter_fn = [&](int t) {
-      int64_t* h = hist.data() + (size_t)t * kBuckets;
-      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
-      for (int64_t i = lo; i < hi; i++) {
-        int64_t dst = h[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
-        nxt_keys[dst] = cur_keys[i];
-        nxt_idx[dst] = cur_idx[i];
-      }
-    };
-    if (n_threads == 1) {
-      count_fn(0);
-    } else {
-      std::vector<std::thread> ts;
-      for (int t = 0; t < n_threads; t++) ts.emplace_back(count_fn, t);
-      for (auto& th : ts) th.join();
-    }
+    });
     int64_t sum = 0;
     for (int b = 0; b < kBuckets; b++)
       for (int t = 0; t < n_threads; t++) {
@@ -119,17 +158,42 @@ void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order)
         slot = sum;
         sum += c;
       }
-    if (n_threads == 1) {
-      scatter_fn(0);
-    } else {
-      std::vector<std::thread> ts;
-      for (int t = 0; t < n_threads; t++) ts.emplace_back(scatter_fn, t);
-      for (auto& th : ts) th.join();
-    }
+    run_threaded(n_threads, [&](int t) {
+      int64_t* h = hist.data() + (size_t)t * kBuckets;
+      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t dst = h[(cur_keys[i] >> shift) & (kBuckets - 1)]++;
+        nxt_keys[dst] = cur_keys[i];
+        nxt_pay[dst] = cur_pay[i];
+      }
+    });
     std::swap(cur_keys, nxt_keys);
-    std::swap(cur_idx, nxt_idx);
+    std::swap(cur_pay, nxt_pay);
   }
-  std::memcpy(out_order, cur_idx, (size_t)n * sizeof(int64_t));
+  return {cur_keys, cur_pay};
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable ascending argsort of non-negative int64 keys.
+// out_order must hold n int64 slots. Scratch comes from the persistent
+// arena so repeat calls touch no new pages.
+void demux_radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order) {
+  if (n <= 0) return;
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure((size_t)n * 32 + 256);
+  uint64_t* cur_keys = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_keys = g_arena.take<uint64_t>(n);
+  uint64_t* cur_idx = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_idx = g_arena.take<uint64_t>(n);
+  for (int64_t i = 0; i < n; i++) {
+    cur_keys[i] = (uint64_t)keys[i];
+    cur_idx[i] = (uint64_t)i;
+  }
+  RadixBufs sorted = radix_pairs(cur_keys, cur_idx, nxt_keys, nxt_idx, n);
+  std::memcpy(out_order, sorted.payload, (size_t)n * sizeof(int64_t));
 }
 
 // Hash join: out[i] = value of the table entry whose key equals query[i],
@@ -181,21 +245,47 @@ void demux_hash_match_i64(const int64_t* table_keys, const int64_t* table_vals,
 // (pos*6 + base), hash lookup against the chromosome's variant registry,
 // match compaction, and the per-call molecule-field gathers — one pass
 // instead of five numpy array passes. Returns the number of matched calls.
-int64_t demux_match_compact(
+// Threaded over call ranges (the probe loop is memory-latency bound on the
+// table + molecule gathers): each thread emits into a per-range scratch
+// slab at its range offset, then slabs are compacted to the final offsets
+// in parallel — output stays in exact call order.
+//
+// The *_strided entry reads the call/molecule fields straight out of the
+// packed numpy record buffers (SNP_CALL_DTYPE is 13-byte records): numpy's
+// per-field strided extraction costs ~3.4 s at 22M calls because each of
+// the six extractions re-reads the whole record buffer; unaligned in-place
+// loads in the join loop read it once.
+int64_t demux_match_compact_strided(
     const int64_t* table_keys, const int64_t* table_vids, int64_t m,
-    const int32_t* pos, const uint8_t* base, const float* p_wrong,
-    const int32_t* mol_index, const int32_t* mol_cb, const float* mol_p,
+    const char* call_rec, int64_t call_stride,
+    int64_t off_pos, int64_t off_base, int64_t off_pwrong, int64_t off_mol,
+    const char* mol_rec, int64_t mol_stride, int64_t off_cb, int64_t off_mp,
     int64_t n,
     int32_t* out_vid, int32_t* out_cb, int32_t* out_mol,
     float* out_p, float* out_pmol) {
   if (n <= 0) return 0;
+  auto ld_i32 = [](const char* p) {
+    int32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+  };
+  auto ld_f32 = [](const char* p) {
+    float v;
+    std::memcpy(&v, p, 4);
+    return v;
+  };
   uint64_t cap = 1;
   while (cap < (uint64_t)(m * 2 + 1)) cap <<= 1;
   const uint64_t mask = cap - 1;
-  auto slot_key_p = alloc_nohuge<uint64_t>(cap);
-  auto slot_val_p = alloc_nohuge<int64_t>(cap);
-  uint64_t* slot_key = slot_key_p.get();
-  int64_t* slot_val = slot_val_p.get();
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure(cap * 16 + (size_t)n * 20 + 512);
+  uint64_t* slot_key = g_arena.take<uint64_t>(cap);
+  int64_t* slot_val = g_arena.take<int64_t>(cap);
+  int32_t* s_vid = g_arena.take<int32_t>(n);
+  int32_t* s_cb = g_arena.take<int32_t>(n);
+  int32_t* s_mol = g_arena.take<int32_t>(n);
+  float* s_p = g_arena.take<float>(n);
+  float* s_pmol = g_arena.take<float>(n);
   std::memset(slot_key, 0, cap * sizeof(uint64_t));
   auto mix = [](uint64_t x) {
     x ^= x >> 33;
@@ -210,26 +300,48 @@ int64_t demux_match_compact(
     slot_key[h] = k;
     slot_val[h] = table_vids[j];
   }
-  int64_t out = 0;
-  for (int64_t i = 0; i < n; i++) {
-    uint64_t k = (uint64_t)pos[i] * 6 + base[i] + 1;
-    uint64_t h = mix(k) & mask;
-    while (slot_key[h] != 0) {
-      if (slot_key[h] == k) {
-        int32_t mi = mol_index[i];
-        out_vid[out] = (int32_t)slot_val[h];
-        out_cb[out] = mol_cb[mi];
-        out_mol[out] = mi;
-        out_p[out] = p_wrong[i];
-        out_pmol[out] = mol_p[mi];
-        out++;
-        break;
+  const int n_threads = pick_threads(n);
+  const int64_t block = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> matched(n_threads + 1, 0);
+  run_threaded(n_threads, [&](int t) {
+    const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+    int64_t out = lo;
+    for (int64_t i = lo; i < hi; i++) {
+      const char* cr = call_rec + i * call_stride;
+      uint64_t k =
+          (uint64_t)ld_i32(cr + off_pos) * 6 + (uint8_t)cr[off_base] + 1;
+      uint64_t h = mix(k) & mask;
+      while (slot_key[h] != 0) {
+        if (slot_key[h] == k) {
+          int32_t mi = ld_i32(cr + off_mol);
+          const char* mr = mol_rec + (int64_t)mi * mol_stride;
+          s_vid[out] = (int32_t)slot_val[h];
+          s_cb[out] = ld_i32(mr + off_cb);
+          s_mol[out] = mi;
+          s_p[out] = ld_f32(cr + off_pwrong);
+          s_pmol[out] = ld_f32(mr + off_mp);
+          out++;
+          break;
+        }
+        h = (h + 1) & mask;
       }
-      h = (h + 1) & mask;
     }
-  }
-  return out;
+    matched[t + 1] = out - lo;
+  });
+  for (int t = 0; t < n_threads; t++) matched[t + 1] += matched[t];
+  run_threaded(n_threads, [&](int t) {
+    const int64_t lo = t * block;
+    const int64_t cnt = matched[t + 1] - matched[t];
+    const int64_t dst = matched[t];
+    std::memcpy(out_vid + dst, s_vid + lo, cnt * sizeof(int32_t));
+    std::memcpy(out_cb + dst, s_cb + lo, cnt * sizeof(int32_t));
+    std::memcpy(out_mol + dst, s_mol + lo, cnt * sizeof(int32_t));
+    std::memcpy(out_p + dst, s_p + lo, cnt * sizeof(float));
+    std::memcpy(out_pmol + dst, s_pmol + lo, cnt * sizeof(float));
+  });
+  return matched[n_threads];
 }
+
 
 // Collapse molecule calls to unique (variant, barcode) rows: the packing
 // layer's hottest stage (ops/packing.py molecule_calls_to_barcode_calls),
@@ -244,41 +356,47 @@ int64_t demux_collapse_calls(const int32_t* vid, const int32_t* cb,
                              int32_t* out_snp, float* out_p,
                              int64_t* out_count) {
   if (n <= 0) return 0;
-  auto keys_p = alloc_nohuge<uint64_t>(n);
-  uint64_t* keys = keys_p.get();
-  for (int64_t i = 0; i < n; i++)
-    keys[i] = ((uint64_t)(uint32_t)vid[i] << 32) | (uint32_t)cb[i];
-  auto order_p = alloc_nohuge<int64_t>(n);
-  int64_t* order = order_p.get();
-  demux_radix_argsort_i64((const int64_t*)keys, n, order);
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure((size_t)n * 32 + 256);
+  uint64_t* cur_keys = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_keys = g_arena.take<uint64_t>(n);
+  uint64_t* cur_idx = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_idx = g_arena.take<uint64_t>(n);
+  for (int64_t i = 0; i < n; i++) {
+    cur_keys[i] = ((uint64_t)(uint32_t)vid[i] << 32) | (uint32_t)cb[i];
+    cur_idx[i] = (uint64_t)i;
+  }
+  RadixBufs sorted = radix_pairs(cur_keys, cur_idx, nxt_keys, nxt_idx, n);
+  const uint64_t* keys = sorted.keys;
+  const uint64_t* idx = sorted.payload;
 
   // threaded emit: ranges aligned to group boundaries (a group never spans
   // two ranges, so per-group products keep their stable member order);
   // pass A counts each range's groups, pass B emits at prefix offsets
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   std::vector<int64_t> range_lo(n_threads + 1);
   range_lo[0] = 0;
   range_lo[n_threads] = n;
   const int64_t block = (n + n_threads - 1) / n_threads;
   for (int t = 1; t < n_threads; t++) {
     int64_t i = std::min<int64_t>(n, t * block);
-    while (i < n && i > 0 && keys[order[i]] == keys[order[i - 1]]) i++;
+    while (i < n && i > 0 && keys[i] == keys[i - 1]) i++;
     range_lo[t] = std::max(i, range_lo[t - 1]);
   }
   std::vector<int64_t> groups_at(n_threads + 1, 0);
-  auto count_fn = [&](int t) {
+  run_threaded(n_threads, [&](int t) {
     int64_t g = 0;
     for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++)
-      if (i == range_lo[t] || keys[order[i]] != keys[order[i - 1]]) g++;
+      if (i == range_lo[t] || keys[i] != keys[i - 1]) g++;
     groups_at[t + 1] = g;
-  };
-  auto emit_fn = [&](int t) {
+  });
+  for (int t = 0; t < n_threads; t++) groups_at[t + 1] += groups_at[t];
+  run_threaded(n_threads, [&](int t) {
     int64_t g = groups_at[t] - 1;
     uint64_t prev = 0;
     for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++) {
-      int64_t j = order[i];
-      uint64_t k = keys[j];
+      int64_t j = (int64_t)idx[i];
+      uint64_t k = keys[i];
       if (i == range_lo[t] || k != prev) {
         g++;
         out_vid[g] = (int32_t)(k >> 32);
@@ -292,25 +410,130 @@ int64_t demux_collapse_calls(const int32_t* vid, const int32_t* cb,
         out_count[g]++;
       }
     }
-  };
-  if (n_threads == 1) {
-    count_fn(0);
-    groups_at[1] += groups_at[0];
-    emit_fn(0);
-    return groups_at[1];
-  }
-  {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(count_fn, t);
-    for (auto& th : ts) th.join();
-  }
-  for (int t = 0; t < n_threads; t++) groups_at[t + 1] += groups_at[t];
-  {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(emit_fn, t);
-    for (auto& th : ts) th.join();
-  }
+  });
   return groups_at[n_threads];
+}
+
+// Device-order collapse for the SoA packing path: groups calls by
+// (lut[vid], cb) — lut is the SNP-sorted variant renumbering
+// (ops/packing.py VariantReindex.inverse) — and emits per-group
+// (device_vid, cb, f32 product of p in stable member order, count),
+// rows sorted by (device_vid, cb). Because the output is sorted by the
+// DEVICE variant id, the M-step layout consumes it with no further sort,
+// and the E-step layout needs exactly one key sort by cb. The p values
+// ride through the radix passes as payload (no index array, no random
+// emit gather): pure streaming passes.
+int64_t demux_collapse_calls_keyed(const int32_t* vid, const int32_t* cb,
+                                   const float* p, int64_t n,
+                                   const int32_t* lut, int32_t cb_bits,
+                                   int32_t* out_vid, int32_t* out_cb,
+                                   float* out_p, int64_t* out_count) {
+  if (n <= 0) return 0;
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure((size_t)n * 32 + 256);
+  uint64_t* cur_keys = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_keys = g_arena.take<uint64_t>(n);
+  uint64_t* cur_pay = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_pay = g_arena.take<uint64_t>(n);
+  {
+    const int n_threads = pick_threads(n);
+    const int64_t block = (n + n_threads - 1) / n_threads;
+    run_threaded(n_threads, [&](int t) {
+      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+      for (int64_t i = lo; i < hi; i++) {
+        cur_keys[i] = ((uint64_t)(uint32_t)lut[vid[i]] << cb_bits) | (uint32_t)cb[i];
+        uint32_t pbits;
+        std::memcpy(&pbits, &p[i], 4);
+        cur_pay[i] = pbits;
+      }
+    });
+  }
+  RadixBufs sorted = radix_pairs(cur_keys, cur_pay, nxt_keys, nxt_pay, n);
+  const uint64_t* keys = sorted.keys;
+  const uint64_t* pay = sorted.payload;
+
+  const int n_threads = pick_threads(n);
+  std::vector<int64_t> range_lo(n_threads + 1);
+  range_lo[0] = 0;
+  range_lo[n_threads] = n;
+  const int64_t block = (n + n_threads - 1) / n_threads;
+  for (int t = 1; t < n_threads; t++) {
+    int64_t i = std::min<int64_t>(n, t * block);
+    while (i < n && i > 0 && keys[i] == keys[i - 1]) i++;
+    range_lo[t] = std::max(i, range_lo[t - 1]);
+  }
+  std::vector<int64_t> groups_at(n_threads + 1, 0);
+  run_threaded(n_threads, [&](int t) {
+    int64_t g = 0;
+    for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++)
+      if (i == range_lo[t] || keys[i] != keys[i - 1]) g++;
+    groups_at[t + 1] = g;
+  });
+  for (int t = 0; t < n_threads; t++) groups_at[t + 1] += groups_at[t];
+  const uint64_t cb_mask = ((uint64_t)1 << cb_bits) - 1;
+  run_threaded(n_threads, [&](int t) {
+    int64_t g = groups_at[t] - 1;
+    uint64_t prev = 0;
+    for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++) {
+      uint64_t k = keys[i];
+      uint32_t pbits = (uint32_t)pay[i];
+      float pv;
+      std::memcpy(&pv, &pbits, 4);
+      if (i == range_lo[t] || k != prev) {
+        g++;
+        out_vid[g] = (int32_t)(k >> cb_bits);
+        out_cb[g] = (int32_t)(k & cb_mask);
+        out_p[g] = pv;
+        out_count[g] = 1;
+        prev = k;
+      } else {
+        out_p[g] *= pv;  // float32 product in stable member order
+        out_count[g]++;
+      }
+    }
+  });
+  return groups_at[n_threads];
+}
+
+// Stable sort of the (cb, vid, q) call columns by cb — the E-step layout's
+// barcode-major order — carrying (vid, q) through the radix passes as one
+// u64 payload. Replaces argsort + 3-column gather with streaming passes.
+void demux_sort_calls_by_cb(const int32_t* cb, const int32_t* vid,
+                            const float* q, int64_t n,
+                            int32_t* out_cb, int32_t* out_vid, float* out_q) {
+  if (n <= 0) return;
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure((size_t)n * 32 + 256);
+  uint64_t* cur_keys = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_keys = g_arena.take<uint64_t>(n);
+  uint64_t* cur_pay = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_pay = g_arena.take<uint64_t>(n);
+  {
+    const int n_threads = pick_threads(n);
+    const int64_t block = (n + n_threads - 1) / n_threads;
+    run_threaded(n_threads, [&](int t) {
+      const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+      for (int64_t i = lo; i < hi; i++) {
+        cur_keys[i] = (uint32_t)cb[i];
+        uint32_t qbits;
+        std::memcpy(&qbits, &q[i], 4);
+        cur_pay[i] = ((uint64_t)(uint32_t)vid[i] << 32) | qbits;
+      }
+    });
+  }
+  RadixBufs sorted = radix_pairs(cur_keys, cur_pay, nxt_keys, nxt_pay, n);
+  const int n_threads = pick_threads(n);
+  const int64_t block = (n + n_threads - 1) / n_threads;
+  run_threaded(n_threads, [&](int t) {
+    const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
+    for (int64_t i = lo; i < hi; i++) {
+      out_cb[i] = (int32_t)sorted.keys[i];
+      uint64_t pl = sorted.payload[i];
+      out_vid[i] = (int32_t)(pl >> 32);
+      uint32_t qbits = (uint32_t)pl;
+      std::memcpy(&out_q[i], &qbits, 4);
+    }
+  });
 }
 
 // Per-key group sums broadcast back to rows: out[i] = sum of w over all
@@ -320,15 +543,25 @@ int64_t demux_collapse_calls(const int32_t* vid, const int32_t* cb,
 void demux_group_sum_broadcast(const int64_t* keys, const double* w,
                                int64_t n, double* out) {
   if (n <= 0) return;
-  auto order_p = alloc_nohuge<int64_t>(n);
-  int64_t* order = order_p.get();
-  demux_radix_argsort_i64(keys, n, order);
+  std::lock_guard<std::mutex> lock(g_arena_mu);
+  g_arena.ensure((size_t)n * 32 + 256);
+  uint64_t* cur_keys = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_keys = g_arena.take<uint64_t>(n);
+  uint64_t* cur_idx = g_arena.take<uint64_t>(n);
+  uint64_t* nxt_idx = g_arena.take<uint64_t>(n);
+  for (int64_t i = 0; i < n; i++) {
+    cur_keys[i] = (uint64_t)keys[i];
+    cur_idx[i] = (uint64_t)i;
+  }
+  RadixBufs sorted = radix_pairs(cur_keys, cur_idx, nxt_keys, nxt_idx, n);
+  const uint64_t* skeys = sorted.keys;
+  const uint64_t* order = sorted.payload;
   int64_t run = 0;
   while (run < n) {
     int64_t end = run;
-    const int64_t k = keys[order[run]];
+    const uint64_t k = skeys[run];
     double sum = 0.0;
-    while (end < n && keys[order[end]] == k) sum += w[order[end++]];
+    while (end < n && skeys[end] == k) sum += w[order[end++]];
     for (int64_t i = run; i < end; i++) out[order[i]] = sum;
     run = end;
   }

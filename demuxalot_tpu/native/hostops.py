@@ -30,6 +30,17 @@ def _host_lib():
     return _lib
 
 
+def _sliced(g: int, n: int, *arrays):
+    """First-g-rows views of over-allocated outputs.
+
+    Copies (freeing the tail) only when most rows were dropped; otherwise a
+    view avoids a second multi-hundred-MB allocation + copy at product scale.
+    """
+    if g < n * 3 // 4:
+        return tuple(a[:g].copy() for a in arrays)
+    return tuple(a[:g] for a in arrays)
+
+
 def stable_argsort(keys: np.ndarray) -> np.ndarray:
     """Stable ascending argsort for integer keys; returns int64 order.
 
@@ -57,29 +68,33 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     return order
 
 
-def match_compact(table_keys, table_vids, positions, bases, p_wrong,
-                  mol_index, mol_cb, mol_p):
+def match_compact(table_keys, table_vids, calls_rec, molecules_rec):
     """Fused join of calls against a chromosome's variant registry.
 
-    Returns (vid, cb, mol_index, p_wrong, p_mol) for the matched calls, in
-    call order — or None to request the numpy path. Table keys must be the
-    unique non-negative ``pos*6 + base_code`` registry keys.
+    Reads the call/molecule fields straight out of the packed numpy record
+    buffers (no per-field strided extraction, which re-reads the whole
+    record buffer per field — ~3.4 s at 22M calls). Returns
+    (vid, cb, mol_index, p_wrong, p_mol) for the matched calls, in call
+    order — or None to request the numpy path. Table keys must be the
+    unique non-negative ``pos*6 + base_code`` registry keys; ``calls_rec``
+    / ``molecules_rec`` must be contiguous structured arrays carrying the
+    SNP_CALL_DTYPE / MOLECULE_DTYPE fields.
     """
     lib = _host_lib()
-    n = len(positions)
+    n = len(calls_rec)
     m = len(table_keys)
-    if lib is None or n < 65_536 or m == 0:
+    if (
+        lib is None or n < 65_536 or m == 0
+        or not calls_rec.flags.c_contiguous
+        or not molecules_rec.flags.c_contiguous
+    ):
         return None
     table_keys = np.ascontiguousarray(table_keys, dtype=np.int64)
     if int(table_keys.min()) < 0:
         return None
     table_vids = np.ascontiguousarray(table_vids, dtype=np.int64)
-    positions = np.ascontiguousarray(positions, dtype=np.int32)
-    bases = np.ascontiguousarray(bases, dtype=np.uint8)
-    p_wrong = np.ascontiguousarray(p_wrong, dtype=np.float32)
-    mol_index = np.ascontiguousarray(mol_index, dtype=np.int32)
-    mol_cb = np.ascontiguousarray(mol_cb, dtype=np.int32)
-    mol_p = np.ascontiguousarray(mol_p, dtype=np.float32)
+    cf = calls_rec.dtype.fields
+    mf = molecules_rec.dtype.fields
     out_vid = np.empty(n, np.int32)
     out_cb = np.empty(n, np.int32)
     out_mol = np.empty(n, np.int32)
@@ -87,19 +102,21 @@ def match_compact(table_keys, table_vids, positions, bases, p_wrong,
     out_pmol = np.empty(n, np.float32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
-    k = lib.demux_match_compact(
+    cp = ctypes.c_char_p
+    k = lib.demux_match_compact_strided(
         table_keys.ctypes.data_as(i64p), table_vids.ctypes.data_as(i64p), m,
-        positions.ctypes.data_as(i32p), bases.ctypes.data_as(u8p),
-        p_wrong.ctypes.data_as(f32p), mol_index.ctypes.data_as(i32p),
-        mol_cb.ctypes.data_as(i32p), mol_p.ctypes.data_as(f32p), n,
+        ctypes.cast(calls_rec.ctypes.data, cp), calls_rec.dtype.itemsize,
+        cf["snp_position"][1], cf["base_index"][1],
+        cf["p_base_wrong"][1], cf["molecule_index"][1],
+        ctypes.cast(molecules_rec.ctypes.data, cp), molecules_rec.dtype.itemsize,
+        mf["compressed_cb"][1], mf["p_group_misaligned"][1],
+        n,
         out_vid.ctypes.data_as(i32p), out_cb.ctypes.data_as(i32p),
         out_mol.ctypes.data_as(i32p), out_p.ctypes.data_as(f32p),
         out_pmol.ctypes.data_as(f32p),
     )
-    return (out_vid[:k].copy(), out_cb[:k].copy(), out_mol[:k].copy(),
-            out_p[:k].copy(), out_pmol[:k].copy())
+    return _sliced(k, n, out_vid, out_cb, out_mol, out_p, out_pmol)
 
 
 def collapse_calls(vid: np.ndarray, cb: np.ndarray, snp: np.ndarray,
@@ -133,8 +150,92 @@ def collapse_calls(vid: np.ndarray, cb: np.ndarray, snp: np.ndarray,
         out_snp.ctypes.data_as(i32p), out_p.ctypes.data_as(f32p),
         out_count.ctypes.data_as(i64p),
     )
-    return (out_vid[:g].copy(), out_cb[:g].copy(), out_snp[:g].copy(),
-            out_p[:g].copy(), out_count[:g].copy())
+    return _sliced(g, n, out_vid, out_cb, out_snp, out_p, out_count)
+
+
+def collapse_calls_keyed(vid: np.ndarray, cb: np.ndarray, p: np.ndarray,
+                         lut: np.ndarray, cb_bits: int):
+    """Device-order collapse: group calls by (lut[vid], cb).
+
+    Returns ``(device_vid, cb, p_product, count)`` with rows sorted by
+    (device_vid, cb); ``p_product`` is the float32 product over each
+    group's members in stable input order. ``lut`` is the variant
+    renumbering (``VariantReindex.inverse``); ``cb`` must fit in
+    ``cb_bits`` bits. Falls back to numpy (the semantic definition) when
+    the native library is unavailable or inputs are small/negative.
+    """
+    vid = np.ascontiguousarray(vid, dtype=np.int32)
+    cb = np.ascontiguousarray(cb, dtype=np.int32)
+    p = np.ascontiguousarray(p, dtype=np.float32)
+    lut = np.ascontiguousarray(lut, dtype=np.int32)
+    n = len(vid)
+    lib = _host_lib()
+    native_ok = (
+        lib is not None and n >= 65_536
+        and (n == 0 or (int(vid.min()) >= 0 and int(cb.min()) >= 0))
+        and (len(lut) == 0 or int(lut.min()) >= 0)
+    )
+    if native_ok:
+        out_vid = np.empty(n, np.int32)
+        out_cb = np.empty(n, np.int32)
+        out_p = np.empty(n, np.float32)
+        out_count = np.empty(n, np.int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        g = lib.demux_collapse_calls_keyed(
+            vid.ctypes.data_as(i32p), cb.ctypes.data_as(i32p),
+            p.ctypes.data_as(f32p), n,
+            lut.ctypes.data_as(i32p), int(cb_bits),
+            out_vid.ctypes.data_as(i32p), out_cb.ctypes.data_as(i32p),
+            out_p.ctypes.data_as(f32p), out_count.ctypes.data_as(i64p),
+        )
+        return _sliced(g, n, out_vid, out_cb, out_p, out_count)
+    # numpy path — the semantic definition the native op must match bit-wise
+    if n == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.int32),
+                np.empty(0, np.float32), np.empty(0, np.int64))
+    dev_vid = lut[vid].astype(np.int64)
+    key = (dev_vid << int(cb_bits)) | cb.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    sorted_keys = key[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+    )
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    products = np.multiply.reduceat(p[order], starts).astype(np.float32)
+    unique_keys = sorted_keys[starts]
+    out_vid = (unique_keys >> int(cb_bits)).astype(np.int32)
+    out_cb = (unique_keys & ((1 << int(cb_bits)) - 1)).astype(np.int32)
+    return out_vid, out_cb, products, counts
+
+
+def sort_calls_by_cb(cb: np.ndarray, vid: np.ndarray, q: np.ndarray):
+    """Stable sort of the (cb, vid, q) call columns by cb.
+
+    Returns new contiguous ``(cb_sorted, vid_sorted, q_sorted)`` arrays.
+    Numpy path (argsort + gathers) is the semantic definition.
+    """
+    cb = np.ascontiguousarray(cb, dtype=np.int32)
+    vid = np.ascontiguousarray(vid, dtype=np.int32)
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    n = len(cb)
+    lib = _host_lib()
+    if lib is not None and n >= 65_536 and int(cb.min()) >= 0:
+        out_cb = np.empty(n, np.int32)
+        out_vid = np.empty(n, np.int32)
+        out_q = np.empty(n, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.demux_sort_calls_by_cb(
+            cb.ctypes.data_as(i32p), vid.ctypes.data_as(i32p),
+            q.ctypes.data_as(f32p), n,
+            out_cb.ctypes.data_as(i32p), out_vid.ctypes.data_as(i32p),
+            out_q.ctypes.data_as(f32p),
+        )
+        return out_cb, out_vid, out_q
+    order = np.argsort(cb, kind="stable")
+    return cb[order], vid[order], q[order]
 
 
 def group_sum_broadcast(keys: np.ndarray, weights: np.ndarray):

@@ -20,8 +20,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..native.hostops import (
-    collapse_calls, group_sum_broadcast, match_compact, match_keys,
-    stable_argsort,
+    collapse_calls, collapse_calls_keyed, group_sum_broadcast, match_compact,
+    match_keys, sort_calls_by_cb, stable_argsort,
 )
 from ..utils.encoding import base_lookup
 
@@ -67,6 +67,9 @@ def match_calls_to_variants(
     reference's sorted searchsorted join (demuxalot/demux.py:334-358).
     """
     variant_index2snp_index = genotypes.get_snp_ids_for_variants()
+    # gather target dtype up front so per-chromosome snp gathers emit int32
+    # directly (an astype on the gathered 22M-row result would copy ~90 MB)
+    v2s_i32 = np.ascontiguousarray(variant_index2snp_index, dtype=np.int32)
 
     # per-chromosome sorted (pos*5 + base_code) key -> variant id, read
     # straight off the registry columns (no per-variant Python iteration)
@@ -93,12 +96,7 @@ def match_calls_to_variants(
         if chromosome not in chrom2keys or len(calls) == 0:
             continue
         table_keys, table_vids = chrom2keys[chromosome]
-        native = match_compact(
-            table_keys, table_vids,
-            calls["snp_position"], calls["base_index"], calls["p_base_wrong"],
-            calls["molecule_index"],
-            molecules["compressed_cb"], molecules["p_group_misaligned"],
-        )
+        native = match_compact(table_keys, table_vids, calls, molecules)
         if native is not None:
             # fused C++ join: key build + hash lookup + compaction +
             # molecule-field gathers in one pass (native/hostops.cpp)
@@ -106,7 +104,7 @@ def match_calls_to_variants(
             if not len(vid_m):
                 continue
             collected["variant_id"].append(vid_m)
-            collected["snp_id"].append(variant_index2snp_index[vid_m])
+            collected["snp_id"].append(v2s_i32[vid_m])
             collected["compressed_cb"].append(cb_m)
             collected["molecule_id"].append(mol_m)
             collected["p_base_wrong"].append(p_m)
@@ -122,7 +120,7 @@ def match_calls_to_variants(
         mol_index = calls["molecule_index"][matched]
 
         collected["variant_id"].append(variant_id)
-        collected["snp_id"].append(variant_index2snp_index[variant_id])
+        collected["snp_id"].append(v2s_i32[variant_id])
         collected["compressed_cb"].append(molecules["compressed_cb"][mol_index])
         collected["molecule_id"].append(mol_index)
         collected["p_base_wrong"].append(calls["p_base_wrong"][matched])
@@ -132,7 +130,9 @@ def match_calls_to_variants(
         chunks = collected[name]
         if not chunks:
             return np.empty(0, dtype=dtype)
-        return np.concatenate(chunks).astype(dtype)
+        # chunks already carry the target dtype on the native path: no copy
+        arr = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        return arr.astype(dtype, copy=False)
 
     return MoleculeCalls(
         variant_id=cat("variant_id", np.int32),
@@ -227,6 +227,56 @@ def molecule_calls_to_barcode_calls(molecule_calls: MoleculeCalls) -> np.recarra
     result["barcode_variant_count"] = barcode_variant_counts
     result["barcode_snp_count"] = barcode_snp_count
     return result
+
+
+@dataclass
+class CallColumns:
+    """Collapsed (variant, barcode) call rows as contiguous SoA columns.
+
+    The AoS recarray (``BARCODE_CALLS_DTYPE``, 32-byte rows) makes every
+    column extraction at product scale scan ~700 MB; the device layout
+    builders only ever touch these four columns, so the engine path keeps
+    them as separate contiguous arrays. ``vid`` holds DEVICE (SNP-sorted)
+    variant ids and rows are sorted by (vid, cb) — exactly the M-step
+    stream order, and one key sort away from the E-step's barcode-major
+    order (:meth:`by_barcode`).
+    """
+
+    vid: np.ndarray  # int32 [n], device variant ids, non-decreasing
+    cb: np.ndarray  # int32 [n]
+    q: np.ndarray  # float32 [n], p_base_wrong product per row
+    count: np.ndarray  # int64 [n], molecules collapsed into the row
+
+    def __len__(self):
+        return len(self.vid)
+
+    def by_barcode(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(cb, vid, q) stably re-sorted to barcode-major order."""
+        return sort_calls_by_cb(self.cb, self.vid, self.q)
+
+
+def collapse_device_order(molecule_calls: MoleculeCalls, reindex: "VariantReindex") -> CallColumns:
+    """Collapse molecule calls straight into device variant order.
+
+    Groups and per-group stable f32 products are identical to
+    :func:`molecule_calls_to_barcode_calls` (the variant renumbering is a
+    bijection); only the row order differs — sorted by (device vid, cb)
+    instead of (registry vid, cb), which is the order the M-step layout
+    consumes with no further sort.
+    """
+    n = len(molecule_calls)
+    if n == 0:
+        return CallColumns(
+            vid=np.empty(0, np.int32), cb=np.empty(0, np.int32),
+            q=np.empty(0, np.float32), count=np.empty(0, np.int64),
+        )
+    cb = molecule_calls.compressed_cb
+    cb_bits = max(1, int(int(cb.max())).bit_length())
+    vid, cb_out, q, count = collapse_calls_keyed(
+        molecule_calls.variant_id, cb, molecule_calls.p_base_wrong,
+        reindex.inverse, cb_bits,
+    )
+    return CallColumns(vid=vid, cb=cb_out, q=q, count=count)
 
 
 def compute_prior_betas(
@@ -416,6 +466,30 @@ def device_pack_barcode_calls(
     cb = barcode_calls["compressed_cb"].astype(np.int32)
     q = barcode_calls["p_base_wrong"].astype(np.float32)
 
+    if build_arrays and len(cb):
+        order_b = stable_argsort(cb)
+        cb, vid, q = cb[order_b], vid[order_b], q[order_b]
+    return device_pack_columns(
+        cb, vid, q, n_barcodes,
+        n_shards=n_shards, pad_multiple=pad_multiple,
+        barcodes_per_shard=barcodes_per_shard, build_arrays=build_arrays,
+        shard_ids=shard_ids, per_shard_calls_floor=per_shard_calls_floor,
+    )
+
+
+def device_pack_columns(
+    cb_sorted: np.ndarray,
+    vid_sorted: np.ndarray,
+    q_sorted: np.ndarray,
+    n_barcodes: int,
+    n_shards: int = 1,
+    pad_multiple: int = 1024,
+    barcodes_per_shard: Optional[int] = None,
+    build_arrays: bool = True,
+    shard_ids: Optional[list] = None,
+    per_shard_calls_floor: int = 0,
+) -> DeviceCalls:
+    """:func:`device_pack_barcode_calls` core over pre-barcode-sorted columns."""
     if barcodes_per_shard is None:
         barcodes_per_shard = _round_up(max(n_barcodes, n_shards), n_shards) // n_shards
     per_shard_b = barcodes_per_shard
@@ -435,8 +509,7 @@ def device_pack_barcode_calls(
             n_shards=n_shards,
         )
 
-    order_b = stable_argsort(cb)
-    cb_sorted, vid_sorted, q_sorted = cb[order_b], vid[order_b], q[order_b]
+    cb = cb_sorted
     shard_of_call = cb_sorted // per_shard_b
     boundaries = np.searchsorted(shard_of_call, np.arange(n_shards + 1))
     lengths = boundaries[1:] - boundaries[:-1]

@@ -259,6 +259,90 @@ def test_banded_tile_build_matches_numpy_path(monkeypatch, n_bands, tb, tc, seed
 
 
 @pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+@pytest.mark.parametrize("seed,n", [(21, 200_000), (22, 2_400_000)])
+def test_collapse_keyed_matches_numpy_path(seed, n):
+    """Native device-order collapse == its numpy definition, bit-exact.
+
+    Covers both the single-thread and threaded (2M+) emit paths; the f32
+    products must match because member order within a group is stable.
+    """
+    from demuxalot_tpu.native import hostops as H
+
+    rng = np.random.RandomState(seed)
+    n_variants = 40_000
+    vid = rng.randint(0, n_variants, n).astype(np.int32)
+    cb = rng.randint(0, 3_000, n).astype(np.int32)
+    p = rng.rand(n).astype(np.float32)
+    lut = rng.permutation(n_variants).astype(np.int32)
+    cb_bits = 12
+    native = H.collapse_calls_keyed(vid, cb, p, lut, cb_bits)
+    saved_lib, saved_failed = H._lib, H._lib_failed
+    H._lib, H._lib_failed = None, True
+    try:
+        ref = H.collapse_calls_keyed(vid, cb, p, lut, cb_bits)
+    finally:
+        H._lib, H._lib_failed = saved_lib, saved_failed
+    for a, b, name in zip(native, ref, ("vid", "cb", "p", "count")):
+        assert a.dtype == b.dtype, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # the output really is the M-step stream order: vid non-decreasing
+    assert (np.diff(native[0].astype(np.int64)) >= 0).all()
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+@pytest.mark.parametrize("seed,n", [(31, 200_000), (32, 2_400_000)])
+def test_sort_calls_by_cb_matches_numpy_path(seed, n):
+    from demuxalot_tpu.native import hostops as H
+
+    rng = np.random.RandomState(seed)
+    cb = rng.randint(0, 50_000, n).astype(np.int32)
+    vid = rng.randint(0, 1 << 30, n).astype(np.int32)
+    q = rng.rand(n).astype(np.float32)
+    native = H.sort_calls_by_cb(cb, vid, q)
+    order = np.argsort(cb, kind="stable")
+    np.testing.assert_array_equal(native[0], cb[order])
+    np.testing.assert_array_equal(native[1], vid[order])
+    np.testing.assert_array_equal(native[2], q[order])
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
+def test_collapse_device_order_matches_legacy_collapse(monkeypatch):
+    """SoA device-order collapse == legacy registry-order collapse, re-sorted.
+
+    Same groups, same stable member products — only the row order differs
+    (device vid vs registry vid). Verified by mapping the legacy recarray
+    into device order and comparing all columns.
+    """
+    from demuxalot_tpu.ops.packing import (
+        MoleculeCalls, VariantReindex, collapse_device_order,
+        molecule_calls_to_barcode_calls,
+    )
+
+    rng = np.random.RandomState(41)
+    n, n_variants = 150_000, 9_000
+    # non-trivial reindex: variant->snp NOT already sorted
+    variant2snp = rng.permutation(np.repeat(np.arange(n_variants // 2), 2)).astype(np.int64)
+    reindex = VariantReindex.build(variant2snp)
+    vid = rng.randint(0, n_variants, n).astype(np.int32)
+    mc = MoleculeCalls(
+        variant_id=vid,
+        snp_id=variant2snp[vid].astype(np.int32),
+        compressed_cb=rng.randint(0, 2_000, n).astype(np.int32),
+        molecule_id=np.arange(n, dtype=np.int32),
+        p_base_wrong=rng.rand(n).astype(np.float32),
+        p_molecule_aligned_wrong=np.full(n, 0.01, np.float32),
+    )
+    soa = collapse_device_order(mc, reindex)
+    legacy = molecule_calls_to_barcode_calls(mc)
+    dev_vid = reindex.inverse[legacy["variant_id"].astype(np.int64)]
+    order = np.lexsort((legacy["compressed_cb"], dev_vid))
+    np.testing.assert_array_equal(soa.vid, dev_vid[order])
+    np.testing.assert_array_equal(soa.cb, legacy["compressed_cb"][order])
+    np.testing.assert_array_equal(soa.q, legacy["p_base_wrong"][order])
+    np.testing.assert_array_equal(soa.count, legacy["barcode_variant_count"][order])
+
+
+@pytest.mark.skipif(not gxx_available, reason="no C++ toolchain")
 def test_gather3_matches_numpy(monkeypatch):
     from demuxalot_tpu.native.hostops import take3
 
