@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 if "--end-to-end" in sys.argv[1:]:
     # product-level pipeline benchmark (BAM -> posteriors, stage-timed,
-    # vs a measured reference-style baseline); writes E2E_r04.json
+    # vs a measured reference-style baseline); writes E2E_r05.json
     from benchmarks.end_to_end import main as e2e_main
 
     e2e_main([a for a in sys.argv[1:] if a != "--end-to-end"])
@@ -470,8 +470,8 @@ def main():
     # reproduce: python bench.py --end-to-end) so the driver-recorded BENCH
     # carries the product-level number alongside the kernel number
     here = Path(__file__).resolve().parent
-    for key, name in (("end_to_end", "E2E_r04.json"),
-                      ("end_to_end_pmbc", "E2E_PMBC_r04.json")):
+    for key, name in (("end_to_end", "E2E_r05.json"),
+                      ("end_to_end_pmbc", "E2E_PMBC_r05.json")):
         e2e_path = here / name
         if e2e_path.exists():
             e2e = json.loads(e2e_path.read_text())

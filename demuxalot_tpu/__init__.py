@@ -20,13 +20,14 @@ from .utils.platform import tune_numpy_allocator as _tune_numpy_allocator
 _tune_numpy_allocator()
 
 from .frontend.snp_counter import count_snps
-from .models.demux import Demultiplexer, PackedCalls
+from .models.demux import CompactPosteriors, Demultiplexer, PackedCalls
 from .models.genotypes import ProbabilisticGenotypes
 from .models.snp_detection import detect_snps_positions
 from .utils.barcodes import BarcodeHandler
 
 __all__ = [
     "BarcodeHandler",
+    "CompactPosteriors",
     "Demultiplexer",
     "PackedCalls",
     "ProbabilisticGenotypes",

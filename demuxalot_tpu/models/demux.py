@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import time
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -338,6 +339,95 @@ def _materialize_logits_and_probs(logits_dev, probs_dev=None):
     np.exp(x, out=x)
     x /= x.sum(axis=1, keepdims=True)
     return logits, x.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _compact_topk(logits, *, k: int):
+    """Device-side (top-k values f32, top-k indices i32, row logsumexp f32).
+
+    ``lax.top_k`` breaks ties toward the lowest index — the same rule as
+    ``np.argmax`` on the full f32 frame, so index 0 is bit-identical to the
+    host assignment.
+    """
+    top_vals, top_idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    return top_vals, top_idx.astype(jnp.int32), lse.astype(jnp.float32)
+
+
+@dataclass
+class CompactPosteriors:
+    """Link-frugal posterior result: device top-k instead of full frames.
+
+    ``top_logits``/``top_index`` are the k best pseudogenotype logits per
+    barcode (exact f32 frame entries, descending); ``logsumexp`` is the
+    per-row softmax normalizer, so ``exp(top_logits - logsumexp[:, None])``
+    reconstructs the exact top-k posterior probabilities without the full
+    frame. ``logits_bf16`` (only when requested) is the full frame in
+    bfloat16 — every entry within 1 bf16 ulp of the f32 value.
+    """
+
+    column_names: list
+    barcodes: list
+    top_index: np.ndarray  # [n, k] int32, descending by logit
+    top_logits: np.ndarray  # [n, k] float32 (exact frame entries)
+    logsumexp: np.ndarray  # [n] float32
+    logits_bf16: Optional[np.ndarray]  # [n, n_pg] bfloat16, or None
+    bytes_moved: int
+
+    @property
+    def assignment(self) -> np.ndarray:
+        """argmax pseudogenotype index per barcode (== full-frame argmax)."""
+        return self.top_index[:, 0]
+
+    @property
+    def runner_up(self) -> np.ndarray:
+        return self.top_index[:, 1]
+
+    @property
+    def margin(self) -> np.ndarray:
+        """Top-1 minus top-2 logit (f32, exact)."""
+        return self.top_logits[:, 0] - self.top_logits[:, 1]
+
+    @property
+    def top_probs(self) -> np.ndarray:
+        """Posterior probability of each of the k best pseudogenotypes."""
+        return np.exp(
+            self.top_logits.astype(np.float64)
+            - self.logsumexp.astype(np.float64)[:, None]
+        ).astype(np.float32)
+
+    @property
+    def assignment_names(self) -> list:
+        return [self.column_names[i] for i in self.top_index[:, 0]]
+
+    def to_dataframe(self) -> pd.DataFrame:
+        """Compact per-barcode summary frame (BARCODE-indexed)."""
+        df = pd.DataFrame(
+            {
+                "assignment": self.assignment_names,
+                "runner_up": [self.column_names[i] for i in self.runner_up],
+                "logit_margin": self.margin,
+                "posterior": self.top_probs[:, 0],
+            },
+            index=list(self.barcodes),
+        )
+        df.index.name = "BARCODE"
+        return df
+
+    def logits_dataframe(self) -> pd.DataFrame:
+        """Full logits frame upcast from bfloat16 (requires include_logits)."""
+        if self.logits_bf16 is None:
+            raise ValueError(
+                "full logits were not requested; pass include_logits=True to "
+                "predict_posteriors_compact"
+            )
+        df = pd.DataFrame(
+            data=self.logits_bf16.astype(np.float32),
+            index=list(self.barcodes),
+            columns=self.column_names,
+        )
+        df.index.name = "BARCODE"
+        return df
 
 
 def auto_damping_select(learn_with, n_genotypes: int):
@@ -1047,10 +1137,104 @@ class Demultiplexer:
         Returns (logits_df, probs_df), both indexed by 'BARCODE' with columns
         = donors plus 'DonorA+DonorB' doublets.
         """
+        timings = STAGE_TIMINGS
+        logits_dev, column_names = Demultiplexer._predict_logits_dev(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            p_genotype_clip, doublet_prior, timings,
+        )
+        t_mark = time.perf_counter()
+        # posteriors: one frame transfer + host softmax over slow links,
+        # device softmax + second frame otherwise (measured adaptively)
+        barcode_posterior_logits, probs = _materialize_logits_and_probs(logits_dev)
+        _stage_mark(timings, "materialize_s", t_mark)
+        logits_df = pd.DataFrame(
+            data=barcode_posterior_logits,
+            index=list(barcode_handler.ordered_barcodes),
+            columns=column_names,
+        )
+        logits_df.index.name = "BARCODE"
+        probs_df = pd.DataFrame(
+            data=probs, index=list(barcode_handler.ordered_barcodes), columns=column_names
+        )
+        probs_df.index.name = "BARCODE"
+        return logits_df, probs_df
+
+    @staticmethod
+    def predict_posteriors_compact(
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.35,
+        k: int = 4,
+        include_logits: bool = False,
+    ) -> "CompactPosteriors":
+        """Link-frugal posterior inference: device-side top-k readback.
+
+        Same forward as :meth:`predict_posteriors` (which keeps the full
+        f32 dataframe contract and stays the default API), but instead of
+        pulling the full ``[n_barcodes, n_pseudogenotypes]`` f32 logits
+        frame to the host, the top-``k`` logits/indices and the per-row
+        log-sum-exp are computed on device and only those move — ~(8k+4)
+        bytes per barcode instead of 4*n_pg. Assignments are bit-identical
+        to ``argmax`` over the full f32 frame (same values, same
+        lowest-index tie-breaking) and the returned top-k logits are the
+        exact f32 frame entries. ``include_logits=True`` additionally
+        returns the full frame as bfloat16 (|delta| <= 1 bf16 ulp of the
+        f32 values, half the bytes).
+
+        The reference has no analogue (it always materializes both full
+        frames, demuxalot/demux.py:120-156); this exists because posterior
+        readback is pure link cost at product scale (277 MB at 131k
+        barcodes x 528 pseudogenotypes).
+        """
+        timings = STAGE_TIMINGS
+        logits_dev, column_names = Demultiplexer._predict_logits_dev(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            p_genotype_clip, doublet_prior, timings,
+        )
+        k = int(min(k, len(column_names)))
+        top_vals_dev, top_idx_dev, lse_dev = _compact_topk(logits_dev, k=k)
+        logits_bf16_dev = (
+            logits_dev.astype(jnp.bfloat16) if include_logits else None
+        )
+        t_mark = time.perf_counter()
+        top_logits = np.asarray(top_vals_dev)
+        top_index = np.asarray(top_idx_dev)
+        logsumexp = np.asarray(lse_dev)
+        logits_bf16 = (
+            np.asarray(logits_bf16_dev) if logits_bf16_dev is not None else None
+        )
+        bytes_moved = int(
+            top_logits.nbytes + top_index.nbytes + logsumexp.nbytes
+            + (logits_bf16.nbytes if logits_bf16 is not None else 0)
+        )
+        if timings is not None:
+            timings["d2h_compact_bytes"] = bytes_moved
+        _stage_mark(timings, "materialize_s", t_mark)
+        return CompactPosteriors(
+            column_names=list(column_names),
+            barcodes=list(barcode_handler.ordered_barcodes),
+            top_index=top_index,
+            top_logits=top_logits,
+            logsumexp=logsumexp,
+            logits_bf16=logits_bf16,
+            bytes_moved=bytes_moved,
+        )
+
+    @staticmethod
+    def _predict_logits_dev(
+        chromosome2compressed_snp_calls,
+        genotypes: ProbabilisticGenotypes,
+        barcode_handler: BarcodeHandler,
+        p_genotype_clip: float,
+        doublet_prior: float,
+        timings: Optional[dict],
+    ):
+        """Device logits [n_barcodes, n_pg] + column names (shared forward)."""
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
 
-        timings = STAGE_TIMINGS
         t_mark = time.perf_counter()
         # single packing/layout path: raw call dicts get a transient
         # PackedCalls (see _EMRun — bit-identity with the pack-once engine)
@@ -1133,22 +1317,8 @@ class Demultiplexer:
 
         if timings is not None:
             _flush_device([logits_dev])
-        t_mark = _stage_mark(timings, "forward_s", t_mark)
-        # posteriors: one frame transfer + host softmax over slow links,
-        # device softmax + second frame otherwise (measured adaptively)
-        barcode_posterior_logits, probs = _materialize_logits_and_probs(logits_dev)
-        _stage_mark(timings, "materialize_s", t_mark)
-        logits_df = pd.DataFrame(
-            data=barcode_posterior_logits,
-            index=list(barcode_handler.ordered_barcodes),
-            columns=column_names,
-        )
-        logits_df.index.name = "BARCODE"
-        probs_df = pd.DataFrame(
-            data=probs, index=list(barcode_handler.ordered_barcodes), columns=column_names
-        )
-        probs_df.index.name = "BARCODE"
-        return logits_df, probs_df
+        _stage_mark(timings, "forward_s", t_mark)
+        return logits_dev, column_names
 
     # -- internals ---------------------------------------------------------
     @staticmethod

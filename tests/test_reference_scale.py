@@ -215,7 +215,7 @@ def test_reference_scale_quality(tmp_path_factory):
 def test_end_to_end_harness_smoke(monkeypatch):
     """The E2E artifact harness stays runnable (quick shape, no baseline).
 
-    Guards the reproducibility of E2E_r04.json / E2E_PMBC_r04.json: the
+    Guards the reproducibility of E2E_r05.json / E2E_PMBC_r05.json: the
     harness is the round artifact generator, so its breakage should show
     up in a perf run, not when regenerating the artifact.
     """

@@ -417,3 +417,67 @@ def test_packed_calls_reuse(synthetic_data, tmp_path):
             )
     finally:
         del os.environ["DEMUX_HOST_SOFTMAX"]
+
+
+def test_predict_posteriors_compact(synthetic_data):
+    """Compact top-k output matches the full-frame contract exactly.
+
+    VERDICT r4 ask #3: the compact path must move <= 1/4 the bytes while
+    keeping assignments bit-identical to argmax over the full f32 frame,
+    top-k logits as exact frame entries, and optional bf16 logits within
+    1 bf16 ulp.
+    """
+    _filename, genotypes, _truth, handler, calls = synthetic_data
+
+    packed = Demultiplexer.pack_dataset(calls, genotypes)
+    logits_df, probs_df = Demultiplexer.predict_posteriors(
+        packed, genotypes, barcode_handler=handler, doublet_prior=0.35
+    )
+    compact = Demultiplexer.predict_posteriors_compact(
+        packed, genotypes, barcode_handler=handler, doublet_prior=0.35,
+        k=4, include_logits=True,
+    )
+
+    full = logits_df.values
+    # assignments bit-identical to the full-frame argmax (same tie rule)
+    np.testing.assert_array_equal(compact.assignment, full.argmax(axis=1))
+    assert list(compact.barcodes) == list(logits_df.index)
+    assert compact.column_names == list(logits_df.columns)
+
+    # top-k logits are the exact f32 frame entries at the top-k indices
+    rows = np.arange(full.shape[0])[:, None]
+    np.testing.assert_array_equal(
+        compact.top_logits, full[rows, compact.top_index]
+    )
+    # top-k is genuinely descending and covers the true top of each row
+    assert (np.diff(compact.top_logits, axis=1) <= 0).all()
+    np.testing.assert_array_equal(
+        compact.top_logits[:, 0], full.max(axis=1)
+    )
+
+    # reconstructed top-1 probability matches the full softmax frame
+    top1_full = probs_df.values[rows[:, 0], compact.assignment]
+    np.testing.assert_allclose(compact.top_probs[:, 0], top1_full, atol=1e-5)
+
+    # bf16 logits within 1 bf16 ulp of the f32 frame (round-to-nearest)
+    bf = compact.logits_bf16.astype(np.float32)
+    ulp = np.maximum(np.abs(full) * 2.0**-7, np.finfo(np.float32).tiny)
+    assert (np.abs(bf - full) <= ulp).all()
+
+    # default compact output (no bf16 frame) moves <= 1/4 of the full bytes
+    compact_small = Demultiplexer.predict_posteriors_compact(
+        packed, genotypes, barcode_handler=handler, doublet_prior=0.35, k=4
+    )
+    assert compact_small.logits_bf16 is None
+    assert compact_small.bytes_moved <= full.nbytes // 4
+    np.testing.assert_array_equal(compact_small.assignment, compact.assignment)
+
+    # summary dataframe carries names + exact margin
+    df = compact.to_dataframe()
+    assert list(df.index) == list(logits_df.index)
+    assert (df["logit_margin"].values >= 0).all()
+    assert df.loc[df.index[0], "assignment"] == compact.assignment_names[0]
+    # full-frame reconstruction only exists when requested
+    assert compact.logits_dataframe().shape == logits_df.shape
+    with pytest.raises(ValueError, match="include_logits"):
+        compact_small.logits_dataframe()
