@@ -25,10 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"localhost:{port}", num_processes=2, process_id=process_id)
 import numpy as np
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as PSpec
 from demuxalot_tpu.ops import likelihood as L
-from demuxalot_tpu.ops import packing as P
-from demuxalot_tpu.parallel.mesh import make_mesh
-from demuxalot_tpu.parallel.sharded import ShardedDemultiplexer, _build_mstep
+from demuxalot_tpu.parallel.mesh import BARCODE_AXIS, make_mesh
+from demuxalot_tpu.parallel.sharded import ColumnDataset, ShardedDemultiplexer
 from demuxalot_tpu.sim import synthesize_device_workload
 
 N_B, N_D, N_S, CPB = 8192 * 8, 16, 16384, 32
@@ -38,24 +38,20 @@ pen = L.doublet_penalties(N_D, 0.0)
 n_variants, n_genotypes = betas.shape
 
 sh = ShardedDemultiplexer(make_mesh())
-rec = np.recarray(len(vid), dtype=P.BARCODE_CALLS_DTYPE)
-rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
-rec["snp_id"] = v2s[vid]
 
 # shard-local: this process only ever holds its own barcode ranges
 per_shard = sh._barcodes_per_shard(N_B)
-mine = np.isin(rec["compressed_cb"] // per_shard, sh._local_shard_ids())
-rec = rec[mine]
+mine = np.isin(cb // per_shard, sh._local_shard_ids())
+packed = ColumnDataset(cb[mine], vid[mine], q[mine])
 
-device, arrays, tiled = sh._shard_inputs(rec, N_B, mixing, pen, n_variants=n_variants)
-betas_r, v2s_r, mix_r, pen_r = sh._replicate(betas, v2s, mixing, pen)
-estep, eargs = sh._make_estep(device, arrays, tiled, N_S, 0.01, mixing.shape[1], mix_r, pen_r)
-mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))
-margs = (arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
+entry_e, entry_m = sh._shard_inputs(packed, N_B, n_genotypes, n_variants, build_mstep=True)
+betas_r, v2s_r, one_r = sh._replicate(betas, v2s, np.float32(1.0))
+estep, eargs = sh._make_estep(entry_e, mixing, pen, N_S, 0.01)
+mstep, margs = sh._make_mstep(entry_e, entry_m, n_variants, n_genotypes)
 
 def em(addition):
-    _lg, probs = estep(betas_r + addition, v2s_r, *eargs)
-    return mstep(probs, *margs)
+    _lg, probs = estep(betas_r, addition, v2s_r, *eargs)
+    return mstep(probs, one_r, *margs)
 
 add = em(sh._replicate(np.zeros_like(betas))[0])
 add.block_until_ready()
@@ -65,12 +61,34 @@ for _ in range(5):
     add = em(add)
     add.block_until_ready()
     times.append(time.perf_counter() - t0)
+
+# psum payload sweep (VERDICT r4 #5): the iteration's one collective at a
+# range of [V, D] partial sizes, up to PMBC's real payload (~84 MB), so the
+# cross-process overhead can be modeled as a curve instead of one constant
+psum_only = jax.jit(jax.shard_map(
+    lambda x: jax.lax.psum(x, BARCODE_AXIS),
+    mesh=sh.mesh, in_specs=PSpec(), out_specs=PSpec(), check_vma=False,
+))
+sweep = []
+for target_bytes in (1 << 20, 4 << 20, 16 << 20, 64 << 20, 84 * (1 << 20)):
+    v_rows = max(1, target_bytes // (N_D * 4))
+    x = sh._replicate(np.ones((v_rows, N_D), np.float32))[0]
+    psum_only(x).block_until_ready()  # compile
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        psum_only(x).block_until_ready()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    sweep.append({"bytes": int(v_rows * N_D * 4), "psum_s": round(best, 5)})
+
 if process_id == 0:
     best = min(times)
     print("RESULT " + json.dumps({
         "processes": 2, "devices": 8, "n_barcodes": N_B,
         "em_iteration_s": round(best, 4),
         "barcodes_per_s": round(N_B / best, 1),
+        "psum_sweep": sweep,
     }), flush=True)
 '''
 

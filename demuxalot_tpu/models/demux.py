@@ -554,6 +554,9 @@ class PackedCalls:
         self._forward_layouts: dict = {}
         self._mstep_layouts: dict = {}
         self._device_flat: dict = {}
+        # multi-device engine's shard layouts (parallel/sharded.py) — cached
+        # here so learn/predict on the same dataset never re-tile
+        self._sharded_layouts: dict = {}
 
     @property
     def barcode_calls(self) -> np.recarray:
@@ -655,6 +658,7 @@ class PackedCalls:
         self._forward_layouts.clear()
         self._mstep_layouts.clear()
         self._device_flat.clear()
+        self._sharded_layouts.clear()
         self._remapped = None
         self._calls_b = None
         self._barcode_calls = None

@@ -31,7 +31,6 @@ jax.distributed.initialize(
 import numpy as np
 
 from demuxalot_tpu.ops import likelihood as L
-from demuxalot_tpu.ops import packing as P
 from demuxalot_tpu.parallel.mesh import make_mesh, to_host
 from demuxalot_tpu.parallel.sharded import ShardedDemultiplexer, _build_mstep
 from demuxalot_tpu.sim import synthesize_device_workload
@@ -46,28 +45,25 @@ pen = L.doublet_penalties(N_D, 0.25)
 n_variants, n_genotypes = betas.shape
 
 sh = ShardedDemultiplexer(make_mesh())  # global 8-device mesh
-rec = np.recarray(len(vid), dtype=P.BARCODE_CALLS_DTYPE)
-rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
-rec["snp_id"] = v2s[vid]
-rec["barcode_variant_count"] = 1
-rec["barcode_snp_count"] = 1
+
 
 # shard-local data path: this process hands over ONLY the rows of its own
 # barcode ranges — the full call table is never materialized here, which is
 # the property that keeps host memory flat at pod scale
 per_shard = sh._barcodes_per_shard(N_B)
-my_rows = np.isin(rec["compressed_cb"] // per_shard, sh._local_shard_ids())
-rec_local = rec[my_rows]
-assert 0 < len(rec_local) < len(rec), "each process should hold a strict subset"
-del rec
+my_rows = np.isin(cb // per_shard, sh._local_shard_ids())
+assert 0 < my_rows.sum() < len(cb), "each process should hold a strict subset"
+from demuxalot_tpu.parallel.sharded import ColumnDataset
 
-device, arrays, tiled = sh._shard_inputs(rec_local, N_B, mixing, pen, n_variants=n_variants)
-betas_r, v2s_r, mix_r, pen_r = sh._replicate(betas, v2s, mixing, pen)
-estep, eargs = sh._make_estep(device, arrays, tiled, N_S, 0.01, mixing.shape[1], mix_r, pen_r)
+packed = ColumnDataset(cb[my_rows], vid[my_rows], q[my_rows])
+
+entry_e, _ = sh._shard_inputs(packed, N_B, n_genotypes, n_variants, build_mstep=False)
+betas_r, v2s_r, zero_r, one_r = sh._replicate(betas, v2s, np.float32(0.0), np.float32(1.0))
+estep, eargs = sh._make_estep(entry_e, mixing, pen, N_S, 0.01)
 mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))
 
-logits, probs = estep(betas_r, v2s_r, *eargs)
-addition = mstep(probs, arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
+logits, probs = estep(betas_r, zero_r, v2s_r, *eargs)
+addition = mstep(probs, one_r, entry_e["vid_v"], entry_e["cb_v"], entry_e["q_v"])
 
 logits_np = to_host(logits)[:N_B]
 addition_np = to_host(addition)

@@ -45,7 +45,6 @@ def test_two_process_distributed_em(tmp_path):
 
     # single-process reference on the plain 8-device mesh
     from demuxalot_tpu.ops import likelihood as L
-    from demuxalot_tpu.ops import packing as P
     from demuxalot_tpu.parallel.mesh import make_mesh
     from demuxalot_tpu.parallel.sharded import ShardedDemultiplexer, _build_mstep
     from demuxalot_tpu.sim import synthesize_device_workload
@@ -59,17 +58,17 @@ def test_two_process_distributed_em(tmp_path):
     n_variants, n_genotypes = betas.shape
 
     sh = ShardedDemultiplexer(make_mesh())
-    rec = np.recarray(len(vid), dtype=P.BARCODE_CALLS_DTYPE)
-    rec["variant_id"], rec["compressed_cb"], rec["p_base_wrong"] = vid, cb, q
-    rec["snp_id"] = v2s[vid]
-    rec["barcode_variant_count"] = 1
-    rec["barcode_snp_count"] = 1
-    device, arrays, tiled = sh._shard_inputs(rec, N_B, mixing, pen, n_variants=n_variants)
-    betas_r, v2s_r, mix_r, pen_r = sh._replicate(betas, v2s, mixing, pen)
-    estep, eargs = sh._make_estep(device, arrays, tiled, N_S, 0.01, mixing.shape[1], mix_r, pen_r)
+    from demuxalot_tpu.parallel.sharded import ColumnDataset
+
+    packed = ColumnDataset(cb, vid, q)
+    entry_e, _ = sh._shard_inputs(packed, N_B, n_genotypes, n_variants, build_mstep=False)
+    betas_r, v2s_r, zero_r, one_r = sh._replicate(
+        betas, v2s, np.float32(0.0), np.float32(1.0)
+    )
+    estep, eargs = sh._make_estep(entry_e, mixing, pen, N_S, 0.01)
     mstep = jax.jit(_build_mstep(sh.mesh, n_variants, n_genotypes, 2.0, sh.call_chunk))
-    logits, probs = estep(betas_r, v2s_r, *eargs)
-    addition = mstep(probs, arrays["vid_v"], arrays["cb_v"], arrays["q_v"])
+    logits, probs = estep(betas_r, zero_r, v2s_r, *eargs)
+    addition = mstep(probs, one_r, entry_e["vid_v"], entry_e["cb_v"], entry_e["q_v"])
 
     np.testing.assert_allclose(result["logits"], np.asarray(logits)[:N_B], rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(result["addition"], np.asarray(addition), rtol=1e-5, atol=1e-6)

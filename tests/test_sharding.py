@@ -301,7 +301,8 @@ def test_sharded_banded_estep_matches_plain():
         pen_p = np.zeros((1, pgp), np.float32)
         pen_p[0, :pg] = pen
         logits, _probs = estep(
-            put_r(betas), put_r(v2s), put_r(build_mixing_sl(mixing)), put_r(pen_p),
+            put_r(betas), put_r(np.float32(0.0)), put_r(v2s),
+            put_r(build_mixing_sl(mixing)), put_r(pen_p),
             put_s(st.vid), put_s(st.seg_group), put_s(st.q),
             put_s(st.chunk_bounds), put_s(st.chunk_suboff),
         )
@@ -334,3 +335,80 @@ def test_sharded_accepts_packed_calls(small_problem):
     )
     np.testing.assert_array_equal(probs_d.values, probs_p.values)
     np.testing.assert_array_equal(learnt_d.get_betas(), learnt_p.get_betas())
+
+
+def test_sharded_layout_cache_zero_retile(small_problem):
+    """Predict-after-learn on one PackedCalls re-tiles nothing (VERDICT r4 #4).
+
+    The shard layouts cache on the dataset; the E-step tiling is sized at
+    the donor count's max pseudo-genotype width so learn(doublet_prior=0)
+    and predict(0.35) share one entry, and results stay identical to the
+    per-call path.
+    """
+    from demuxalot_tpu import PackedCalls
+
+    genotypes, barcode_handler, calls = small_problem
+    packed = PackedCalls(calls, genotypes)
+    sharded = ShardedDemultiplexer(make_mesh())
+
+    learnt, probs_em = sharded.learn_genotypes(
+        packed, genotypes, barcode_handler, n_iterations=2
+    )
+    misses_after_learn = sharded.layout_cache_misses
+    assert misses_after_learn >= 1
+
+    logits, probs = sharded.predict_posteriors(
+        packed, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    # the predict entry point reused the learn-built E-step layout: zero
+    # new tilings, one cache hit
+    assert sharded.layout_cache_misses == misses_after_learn
+    assert sharded.layout_cache_hits >= 1
+
+    # a second learn re-tiles nothing either (E-step AND M-step entries hit)
+    hits_before = sharded.layout_cache_hits
+    sharded.learn_genotypes(packed, genotypes, barcode_handler, n_iterations=2)
+    assert sharded.layout_cache_misses == misses_after_learn
+    assert sharded.layout_cache_hits >= hits_before + 2
+
+    # results identical to the per-call-dict flow on a fresh engine
+    fresh = ShardedDemultiplexer(make_mesh())
+    logits_d, probs_d = fresh.predict_posteriors(
+        calls, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    np.testing.assert_array_equal(logits.values, logits_d.values)
+
+
+def test_sharded_stage_timings_hook(small_problem):
+    """STAGE_TIMINGS instrumentation covers the sharded entry points too."""
+    from demuxalot_tpu.models import demux as demux_mod
+
+    genotypes, barcode_handler, calls = small_problem
+    sharded = ShardedDemultiplexer(make_mesh())
+    demux_mod.STAGE_TIMINGS = {}
+    try:
+        _lg, probs_t = sharded.predict_posteriors(
+            calls, genotypes, barcode_handler, doublet_prior=0.35
+        )
+        predict_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = {}
+        _learnt, probs_em = sharded.learn_genotypes(
+            calls, genotypes, barcode_handler, n_iterations=2
+        )
+        learn_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = None
+        for key in ("pack_s", "layout_s", "upload_flush_s", "forward_s",
+                    "materialize_s", "h2d_bytes", "d2h_logits_bytes"):
+            assert key in predict_detail, (key, predict_detail)
+        for key in ("pack_s", "layout_s", "upload_flush_s", "device_loop_s",
+                    "materialize_s", "h2d_bytes", "d2h_addition_bytes"):
+            assert key in learn_detail, (key, learn_detail)
+
+        # instrumentation must not change results
+        demux_mod.STAGE_TIMINGS = None
+        _lg2, probs_u = sharded.predict_posteriors(
+            calls, genotypes, barcode_handler, doublet_prior=0.35
+        )
+        np.testing.assert_array_equal(probs_t.values, probs_u.values)
+    finally:
+        demux_mod.STAGE_TIMINGS = None
