@@ -29,6 +29,43 @@ if "--end-to-end" in sys.argv[1:]:
     e2e_main([a for a in sys.argv[1:] if a != "--end-to-end"])
     sys.exit(0)
 
+if "--quality" in sys.argv[1:]:
+    # regenerate EVERY quality artifact section and stamp the producing
+    # commit (VERDICT r4 ask #6: QUALITY.json must never lag the code).
+    # Runs the perf-marked reference-parity sweep (noise/semi-supervised/EM
+    # parity sections) then the at-scale harness (at_scale section), both
+    # of which write their sections into QUALITY.json themselves.
+    import subprocess
+    import time as _time
+
+    HERE = Path(__file__).resolve().parent
+    for cmd in (
+        [sys.executable, "-m", "pytest", "-m", "perf", "-x", "-q",
+         str(HERE / "tests" / "test_reference_scale.py")],
+        [sys.executable, str(HERE / "benchmarks" / "at_scale_quality.py"),
+         *[a for a in sys.argv[1:] if a == "--quick"]],
+    ):
+        print(f"# running: {' '.join(cmd[1:])}", file=sys.stderr, flush=True)
+        rc = subprocess.run(cmd, cwd=str(HERE)).returncode
+        if rc != 0:
+            print(json.dumps({"error": f"quality step failed rc={rc}",
+                              "cmd": cmd[1:]}))
+            sys.exit(rc)
+    quality_path = HERE / "QUALITY.json"
+    quality = json.loads(quality_path.read_text())
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=str(HERE),
+        capture_output=True, text=True,
+    ).stdout.strip()
+    quality["generated"] = {
+        "commit": commit,
+        "unix_time": int(_time.time()),
+        "via": "python bench.py --quality",
+    }
+    quality_path.write_text(json.dumps(quality, indent=1) + "\n")
+    print(json.dumps({"quality_regenerated": True, "commit": commit}))
+    sys.exit(0)
+
 import numpy as np
 
 import os

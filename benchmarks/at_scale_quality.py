@@ -154,6 +154,10 @@ def main(argv=None):
     if not quick:
         quality = json.loads(QUALITY.read_text()) if QUALITY.exists() else {}
         quality["at_scale"] = section
+        # the commit stamp belongs to `bench.py --quality` (which re-stamps
+        # after running every section); an out-of-band rerun of one section
+        # must not keep a stale provenance claim
+        quality.pop("generated", None)
         QUALITY.write_text(json.dumps(quality, indent=1) + "\n")
     print(json.dumps(section))
     return section
