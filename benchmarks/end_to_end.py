@@ -256,6 +256,45 @@ def main(argv=None):
                     "default predict_posteriors contract",
         }
 
+        # --- sharded engine (mesh of the local devices), stage-timed -------
+        # same packed dataset: the shard layouts cache on it, so the
+        # predict-after-learn flow must re-tile nothing (cache counters
+        # recorded). On this machine the mesh has one chip; on a pod the
+        # same code path spans hosts.
+        _stage("sharded engine flow (learn + predict on the local mesh)")
+        from demuxalot_tpu.parallel import ShardedDemultiplexer, make_mesh
+
+        sharded_engine = ShardedDemultiplexer(make_mesh())
+        demux_mod.STAGE_TIMINGS = {}
+        t0 = time.perf_counter()
+        _learnt_s, _probs_s = sharded_engine.learn_genotypes(
+            packed, genotypes, barcode_handler=handler, n_iterations=em_iterations
+        )
+        t_sharded_learn = round(time.perf_counter() - t0, 2)
+        sharded_learn_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = {}
+        t0 = time.perf_counter()
+        lg_s, _pr_s = sharded_engine.predict_posteriors(
+            packed, genotypes, barcode_handler=handler, doublet_prior=0.35
+        )
+        t_sharded_predict = round(time.perf_counter() - t0, 2)
+        sharded_predict_detail = demux_mod.STAGE_TIMINGS
+        demux_mod.STAGE_TIMINGS = None
+        sharded_section = {
+            "mesh_devices": int(sharded_engine.n_shards),
+            "learn_genotypes_s": t_sharded_learn,
+            "predict_posteriors_s": t_sharded_predict,
+            "layout_cache_hits": int(sharded_engine.layout_cache_hits),
+            "layout_cache_misses": int(sharded_engine.layout_cache_misses),
+            "logits_close_to_single_device": bool(
+                np.allclose(lg_s.values, _lg.values, rtol=1e-4, atol=5e-3)
+            ),
+            "stages_detail": {
+                "learn": sharded_learn_detail,
+                "predict": sharded_predict_detail,
+            },
+        }
+
         # measured link accounting: which part of the warm wall-clock is the
         # host<->device link (uploads of the call tables + posterior frame
         # readbacks) vs host packing/tiling vs device compute. Every number
@@ -409,6 +448,7 @@ def main(argv=None):
                     "keeps the per-call flow for like-for-like comparison",
         },
         "compact_output": compact_output,
+        "sharded_engine": sharded_section,
         "quality": quality,
         "baseline_reference_style": baseline,
     }

@@ -524,8 +524,9 @@ class PackedCalls:
     VALUES (e.g. the learnt clone — betas regularization is recomputed per
     use, it is cheap) but must carry the same variant registry; this is
     verified with array compares on every use. The multi-device engine
-    (``parallel.sharded``) keeps its own shard-aware layouts and does not
-    consume this cache.
+    (``parallel.sharded``) caches its shard-aware layouts here too
+    (``_sharded_layouts``), so sharded learn/predict on one dataset also
+    re-tile nothing.
     """
 
     def __init__(self, chromosome2compressed_snp_calls, genotypes: ProbabilisticGenotypes):
