@@ -305,6 +305,16 @@ def band_counts(cb_sorted, vid_sorted, band_lut, nb_pad: int, n_bands: int):
     cb_sorted = np.ascontiguousarray(cb_sorted, dtype=np.int32)
     vid_sorted = np.ascontiguousarray(vid_sorted, dtype=np.int32)
     band_lut = np.ascontiguousarray(band_lut, dtype=np.int32)
+    # the C++ indexes band_lut[vid] and out[band * nb_pad + cb] unchecked;
+    # a caller-side sizing bug must fall back to the (safe, clipping) numpy
+    # path instead of corrupting memory
+    if (
+        int(vid_sorted.max()) >= len(band_lut)
+        or int(vid_sorted.min()) < 0
+        or int(cb_sorted.max()) >= nb_pad
+        or int(cb_sorted.min()) < 0
+    ):
+        return None
     out = np.zeros(n_bands * nb_pad, dtype=np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -344,9 +344,14 @@ class ShardedMstepLayout:
         shard_ids=None,
         n_chunks_floor: int = 0,
         n_genotypes: int = 0,  # donor count, for VMEM block sizing (0 = conservative)
+        n_barcodes_per_shard: int = 0,
     ):
         if shard_ids is None:
             shard_ids = list(range(n_shards))
+        if n_barcodes_per_shard <= 0:
+            # the banded tiler's barcode-axis lookup table must cover every
+            # local barcode id even in the 1-band case
+            n_barcodes_per_shard = int(cb_local.max()) + 1 if len(cb_local) else 1
         if tile_variants <= 0:
             # multi-host callers must pass an agreed tile_variants; this
             # local estimate is only deterministic within one process
@@ -364,7 +369,7 @@ class ShardedMstepLayout:
                 TiledMstepCalls(
                     *take3(order, vid[sel], cb_local[sel], q[sel]),
                     n_variants, tile_variants=tile_variants, chunk_calls=chunk_calls,
-                    n_genotypes=n_genotypes,
+                    n_genotypes=n_genotypes, n_barcodes=n_barcodes_per_shard,
                 )
             )
 

@@ -472,6 +472,7 @@ class ShardedDemultiplexer:
                 if multi else 0
             ),
             n_genotypes=n_donors,
+            n_barcodes_per_shard=per_shard,
         )
         return {
             "layout": mlayout,

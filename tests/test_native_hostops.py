@@ -356,3 +356,36 @@ def test_gather3_matches_numpy(monkeypatch):
     np.testing.assert_array_equal(ga, a[order])
     np.testing.assert_array_equal(gb, b[order])
     np.testing.assert_array_equal(gc, c[order])
+
+
+def test_sharded_mstep_layout_native_vs_numpy_at_threshold(monkeypatch):
+    """ShardedMstepLayout at >= 65536 calls: native banded build == numpy.
+
+    Regression for a segfault: the M-step's axis-swapped banded tiler must
+    size its barcode-axis lookup table from the per-shard barcode count —
+    the native band_counts path only engages at 65536+ calls, below every
+    other test shape, and indexed the 1-entry lut with barcode ids.
+    """
+    from demuxalot_tpu.ops.pallas_mstep import ShardedMstepLayout
+
+    rng = np.random.RandomState(5)
+    n_calls, n_variants, per_shard = 70_000, 4096, 2048
+    vid = rng.randint(0, n_variants, n_calls).astype(np.int32)
+    cb_local = rng.randint(0, per_shard, n_calls).astype(np.int32)
+    q = rng.uniform(0.01, 0.5, n_calls).astype(np.float32)
+    shard_of = np.zeros(n_calls, dtype=np.int32)
+
+    def build():
+        return ShardedMstepLayout(
+            cb_local, vid, q, shard_of, n_shards=1, n_variants=n_variants,
+            chunk_calls=512, n_genotypes=8, n_barcodes_per_shard=per_shard,
+        )
+
+    native = build()
+    _force_numpy_fallback(monkeypatch)
+    fallback = build()
+    np.testing.assert_array_equal(native.cb_global, fallback.cb_global)
+    np.testing.assert_array_equal(native.vl, fallback.vl)
+    np.testing.assert_array_equal(native.q, fallback.q)
+    np.testing.assert_array_equal(native.chunk_bounds, fallback.chunk_bounds)
+    np.testing.assert_array_equal(native.chunk_suboff, fallback.chunk_suboff)
