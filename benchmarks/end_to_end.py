@@ -222,6 +222,13 @@ def main(argv=None):
         # the full-frame path above moves 4*n_pg bytes/barcode over the
         # link; the opt-in compact path (VERDICT r4 ask #3) moves device
         # top-k + logsumexp instead and must keep assignments bit-identical
+        _stage("predict_posteriors_compact (cold, incl. top-k compile)")
+        t0 = time.perf_counter()
+        compact = Demultiplexer.predict_posteriors_compact(
+            packed, genotypes, barcode_handler=handler, doublet_prior=0.35,
+            k=4,
+        )
+        t_compact_cold = round(time.perf_counter() - t0, 2)
         _stage("predict_posteriors_compact (warm)")
         t0 = time.perf_counter()
         compact = Demultiplexer.predict_posteriors_compact(
@@ -232,6 +239,7 @@ def main(argv=None):
         full_frame_bytes = int(_lg.values.nbytes)
         compact_output = {
             "warm_s": t_compact,
+            "cold_s": t_compact_cold,
             "bytes_moved": compact.bytes_moved,
             "full_logits_frame_bytes": full_frame_bytes,
             "bytes_fraction_of_full": round(
@@ -265,6 +273,16 @@ def main(argv=None):
         from demuxalot_tpu.parallel import ShardedDemultiplexer, make_mesh
 
         sharded_engine = ShardedDemultiplexer(make_mesh())
+        t0 = time.perf_counter()
+        sharded_engine.learn_genotypes(
+            packed, genotypes, barcode_handler=handler, n_iterations=em_iterations
+        )
+        t_sharded_learn_cold = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        sharded_engine.predict_posteriors(
+            packed, genotypes, barcode_handler=handler, doublet_prior=0.35
+        )
+        t_sharded_predict_cold = round(time.perf_counter() - t0, 2)
         demux_mod.STAGE_TIMINGS = {}
         t0 = time.perf_counter()
         _learnt_s, _probs_s = sharded_engine.learn_genotypes(
@@ -282,6 +300,8 @@ def main(argv=None):
         demux_mod.STAGE_TIMINGS = None
         sharded_section = {
             "mesh_devices": int(sharded_engine.n_shards),
+            "learn_genotypes_cold_s": t_sharded_learn_cold,
+            "predict_posteriors_cold_s": t_sharded_predict_cold,
             "learn_genotypes_s": t_sharded_learn,
             "predict_posteriors_s": t_sharded_predict,
             "layout_cache_hits": int(sharded_engine.layout_cache_hits),
