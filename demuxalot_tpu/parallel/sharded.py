@@ -573,17 +573,13 @@ class ShardedDemultiplexer:
         return mstep, args
 
     # -- public API --------------------------------------------------------
-    def predict_posteriors(
-        self,
-        chromosome2compressed_snp_calls,
-        genotypes,
-        barcode_handler,
-        p_genotype_clip: float = 0.01,
-        doublet_prior: float = 0.35,
-    ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    def _forward_sharded(
+        self, chromosome2compressed_snp_calls, genotypes, barcode_handler,
+        p_genotype_clip, doublet_prior, timings,
+    ):
+        """Device (logits, probs) [padded_B, pg] + column names (shared forward)."""
         from ..models import demux as _dm
 
-        timings = _dm.STAGE_TIMINGS
         t_mark = time.perf_counter()
         mixing, column_names = L.pseudogenotype_mixing(genotypes.genotype_names, doublet_prior)
         penalties = L.doublet_penalties(genotypes.n_genotypes, doublet_prior)
@@ -620,11 +616,37 @@ class ShardedDemultiplexer:
         logits, probs = estep(betas_r, zero_r, v2s_r, *estep_args)
         if timings is not None:
             _dm._flush_device([logits])
-        t_mark = _dm._stage_mark(timings, "forward_s", t_mark)
-        logits = to_host(logits)[:n_barcodes]
-        probs = to_host(probs)[:n_barcodes]
-        if timings is not None:
-            timings["d2h_logits_bytes"] = int(logits.nbytes + probs.nbytes)
+        _dm._stage_mark(timings, "forward_s", t_mark)
+        return logits, probs, column_names
+
+    def predict_posteriors(
+        self,
+        chromosome2compressed_snp_calls,
+        genotypes,
+        barcode_handler,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.35,
+    ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+        from ..models import demux as _dm
+
+        timings = _dm.STAGE_TIMINGS
+        logits, probs, column_names = self._forward_sharded(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            p_genotype_clip, doublet_prior, timings,
+        )
+        n_barcodes = barcode_handler.n_barcodes
+        t_mark = time.perf_counter()
+        if getattr(logits, "is_fully_addressable", True):
+            # link-adaptive: one frame + host softmax over slow links, both
+            # device frames otherwise — same policy as the single-device
+            # engine (_materialize_logits_and_probs)
+            logits_np, probs_np = _dm._materialize_logits_and_probs(logits, probs)
+            logits, probs = logits_np[:n_barcodes], probs_np[:n_barcodes]
+        else:
+            logits = to_host(logits)[:n_barcodes]
+            probs = to_host(probs)[:n_barcodes]
+            if timings is not None:
+                timings["d2h_logits_bytes"] = int(logits.nbytes + probs.nbytes)
         _dm._stage_mark(timings, "materialize_s", t_mark)
 
         logits_df = pd.DataFrame(logits, index=list(barcode_handler.ordered_barcodes), columns=column_names)
@@ -632,6 +654,53 @@ class ShardedDemultiplexer:
         probs_df = pd.DataFrame(probs, index=list(barcode_handler.ordered_barcodes), columns=column_names)
         probs_df.index.name = "BARCODE"
         return logits_df, probs_df
+
+    def predict_posteriors_compact(
+        self,
+        chromosome2compressed_snp_calls,
+        genotypes,
+        barcode_handler,
+        p_genotype_clip: float = 0.01,
+        doublet_prior: float = 0.35,
+        k: int = 4,
+    ):
+        """Link-frugal sharded inference: device top-k readback per shard.
+
+        Sharded twin of ``Demultiplexer.predict_posteriors_compact`` (same
+        exactness contract; see models/demux.py). top-k is per-row, so the
+        reduction runs shard-local with zero collectives; at pod scale the
+        per-host d2h drops from 4*n_pg to ~(8k+4) bytes per barcode — the
+        difference between seconds and minutes of DCN per posterior frame.
+        """
+        from ..models import demux as _dm
+
+        timings = _dm.STAGE_TIMINGS
+        logits, _probs, column_names = self._forward_sharded(
+            chromosome2compressed_snp_calls, genotypes, barcode_handler,
+            p_genotype_clip, doublet_prior, timings,
+        )
+        n_barcodes = barcode_handler.n_barcodes
+        k = int(min(k, len(column_names)))
+        top_vals, top_idx, lse = _dm._compact_topk(logits, k=k)
+        t_mark = time.perf_counter()
+        top_logits = to_host(top_vals)[:n_barcodes]
+        top_index = to_host(top_idx)[:n_barcodes]
+        logsumexp = to_host(lse)[:n_barcodes]
+        bytes_moved = int(
+            top_logits.nbytes + top_index.nbytes + logsumexp.nbytes
+        )
+        if timings is not None:
+            timings["d2h_compact_bytes"] = bytes_moved
+        _dm._stage_mark(timings, "materialize_s", t_mark)
+        return _dm.CompactPosteriors(
+            column_names=list(column_names),
+            barcodes=list(barcode_handler.ordered_barcodes),
+            top_index=top_index,
+            top_logits=top_logits,
+            logsumexp=logsumexp,
+            logits_bf16=None,
+            bytes_moved=bytes_moved,
+        )
 
     def staged_genotype_learning(
         self,

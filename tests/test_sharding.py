@@ -412,3 +412,28 @@ def test_sharded_stage_timings_hook(small_problem):
         np.testing.assert_array_equal(probs_t.values, probs_u.values)
     finally:
         demux_mod.STAGE_TIMINGS = None
+
+
+def test_sharded_compact_matches_full(small_problem):
+    """Sharded compact output == full sharded frames (same contract)."""
+    genotypes, barcode_handler, calls = small_problem
+    from demuxalot_tpu import PackedCalls
+
+    packed = PackedCalls(calls, genotypes)
+    sharded = ShardedDemultiplexer(make_mesh())
+    logits_df, probs_df = sharded.predict_posteriors(
+        packed, genotypes, barcode_handler, doublet_prior=0.35
+    )
+    compact = sharded.predict_posteriors_compact(
+        packed, genotypes, barcode_handler, doublet_prior=0.35, k=3
+    )
+    full = logits_df.values
+    np.testing.assert_array_equal(compact.assignment, full.argmax(axis=1))
+    rows = np.arange(full.shape[0])[:, None]
+    np.testing.assert_array_equal(
+        compact.top_logits, full[rows, compact.top_index]
+    )
+    top1 = probs_df.values[rows[:, 0], compact.assignment]
+    np.testing.assert_allclose(compact.top_probs[:, 0], top1, atol=1e-5)
+    assert compact.bytes_moved < full.nbytes
+    assert list(compact.to_dataframe().index) == list(logits_df.index)
