@@ -663,6 +663,7 @@ class ShardedDemultiplexer:
         p_genotype_clip: float = 0.01,
         doublet_prior: float = 0.35,
         k: int = 4,
+        include_logits: bool = False,
     ):
         """Link-frugal sharded inference: device top-k readback per shard.
 
@@ -672,6 +673,8 @@ class ShardedDemultiplexer:
         per-host d2h drops from 4*n_pg to ~(8k+4) bytes per barcode — the
         difference between seconds and minutes of DCN per posterior frame.
         """
+        import jax.numpy as jnp
+
         from ..models import demux as _dm
 
         timings = _dm.STAGE_TIMINGS
@@ -686,8 +689,13 @@ class ShardedDemultiplexer:
         top_logits = to_host(top_vals)[:n_barcodes]
         top_index = to_host(top_idx)[:n_barcodes]
         logsumexp = to_host(lse)[:n_barcodes]
+        logits_bf16 = (
+            to_host(logits.astype(jnp.bfloat16))[:n_barcodes]
+            if include_logits else None
+        )
         bytes_moved = int(
             top_logits.nbytes + top_index.nbytes + logsumexp.nbytes
+            + (logits_bf16.nbytes if logits_bf16 is not None else 0)
         )
         if timings is not None:
             timings["d2h_compact_bytes"] = bytes_moved
@@ -698,7 +706,7 @@ class ShardedDemultiplexer:
             top_index=top_index,
             top_logits=top_logits,
             logsumexp=logsumexp,
-            logits_bf16=None,
+            logits_bf16=logits_bf16,
             bytes_moved=bytes_moved,
         )
 

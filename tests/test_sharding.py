@@ -437,3 +437,13 @@ def test_sharded_compact_matches_full(small_problem):
     np.testing.assert_allclose(compact.top_probs[:, 0], top1, atol=1e-5)
     assert compact.bytes_moved < full.nbytes
     assert list(compact.to_dataframe().index) == list(logits_df.index)
+
+    # bf16 frame on request, within 1 bf16 ulp of the full f32 frame
+    compact_bf = sharded.predict_posteriors_compact(
+        packed, genotypes, barcode_handler, doublet_prior=0.35, k=3,
+        include_logits=True,
+    )
+    bf = compact_bf.logits_bf16.astype(np.float32)
+    ulp = np.maximum(np.abs(full) * 2.0**-7, np.finfo(np.float32).tiny)
+    assert (np.abs(bf - full) <= ulp).all()
+    assert compact_bf.logits_dataframe().shape == logits_df.shape
