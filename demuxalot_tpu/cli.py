@@ -218,21 +218,46 @@ def _cmd_demux(args) -> int:
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    if args.no_refine:
-        logits, probs = engine.predict_posteriors(
-            counts, genotypes=store, barcode_handler=whitelist,
-            p_genotype_clip=args.p_genotype_clip,
-            doublet_prior=args.doublet_prior,
-        )
-    else:
+    # pack once: the join/collapse/tilings/uploads are shared by every
+    # entry point below (learn + the compact predict reuse one dataset)
+    packed = Demultiplexer.pack_dataset(counts, store)
+
+    learnt = None
+    if not args.no_refine:
         learnt, probs = engine.learn_genotypes(
-            counts, genotypes=store, barcode_handler=whitelist,
+            packed, genotypes=store, barcode_handler=whitelist,
             n_iterations=args.n_iterations,
             p_genotype_clip=args.p_genotype_clip,
             doublet_prior=args.doublet_prior,
             damping=args.damping,
         )
         learnt.save_betas(out / "learnt_betas.parquet")
+
+    if args.compact:
+        # link-frugal device top-k readback (assignment, runner-up,
+        # margin, posterior) instead of the full posterior frames
+        compact = engine.predict_posteriors_compact(
+            packed, genotypes=(learnt if learnt is not None else store),
+            barcode_handler=whitelist,
+            p_genotype_clip=args.p_genotype_clip,
+            doublet_prior=args.doublet_prior,
+        )
+        assignments = compact.to_dataframe()
+        assignments.to_csv(out / "assignments.csv")
+        print(f"# wrote {out}/assignments.csv (compact top-k; "
+              f"{compact.bytes_moved} bytes read back)"
+              + ("" if args.no_refine else ", learnt_betas.parquet"),
+              file=sys.stderr)
+        print(assignments["assignment"].value_counts().to_string(), file=sys.stderr)
+        return 0
+
+    if args.no_refine:
+        logits, probs = engine.predict_posteriors(
+            packed, genotypes=store, barcode_handler=whitelist,
+            p_genotype_clip=args.p_genotype_clip,
+            doublet_prior=args.doublet_prior,
+        )
+    else:
         logits = None
 
     probs.to_csv(out / "posteriors.csv")
@@ -311,6 +336,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "priors); 'auto' runs plain EM and falls back to "
                             "anchored when its confident assignments drift "
                             "from the anchored run (see docs/API.md)")
+    demux.add_argument("--compact", action="store_true",
+                       help="write only the compact top-k assignment table "
+                            "(device-side top-k readback; skips the full "
+                            "posterior/logits frames — at product scale the "
+                            "full f32 frame is hundreds of MB of pure "
+                            "device->host transfer)")
     demux.add_argument("--sharded", action="store_true",
                        help="shard barcodes over every visible device "
                             "(multi-chip meshes; identical results)")

@@ -249,3 +249,57 @@ def test_cli_donor_subset(cli_problem, tmp_path):
     assert rc == 0
     probs = pd.read_csv(out / "posteriors.csv", index_col=0)
     assert probs.shape[1] == 2 + 1  # two donors + one doublet pair
+
+
+def test_cli_demux_compact(cli_problem, tmp_path):
+    """--compact writes the top-k assignment table and skips the full frames."""
+    bam, barcodes, betas, genotypes = cli_problem
+    out_full = tmp_path / "full"
+    out_c = tmp_path / "compact"
+    cache = tmp_path / "cache"
+    common = [
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--no-refine",
+        "--counts-cache", str(cache), "--doublet-prior", "0.25",
+    ]
+    assert main([*common, "--output-dir", str(out_full)]) == 0
+    assert main([*common, "--output-dir", str(out_c), "--compact"]) == 0
+
+    assert not (out_c / "posteriors.csv").exists()
+    assignments = pd.read_csv(out_c / "assignments.csv", index_col=0)
+    assert list(assignments.columns) == [
+        "assignment", "runner_up", "logit_margin", "posterior"
+    ]
+    # bit-identical assignments vs the full-frame argmax path
+    logits = pd.read_csv(out_full / "logits.csv", index_col=0)
+    expected = logits.columns[logits.values.argmax(axis=1)]
+    assert (assignments["assignment"].values == expected.values).all()
+    probs = pd.read_csv(out_full / "posteriors.csv", index_col=0)
+    np.testing.assert_allclose(
+        assignments["posterior"].values, probs.values.max(axis=1), atol=1e-5
+    )
+
+    # refine + compact: learn, then compact predict on the learnt clone
+    out_r = tmp_path / "refined_compact"
+    rc = main([
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--compact",
+        "--output-dir", str(out_r), "--counts-cache", str(cache),
+        "--n-iterations", "2", "--doublet-prior", "0.25",
+    ])
+    assert rc == 0
+    assert (out_r / "learnt_betas.parquet").exists()
+    a2 = pd.read_csv(out_r / "assignments.csv", index_col=0)
+    assert (a2["logit_margin"] >= 0).all()
+
+    # sharded engine accepts --compact too
+    out_s = tmp_path / "sharded_compact"
+    rc = main([
+        "demux", "--bam", bam, "--barcodes", barcodes,
+        "--prior-betas", betas, "--no-refine", "--compact", "--sharded",
+        "--output-dir", str(out_s), "--counts-cache", str(cache),
+        "--doublet-prior", "0.25",
+    ])
+    assert rc == 0
+    a3 = pd.read_csv(out_s / "assignments.csv", index_col=0)
+    assert (a3["assignment"].values == assignments["assignment"].values).all()
