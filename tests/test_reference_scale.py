@@ -161,6 +161,64 @@ def test_reference_scale_quality(tmp_path_factory):
     for noise_fraction in (0.5, 0.8, 0.9):
         eval_noise(noise_fraction, np.random.RandomState(1000 + int(noise_fraction * 100)))
 
+    # --- second calibration family for the auto-damping selector -----------
+    # (VERDICT r4 weak #5: the disagreement threshold was calibrated on one
+    # synthetic family). Different regime on purpose — fewer donors, denser
+    # SNPs, fewer reads — and fully independent RNG: the global stream
+    # feeding the sections above is already consumed, so reseeding here
+    # leaves every earlier mask byte-stable.
+    np.random.seed(777)
+    fam2_config = {"n_genotypes": 8, "n_barcodes": 600, "n_reads_per_barcode": 60,
+                   "doublets_fraction": 0.1, "mutation_prob": 0.03, "seed": 777}
+    fam2_file = str(tmp / "family2.bam")
+    fam2_file, fam2_gt, _f2ids, fam2_truth = generate_bam_file(
+        fam2_file,
+        n_genotypes=fam2_config["n_genotypes"],
+        doublets_fraction=fam2_config["doublets_fraction"],
+        mutation_prob=fam2_config["mutation_prob"],
+        n_barcodes=fam2_config["n_barcodes"],
+        n_reads_per_barcode=fam2_config["n_reads_per_barcode"],
+    )
+    fam2_handler = BarcodeHandler(list(fam2_truth))
+    fam2_calls = count_snps(
+        fam2_file,
+        chromosome2positions=fam2_gt.get_chromosome2positions(),
+        barcode_handler=fam2_handler,
+        joblib_n_jobs=4,
+        joblib_verbosity=0,
+    )
+    fam2 = {}
+    for noise_fraction in (0.5, 0.9, 0.95):
+        degraded = fam2_gt.clone()
+        snp_ids = degraded.get_snp_ids_for_variants()
+        erased = (
+            np.random.RandomState(2000 + int(noise_fraction * 100)).random(snp_ids.max() + 1)
+            < noise_fraction
+        )
+        degraded.variant_betas[erased[snp_ids], :] = 0
+        row = {}
+        _lg, probs = Demultiplexer.predict_posteriors(
+            fam2_calls, degraded, barcode_handler=fam2_handler, doublet_prior=0.0
+        )
+        row["loss_prior_only"] = round(float(compute_loss(fam2_truth, probs)), 4)
+        for damping, key in (
+            (None, "loss_after_em"),
+            ("anchor", "loss_after_damped_em"),
+            ("auto", "loss_after_auto_em"),
+        ):
+            _l, probs = Demultiplexer.learn_genotypes(
+                fam2_calls, degraded, barcode_handler=fam2_handler,
+                doublet_prior=0.0, damping=damping,
+            )
+            row[key] = round(float(compute_loss(fam2_truth, probs)), 4)
+            if damping == "auto":
+                row["auto_selected"] = probs.attrs["damping_selected"] or "plain"
+                row["auto_disagreement"] = round(
+                    float(probs.attrs["anchored_disagreement"]), 4
+                )
+        fam2[str(noise_fraction)] = row
+        print(f"family2 noise={noise_fraction}: {row}")
+
     # keep sections other harnesses own (at_scale: benchmarks/at_scale_quality.py)
     existing = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
     preserved = {k: v for k, v in existing.items() if k in ("at_scale",)}
@@ -173,6 +231,15 @@ def test_reference_scale_quality(tmp_path_factory):
         "semi_supervised_loss_by_labeled_fraction": semi_supervised,
         "semi_supervised_reference_bar": "loss < 0.1 required at labeled_fraction >= 0.2",
         "reference_em_parity": parity,
+        "auto_damping_second_family": {
+            "config": fam2_config,
+            "losses_by_noise_fraction": {
+                k: fam2[k] for k in sorted(fam2, key=float)
+            },
+            "note": "independent synthetic regime validating the auto "
+                    "selector's threshold beyond its original calibration "
+                    "family; the contract below is asserted on both",
+        },
         **preserved,
     }, indent=1) + "\n")
 
@@ -196,6 +263,10 @@ def test_reference_scale_quality(tmp_path_factory):
     for point, row in results.items():
         bar = min(row["loss_prior_only"], row["loss_after_em"]) + 1e-6
         assert row["loss_after_auto_em"] <= bar, (point, row)
+    # ...and identically on the independent second family
+    for point, row in fam2.items():
+        bar = min(row["loss_prior_only"], row["loss_after_em"]) + 1e-6
+        assert row["loss_after_auto_em"] <= bar, ("family2", point, row)
     # labels recover genotypes from nothing (reference bar: loss < 0.1 at
     # every >= 20% point; the low-label 1-10% cliff is recorded, not gated)
     for fraction, loss in semi_supervised.items():
