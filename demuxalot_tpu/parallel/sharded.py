@@ -859,8 +859,13 @@ class ShardedDemultiplexer:
         if damping == "auto":
             # same measured selector as the single-device engine
             # (models/demux.py): plain EM unless its confident assignments
-            # disagree with the drift-proof anchored run
+            # disagree with the drift-proof anchored run. Pack once so both
+            # runs share the host pack AND the shard-layout cache.
             from ..models.demux import auto_damping_select
+
+            chromosome2compressed_snp_calls = self._as_packed(
+                chromosome2compressed_snp_calls, genotypes
+            )
 
             def learn_with(inner_damping):
                 return self.learn_genotypes(

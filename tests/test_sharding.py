@@ -447,3 +447,18 @@ def test_sharded_compact_matches_full(small_problem):
     ulp = np.maximum(np.abs(full) * 2.0**-7, np.finfo(np.float32).tiny)
     assert (np.abs(bf - full) <= ulp).all()
     assert compact_bf.logits_dataframe().shape == logits_df.shape
+
+
+def test_sharded_auto_damping_packs_once(small_problem):
+    """damping='auto' shares one pack + shard layouts between its two runs."""
+    genotypes, barcode_handler, calls = small_problem
+    sharded = ShardedDemultiplexer(make_mesh())
+    learnt, probs = sharded.learn_genotypes(
+        calls, genotypes, barcode_handler, n_iterations=2, damping="auto"
+    )
+    assert probs.attrs["damping_selected"] in (None, "anchor")
+    # two EM runs, but the second hits the cache built by the first:
+    # exactly one estep + one mstep layout build in total
+    assert sharded.layout_cache_misses == 2, (
+        sharded.layout_cache_misses, sharded.layout_cache_hits)
+    assert sharded.layout_cache_hits >= 2
