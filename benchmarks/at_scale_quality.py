@@ -153,11 +153,13 @@ def main(argv=None):
 
     if not quick:
         quality = json.loads(QUALITY.read_text()) if QUALITY.exists() else {}
-        quality["at_scale"] = section
         # the commit stamp belongs to `bench.py --quality` (which re-stamps
-        # after running every section); an out-of-band rerun of one section
-        # must not keep a stale provenance claim
-        quality.pop("generated", None)
+        # after running every section); it survives only if this rerun left
+        # the recorded at_scale numbers unchanged — a stale provenance
+        # claim must not outlive changed results
+        if quality.get("at_scale") != section:
+            quality.pop("generated", None)
+        quality["at_scale"] = section
         QUALITY.write_text(json.dumps(quality, indent=1) + "\n")
     print(json.dumps(section))
     return section

@@ -222,7 +222,7 @@ def test_reference_scale_quality(tmp_path_factory):
     # keep sections other harnesses own (at_scale: benchmarks/at_scale_quality.py)
     existing = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
     preserved = {k: v for k, v in existing.items() if k in ("at_scale",)}
-    ARTIFACT.write_text(json.dumps({
+    content = {
         "config": {"n_genotypes": 20, "n_barcodes": 1000, "n_reads_per_barcode": 100,
                    "doublets_fraction": 0.2, "mutation_prob": 0.01, "seed": 42},
         "losses_by_noise_fraction": {
@@ -241,7 +241,14 @@ def test_reference_scale_quality(tmp_path_factory):
                     "family; the contract below is asserted on both",
         },
         **preserved,
-    }, indent=1) + "\n")
+    }
+    # the commit stamp (bench.py --quality) survives byte-stable reruns —
+    # the provenance claim only drops when the recorded numbers CHANGED
+    if "generated" in existing and {
+        k: v for k, v in existing.items() if k != "generated"
+    } == content:
+        content["generated"] = existing["generated"]
+    ARTIFACT.write_text(json.dumps(content, indent=1) + "\n")
 
     # in the mid-noise regime EM must actually help, and anchoring must not
     # hurt where the stock update already converges
