@@ -163,13 +163,18 @@ def main(argv=None):
         demux_mod.STAGE_TIMINGS = None
         # headline warm number measured WITHOUT the stage hook: the hook's
         # scalar-readback syncs and forced upload flush serialize host/device
-        # overlap and each costs a tunnel round trip (ADVICE r4 #1)
-        _stage("EM learn_genotypes (warm, uninstrumented headline)")
-        t0 = time.perf_counter()
-        _learnt, probs_em = Demultiplexer.learn_genotypes(
-            calls, genotypes, barcode_handler=handler, n_iterations=em_iterations
-        )
-        stages["learn_genotypes_warm_s"] = round(time.perf_counter() - t0, 2)
+        # overlap and each costs a tunnel round trip (ADVICE r4 #1).
+        # min-of-2: the same shared-pool discipline every other timing in
+        # this repo uses (the tunnel's throughput swings run to run)
+        _stage("EM learn_genotypes (warm, uninstrumented headline, min of 2)")
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _learnt, probs_em = Demultiplexer.learn_genotypes(
+                calls, genotypes, barcode_handler=handler, n_iterations=em_iterations
+            )
+            times.append(time.perf_counter() - t0)
+        stages["learn_genotypes_warm_s"] = round(min(times), 2)
 
         # --- stage 4: posterior inference (doublet-aware) -------------------
         _stage("predict_posteriors (cold)")
@@ -190,12 +195,15 @@ def main(argv=None):
         )
         predict_detail = demux_mod.STAGE_TIMINGS
         demux_mod.STAGE_TIMINGS = None
-        _stage("predict_posteriors (warm, uninstrumented headline)")
-        t0 = time.perf_counter()
-        _lg, probs = Demultiplexer.predict_posteriors(
-            calls, genotypes, barcode_handler=handler, doublet_prior=0.35
-        )
-        stages["predict_posteriors_warm_s"] = round(time.perf_counter() - t0, 2)
+        _stage("predict_posteriors (warm, uninstrumented headline, min of 2)")
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _lg, probs = Demultiplexer.predict_posteriors(
+                calls, genotypes, barcode_handler=handler, doublet_prior=0.35
+            )
+            times.append(time.perf_counter() - t0)
+        stages["predict_posteriors_warm_s"] = round(min(times), 2)
 
         # --- pack-once engine flow (the recommended product usage) ---------
         # PackedCalls shares the join/collapse/tiling/upload between the EM
@@ -211,9 +219,23 @@ def main(argv=None):
         lg_e, _probs_e = Demultiplexer.predict_posteriors(
             packed, genotypes, barcode_handler=handler, doublet_prior=0.35
         )
-        stages["engine_flow_warm_s"] = round(time.perf_counter() - t0, 2)
+        engine_first = time.perf_counter() - t0
         engine_detail = demux_mod.STAGE_TIMINGS
         demux_mod.STAGE_TIMINGS = None
+        # second pass measures the flow a long-lived engine actually pays
+        # (fresh PackedCalls, but layouts/jits warm); headline = min of 2,
+        # uninstrumented, matching the per-call headlines above
+        t0 = time.perf_counter()
+        packed = Demultiplexer.pack_dataset(calls, genotypes)
+        _learnt_e, _probs_em_e = Demultiplexer.learn_genotypes(
+            packed, genotypes, barcode_handler=handler, n_iterations=em_iterations
+        )
+        lg_e, _probs_e = Demultiplexer.predict_posteriors(
+            packed, genotypes, barcode_handler=handler, doublet_prior=0.35
+        )
+        stages["engine_flow_warm_s"] = round(
+            min(engine_first, time.perf_counter() - t0), 2
+        )
         engine_matches = bool(
             np.allclose(lg_e.values, _lg.values, rtol=1e-6, atol=1e-6)
         )
