@@ -682,4 +682,4 @@ def test_packed_calls_pallas_path(tmp_path):
         np.testing.assert_array_equal(lg_c.values, lg_p.values)
     finally:
         Demultiplexer.use_pallas = prev_use_pallas
-        del os.environ["DEMUX_HOST_SOFTMAX"]
+        os.environ["DEMUX_HOST_SOFTMAX"] = "0"  # conftest default

@@ -330,7 +330,7 @@ def test_stage_timings_hook(synthetic_data):
         learn_detail = demux_mod.STAGE_TIMINGS
     finally:
         demux_mod.STAGE_TIMINGS = None
-        del os.environ["DEMUX_HOST_SOFTMAX"]
+        os.environ["DEMUX_HOST_SOFTMAX"] = "0"  # conftest default
 
     np.testing.assert_array_equal(probs_plain.values, probs_timed.values)
     for key in ("pack_s", "forward_s", "materialize_s", "d2h_logits_s",
@@ -416,7 +416,7 @@ def test_packed_calls_reuse(synthetic_data, tmp_path):
                 packed, changed, barcode_handler=handler
             )
     finally:
-        del os.environ["DEMUX_HOST_SOFTMAX"]
+        os.environ["DEMUX_HOST_SOFTMAX"] = "0"  # conftest default
 
 
 def test_predict_posteriors_compact(synthetic_data):
