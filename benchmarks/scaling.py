@@ -360,6 +360,7 @@ def _measure_2proc_track(repeats: int):
     here = Path(__file__).resolve().parent
 
     best_2proc = None
+    sweep_min = None  # per-payload minima accumulate across ALL repeats
     for _ in range(repeats):
         out = subprocess.run(
             [sys.executable, str(here / "scaling_2proc.py")],
@@ -368,12 +369,16 @@ def _measure_2proc_track(repeats: int):
         if out.returncode != 0:
             raise RuntimeError(f"scaling_2proc failed:\n{out.stderr[-1000:]}")
         r = json.loads(out.stdout.strip().splitlines()[-1])
+        if "psum_sweep" in r:
+            if sweep_min is None:
+                sweep_min = [dict(p) for p in r["psum_sweep"]]
+            else:
+                for old, new in zip(sweep_min, r["psum_sweep"]):
+                    old["psum_s"] = min(old["psum_s"], new["psum_s"])
         if best_2proc is None or r["em_iteration_s"] < best_2proc["em_iteration_s"]:
             best_2proc = r
-        elif "psum_sweep" in r:
-            # keep the fastest sweep point-by-point (min-of-repeats)
-            for old, new in zip(best_2proc["psum_sweep"], r["psum_sweep"]):
-                old["psum_s"] = min(old["psum_s"], new["psum_s"])
+    if sweep_min is not None:
+        best_2proc["psum_sweep"] = sweep_min
 
     # the twin: same total barcodes (65536) and the same 8-device mesh, one
     # process — isolates what crossing the process boundary costs

@@ -61,11 +61,12 @@ def try_count_snps_native(
         list(bamfile_location.values())
         if isinstance(bamfile_location, dict) else [bamfile_location]
     )
-    kinds = {sniff_format(str(p)) for p in paths}
+    kind_by_path = {str(p): sniff_format(str(p)) for p in paths}
+    kinds = set(kind_by_path.values())
     if "cram" in kinds:
         from ..bamio.sam import CRAM_UNSUPPORTED_MESSAGE
 
-        bad = next(p for p in paths if sniff_format(str(p)) == "cram")
+        bad = next(p for p, k in kind_by_path.items() if k == "cram")
         raise ValueError(CRAM_UNSUPPORTED_MESSAGE.format(path=bad))
     if kinds != {"bam"}:
         if required:

@@ -380,12 +380,26 @@ class CompactPosteriors:
         return self.top_index[:, 0]
 
     @property
+    def k(self) -> int:
+        return self.top_index.shape[1]
+
+    @property
     def runner_up(self) -> np.ndarray:
+        if self.k < 2:
+            raise ValueError(
+                "no runner-up recorded: the result holds top-1 only "
+                "(k=1, or a single pseudogenotype column)"
+            )
         return self.top_index[:, 1]
 
     @property
     def margin(self) -> np.ndarray:
         """Top-1 minus top-2 logit (f32, exact)."""
+        if self.k < 2:
+            raise ValueError(
+                "no margin available: the result holds top-1 only "
+                "(k=1, or a single pseudogenotype column)"
+            )
         return self.top_logits[:, 0] - self.top_logits[:, 1]
 
     @property
@@ -401,16 +415,16 @@ class CompactPosteriors:
         return [self.column_names[i] for i in self.top_index[:, 0]]
 
     def to_dataframe(self) -> pd.DataFrame:
-        """Compact per-barcode summary frame (BARCODE-indexed)."""
-        df = pd.DataFrame(
-            {
-                "assignment": self.assignment_names,
-                "runner_up": [self.column_names[i] for i in self.runner_up],
-                "logit_margin": self.margin,
-                "posterior": self.top_probs[:, 0],
-            },
-            index=list(self.barcodes),
-        )
+        """Compact per-barcode summary frame (BARCODE-indexed).
+
+        The runner-up/margin columns are present only when k >= 2.
+        """
+        columns = {"assignment": self.assignment_names}
+        if self.k >= 2:
+            columns["runner_up"] = [self.column_names[i] for i in self.runner_up]
+            columns["logit_margin"] = self.margin
+        columns["posterior"] = self.top_probs[:, 0]
+        df = pd.DataFrame(columns, index=list(self.barcodes))
         df.index.name = "BARCODE"
         return df
 

@@ -81,7 +81,11 @@ class Arena {
       size_t newcap = bytes + bytes / 8;
       buf_ = alloc_nohuge<char>(newcap);
       // pre-fault in parallel once; later calls reuse the warm pages
-      const int n_threads = pick_threads((int64_t)newcap / 4096);
+      // (~64 MB of fresh pages per thread; pick_threads' 1M divisor is
+      // element-count oriented and would stay single-threaded here)
+      const int hw = (int)std::thread::hardware_concurrency();
+      const int n_threads = std::max(
+          1, std::min<int>(hw ? hw : 1, (int)(newcap / (64u << 20)) + 1));
       char* p = buf_.get();
       const size_t block = (newcap + n_threads - 1) / n_threads;
       run_threaded(n_threads, [&](int t) {
@@ -582,8 +586,7 @@ void demux_tile_scatter(const int32_t* cb, const int32_t* vid, const float* q,
   if (n <= 0) return;
   const int32_t G = tc >= 128 ? tc / 128 : 1;
   const int32_t GPC = tc / G;
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   std::vector<int64_t> range_lo(n_threads + 1);
   range_lo[0] = 0;
   range_lo[n_threads] = n;
@@ -631,8 +634,7 @@ void demux_band_counts(const int32_t* cb, const int32_t* vid, int64_t n,
                        const int32_t* band_lut, int64_t nb, int32_t n_bands,
                        int64_t* out) {
   if (n <= 0) return;
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   std::vector<int64_t> range_lo(n_threads + 1);
   range_lo[0] = 0;
   range_lo[n_threads] = n;
@@ -675,8 +677,7 @@ void demux_tile_scatter_banded(
   if (n <= 0) return;
   const int32_t G = tc >= 128 ? tc / 128 : 1;
   const int32_t GPC = tc / G;
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   std::vector<int64_t> range_lo(n_threads + 1);
   range_lo[0] = 0;
   range_lo[n_threads] = n;
@@ -722,8 +723,7 @@ void demux_gather3(const int64_t* order, int64_t n, const int32_t* a,
                    const int32_t* b, const float* c, int32_t* out_a,
                    int32_t* out_b, float* out_c) {
   if (n <= 0) return;
-  const int hw = (int)std::thread::hardware_concurrency();
-  const int n_threads = std::max(1, std::min<int>(hw ? hw : 1, (int)(n / 1'000'000)));
+  const int n_threads = pick_threads(n);
   const int64_t block = (n + n_threads - 1) / n_threads;
   auto gather_fn = [&](int t) {
     const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);

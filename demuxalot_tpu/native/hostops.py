@@ -174,6 +174,10 @@ def collapse_calls_keyed(vid: np.ndarray, cb: np.ndarray, p: np.ndarray,
         lib is not None and n >= 65_536
         and (n == 0 or (int(vid.min()) >= 0 and int(cb.min()) >= 0))
         and (len(lut) == 0 or int(lut.min()) >= 0)
+        # the C++ reads lut[vid] unchecked; a caller sizing bug must hit
+        # the numpy path's IndexError, not corrupt memory (same guard as
+        # band_counts)
+        and (n == 0 or int(vid.max()) < len(lut))
     )
     if native_ok:
         out_vid = np.empty(n, np.int32)

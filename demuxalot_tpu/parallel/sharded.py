@@ -524,7 +524,8 @@ class ShardedDemultiplexer:
                 entry["pallas_bounds"], entry["pallas_suboff"],
             )
         else:
-            fn_key = ("xla", n_snps, float(p_genotype_clip), max_per_snp)
+            fn_key = ("xla", n_snps, float(p_genotype_clip), max_per_snp,
+                      int(self.call_chunk))
             estep = entry["estep_fns"].get(fn_key)
             if estep is None:
                 estep = jax.jit(
@@ -559,7 +560,8 @@ class ShardedDemultiplexer:
                 entry_m["mstep_bounds"], entry_m["mstep_suboff"],
             )
         else:
-            fn_key = ("xla", n_variants, n_genotypes, float(self.contribution_power))
+            fn_key = ("xla", n_variants, n_genotypes,
+                      float(self.contribution_power), int(self.call_chunk))
             mstep = entry_m["mstep_fns"].get(fn_key)
             if mstep is None:
                 mstep = jax.jit(

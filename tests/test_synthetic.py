@@ -481,3 +481,24 @@ def test_predict_posteriors_compact(synthetic_data):
     assert compact.logits_dataframe().shape == logits_df.shape
     with pytest.raises(ValueError, match="include_logits"):
         compact_small.logits_dataframe()
+
+
+def test_predict_posteriors_compact_k1(synthetic_data):
+    """k=1 results have no runner-up: clean errors, trimmed dataframe."""
+    _filename, genotypes, _truth, handler, calls = synthetic_data
+    packed = Demultiplexer.pack_dataset(calls, genotypes)
+    compact = Demultiplexer.predict_posteriors_compact(
+        packed, genotypes, barcode_handler=handler, doublet_prior=0.0, k=1
+    )
+    logits_df, _ = Demultiplexer.predict_posteriors(
+        packed, genotypes, barcode_handler=handler, doublet_prior=0.0
+    )
+    np.testing.assert_array_equal(
+        compact.assignment, logits_df.values.argmax(axis=1)
+    )
+    df = compact.to_dataframe()
+    assert list(df.columns) == ["assignment", "posterior"]
+    with pytest.raises(ValueError, match="runner-up"):
+        compact.runner_up
+    with pytest.raises(ValueError, match="margin"):
+        compact.margin
