@@ -444,6 +444,54 @@ class CompactPosteriors:
         return df
 
 
+def ensure_packed(chromosome2compressed_snp_calls, genotypes) -> "PackedCalls":
+    """Route any calls input through one PackedCalls (transient for dicts).
+
+    The single packing/layout code path both engines share: pack-once
+    datasets pass through untouched, raw per-chromosome call dicts get a
+    transient pack — bit-identical results either way (pinned by tests).
+    """
+    if isinstance(chromosome2compressed_snp_calls, PackedCalls):
+        return chromosome2compressed_snp_calls
+    return PackedCalls(chromosome2compressed_snp_calls, genotypes)
+
+
+def _validate_topk(k, n_columns: int) -> int:
+    """Clamp k into [1, n_columns]; reject non-positive requests early."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return int(min(int(k), n_columns))
+
+
+def _build_compact_result(
+    column_names, barcodes, top_logits_full, top_index_full, logsumexp_full,
+    logits_bf16_full, n_barcodes: int, timings: Optional[dict],
+) -> "CompactPosteriors":
+    """Host-side CompactPosteriors assembly shared by both engines.
+
+    The ``*_full`` arrays are the as-transferred host arrays — possibly
+    padded past ``n_barcodes`` on sharded meshes — so ``bytes_moved``
+    counts the actual link traffic; rows are sliced to the real barcodes.
+    """
+    bytes_moved = int(
+        top_logits_full.nbytes + top_index_full.nbytes + logsumexp_full.nbytes
+        + (logits_bf16_full.nbytes if logits_bf16_full is not None else 0)
+    )
+    if timings is not None:
+        timings["d2h_compact_bytes"] = bytes_moved
+    return CompactPosteriors(
+        column_names=list(column_names),
+        barcodes=list(barcodes),
+        top_index=top_index_full[:n_barcodes],
+        top_logits=top_logits_full[:n_barcodes],
+        logsumexp=logsumexp_full[:n_barcodes],
+        logits_bf16=(
+            logits_bf16_full[:n_barcodes] if logits_bf16_full is not None else None
+        ),
+        bytes_moved=bytes_moved,
+    )
+
+
 def auto_damping_select(learn_with, n_genotypes: int):
     """Shared damping="auto" selector (single-device and sharded engines).
 
@@ -760,11 +808,7 @@ class _EMRun:
         # every flow routes through one PackedCalls (a transient one for raw
         # call dicts): a single packing/layout code path, so the pack-once
         # engine is bit-identical to the per-call entry points by construction
-        packed = (
-            chromosome2compressed_snp_calls
-            if isinstance(chromosome2compressed_snp_calls, PackedCalls)
-            else PackedCalls(chromosome2compressed_snp_calls, genotypes)
-        )
+        packed = ensure_packed(chromosome2compressed_snp_calls, genotypes)
         variant2snp = packed.variant2snp
         prior_betas = packed.betas_for(genotypes, add_data_prior=True)
         molecule_calls = packed.molecule_calls
@@ -1103,10 +1147,9 @@ class Demultiplexer:
             barcode_prior_logits=barcode_prior_logits,
         )
         # the plain and anchored runs share every layout and upload: pack once
-        if not isinstance(chromosome2compressed_snp_calls, PackedCalls):
-            chromosome2compressed_snp_calls = PackedCalls(
-                chromosome2compressed_snp_calls, genotypes
-            )
+        chromosome2compressed_snp_calls = ensure_packed(
+            chromosome2compressed_snp_calls, genotypes
+        )
 
         def learn_with(damping):
             return Demultiplexer.learn_genotypes(
@@ -1212,34 +1255,21 @@ class Demultiplexer:
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
             p_genotype_clip, doublet_prior, timings,
         )
-        k = int(min(k, len(column_names)))
+        k = _validate_topk(k, len(column_names))
         top_vals_dev, top_idx_dev, lse_dev = _compact_topk(logits_dev, k=k)
         logits_bf16_dev = (
             logits_dev.astype(jnp.bfloat16) if include_logits else None
         )
         t_mark = time.perf_counter()
-        top_logits = np.asarray(top_vals_dev)
-        top_index = np.asarray(top_idx_dev)
-        logsumexp = np.asarray(lse_dev)
-        logits_bf16 = (
-            np.asarray(logits_bf16_dev) if logits_bf16_dev is not None else None
+        result = _build_compact_result(
+            column_names, barcode_handler.ordered_barcodes,
+            np.asarray(top_vals_dev), np.asarray(top_idx_dev),
+            np.asarray(lse_dev),
+            np.asarray(logits_bf16_dev) if logits_bf16_dev is not None else None,
+            barcode_handler.n_barcodes, timings,
         )
-        bytes_moved = int(
-            top_logits.nbytes + top_index.nbytes + logsumexp.nbytes
-            + (logits_bf16.nbytes if logits_bf16 is not None else 0)
-        )
-        if timings is not None:
-            timings["d2h_compact_bytes"] = bytes_moved
         _stage_mark(timings, "materialize_s", t_mark)
-        return CompactPosteriors(
-            column_names=list(column_names),
-            barcodes=list(barcode_handler.ordered_barcodes),
-            top_index=top_index,
-            top_logits=top_logits,
-            logsumexp=logsumexp,
-            logits_bf16=logits_bf16,
-            bytes_moved=bytes_moved,
-        )
+        return result
 
     @staticmethod
     def _predict_logits_dev(
@@ -1257,11 +1287,7 @@ class Demultiplexer:
         t_mark = time.perf_counter()
         # single packing/layout path: raw call dicts get a transient
         # PackedCalls (see _EMRun — bit-identity with the pack-once engine)
-        packed = (
-            chromosome2compressed_snp_calls
-            if isinstance(chromosome2compressed_snp_calls, PackedCalls)
-            else PackedCalls(chromosome2compressed_snp_calls, genotypes)
-        )
+        packed = ensure_packed(chromosome2compressed_snp_calls, genotypes)
         variant2snp = packed.variant2snp
         prior_betas = packed.betas_for(genotypes, add_data_prior=False)
         molecule_calls = packed.molecule_calls

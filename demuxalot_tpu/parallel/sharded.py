@@ -35,9 +35,11 @@ from .mesh import (
 )
 
 
-def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk, max_per_snp=0):
+def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk,
+                 max_per_snp=0, with_probs=True):
     rep = PSpec()
     shd = PSpec(BARCODE_AXIS)
+    out_row = PSpec(BARCODE_AXIS, None)
 
     def estep(betas, addition, variant2snp, mixing, penalties, vid_b, cb_b, q_b):
         # prior + learnt addition fused into the one jitted program (the
@@ -50,32 +52,36 @@ def _build_estep(mesh, n_snps, n_local_barcodes, p_genotype_clip, call_chunk, ma
             genotype_prob, mixing, penalties, vid_b, cb_b, q_b,
             n_local_barcodes, call_chunk=call_chunk,
         )
+        if not with_probs:
+            return logits
         return logits, jax.nn.softmax(logits, axis=-1)
 
     return shard_map(
         estep,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, shd, shd, shd),
-        out_specs=(PSpec(BARCODE_AXIS, None), PSpec(BARCODE_AXIS, None)),
+        out_specs=(out_row, out_row) if with_probs else out_row,
         check_vma=False,  # chunked-scan carries mix varying/replicated values
     )
 
 
 def _build_estep_pallas(
     mesh, n_snps, p_genotype_clip, sharded_tiled, pg, max_per_snp=0,
-    donor_major=False,
+    donor_major=False, with_probs=True,
 ):
     """E-step with the fused Pallas kernel running per shard.
 
     ``donor_major=True`` takes betas/addition as [D, V] — the orientation
     the M-step kernel natively emits — so the EM loop runs transpose-free
     (parity with the single-device engine's donor-major state,
-    models/demux.py).
+    models/demux.py). ``with_probs=False`` skips the device softmax for
+    consumers that only need logits (the compact top-k path).
     """
     from ..ops.pallas_likelihood import tiled_logits_impl
 
     rep = PSpec()
     shd = PSpec(BARCODE_AXIS)
+    out_row = PSpec(BARCODE_AXIS, None)
     st = sharded_tiled
     interpret = jax.default_backend() != "tpu"
 
@@ -99,13 +105,15 @@ def _build_estep_pallas(
             donor_major=donor_major,
         )
         logits = out[: st.n_barcodes_per_shard, :pg]
+        if not with_probs:
+            return logits
         return logits, jax.nn.softmax(logits, axis=-1)
 
     return shard_map(
         estep,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, shd, shd, shd, shd, shd),
-        out_specs=(PSpec(BARCODE_AXIS, None), PSpec(BARCODE_AXIS, None)),
+        out_specs=(out_row, out_row) if with_probs else out_row,
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
 
@@ -226,11 +234,9 @@ class ShardedDemultiplexer:
         shares the host join/collapse AND the shard layout cache whenever
         the caller passes a pack-once dataset.
         """
-        from ..models.demux import PackedCalls
+        from ..models.demux import ensure_packed
 
-        if isinstance(chromosome2compressed_snp_calls, PackedCalls):
-            return chromosome2compressed_snp_calls
-        return PackedCalls(chromosome2compressed_snp_calls, genotypes)
+        return ensure_packed(chromosome2compressed_snp_calls, genotypes)
 
     def _resolve_use_pallas(self) -> bool:
         flag = self.use_pallas
@@ -489,7 +495,7 @@ class ShardedDemultiplexer:
         return [put_global(np.asarray(x), rep) for x in xs]
 
     def _make_estep(self, entry, mixing, penalties, n_snps, p_genotype_clip,
-                    max_per_snp=0, donor_major=False):
+                    max_per_snp=0, donor_major=False, with_probs=True):
         """Jitted E-step + its trailing args for one (mixing, penalties) use.
 
         The returned callable takes ``(betas, addition, variant2snp, *args)``
@@ -504,13 +510,14 @@ class ShardedDemultiplexer:
             from ..ops.pallas_likelihood import build_mixing_sl, padded_pg
 
             fn_key = ("pallas", n_snps, float(p_genotype_clip), pg,
-                      max_per_snp, donor_major)
+                      max_per_snp, donor_major, with_probs)
             estep = entry["estep_fns"].get(fn_key)
             if estep is None:
                 estep = jax.jit(
                     _build_estep_pallas(
                         self.mesh, n_snps, p_genotype_clip, tiled, pg,
                         max_per_snp=max_per_snp, donor_major=donor_major,
+                        with_probs=with_probs,
                     )
                 )
                 entry["estep_fns"][fn_key] = estep
@@ -525,13 +532,14 @@ class ShardedDemultiplexer:
             )
         else:
             fn_key = ("xla", n_snps, float(p_genotype_clip), max_per_snp,
-                      int(self.call_chunk))
+                      int(self.call_chunk), with_probs)
             estep = entry["estep_fns"].get(fn_key)
             if estep is None:
                 estep = jax.jit(
                     _build_estep(
                         self.mesh, n_snps, entry["device"].n_barcodes_per_shard,
                         p_genotype_clip, self.call_chunk, max_per_snp=max_per_snp,
+                        with_probs=with_probs,
                     )
                 )
                 entry["estep_fns"][fn_key] = estep
@@ -577,9 +585,13 @@ class ShardedDemultiplexer:
     # -- public API --------------------------------------------------------
     def _forward_sharded(
         self, chromosome2compressed_snp_calls, genotypes, barcode_handler,
-        p_genotype_clip, doublet_prior, timings,
+        p_genotype_clip, doublet_prior, timings, want_probs=True,
     ):
-        """Device (logits, probs) [padded_B, pg] + column names (shared forward)."""
+        """Device (logits, probs-or-None) [padded_B, pg] + column names.
+
+        ``want_probs=False`` builds the logits-only step program (no device
+        softmax) for consumers like the compact top-k path.
+        """
         from ..models import demux as _dm
 
         t_mark = time.perf_counter()
@@ -608,14 +620,15 @@ class ShardedDemultiplexer:
         )
         estep, estep_args = self._make_estep(
             entry_e, mixing, penalties, n_snps, p_genotype_clip,
-            max_per_snp=reindex.windowed_max_per_snp,
+            max_per_snp=reindex.windowed_max_per_snp, with_probs=want_probs,
         )
         t_mark = _dm._stage_mark(timings, "layout_s", t_mark)
         if timings is not None:
             timings["h2d_bytes"] = _dm._flush_device([betas_r, v2s_r, *estep_args])
             t_mark = _dm._stage_mark(timings, "upload_flush_s", t_mark)
 
-        logits, probs = estep(betas_r, zero_r, v2s_r, *estep_args)
+        out = estep(betas_r, zero_r, v2s_r, *estep_args)
+        logits, probs = out if want_probs else (out, None)
         if timings is not None:
             _dm._flush_device([logits])
         _dm._stage_mark(timings, "forward_s", t_mark)
@@ -645,10 +658,15 @@ class ShardedDemultiplexer:
             logits_np, probs_np = _dm._materialize_logits_and_probs(logits, probs)
             logits, probs = logits_np[:n_barcodes], probs_np[:n_barcodes]
         else:
-            logits = to_host(logits)[:n_barcodes]
-            probs = to_host(probs)[:n_barcodes]
+            logits_full = to_host(logits)
+            probs_full = to_host(probs)
             if timings is not None:
-                timings["d2h_logits_bytes"] = int(logits.nbytes + probs.nbytes)
+                # padded-frame bytes, split per frame (matches the
+                # single-device d2h_logits_bytes / d2h_probs_bytes keys)
+                timings["d2h_logits_bytes"] = int(logits_full.nbytes)
+                timings["d2h_probs_bytes"] = int(probs_full.nbytes)
+            logits = logits_full[:n_barcodes]
+            probs = probs_full[:n_barcodes]
         _dm._stage_mark(timings, "materialize_s", t_mark)
 
         logits_df = pd.DataFrame(logits, index=list(barcode_handler.ordered_barcodes), columns=column_names)
@@ -675,42 +693,27 @@ class ShardedDemultiplexer:
         per-host d2h drops from 4*n_pg to ~(8k+4) bytes per barcode — the
         difference between seconds and minutes of DCN per posterior frame.
         """
-        import jax.numpy as jnp
-
         from ..models import demux as _dm
 
         timings = _dm.STAGE_TIMINGS
-        logits, _probs, column_names = self._forward_sharded(
+        logits, _none, column_names = self._forward_sharded(
             chromosome2compressed_snp_calls, genotypes, barcode_handler,
-            p_genotype_clip, doublet_prior, timings,
+            p_genotype_clip, doublet_prior, timings, want_probs=False,
         )
         n_barcodes = barcode_handler.n_barcodes
-        k = int(min(k, len(column_names)))
+        k = _dm._validate_topk(k, len(column_names))
         top_vals, top_idx, lse = _dm._compact_topk(logits, k=k)
         t_mark = time.perf_counter()
-        top_logits = to_host(top_vals)[:n_barcodes]
-        top_index = to_host(top_idx)[:n_barcodes]
-        logsumexp = to_host(lse)[:n_barcodes]
-        logits_bf16 = (
-            to_host(logits.astype(jnp.bfloat16))[:n_barcodes]
-            if include_logits else None
+        # *_full arrays keep the shard-padded rows: bytes_moved must count
+        # the actual transfer; _build_compact_result slices to n_barcodes
+        result = _dm._build_compact_result(
+            column_names, barcode_handler.ordered_barcodes,
+            to_host(top_vals), to_host(top_idx), to_host(lse),
+            to_host(logits.astype(jnp.bfloat16)) if include_logits else None,
+            n_barcodes, timings,
         )
-        bytes_moved = int(
-            top_logits.nbytes + top_index.nbytes + logsumexp.nbytes
-            + (logits_bf16.nbytes if logits_bf16 is not None else 0)
-        )
-        if timings is not None:
-            timings["d2h_compact_bytes"] = bytes_moved
         _dm._stage_mark(timings, "materialize_s", t_mark)
-        return _dm.CompactPosteriors(
-            column_names=list(column_names),
-            barcodes=list(barcode_handler.ordered_barcodes),
-            top_index=top_index,
-            top_logits=top_logits,
-            logsumexp=logsumexp,
-            logits_bf16=logits_bf16,
-            bytes_moved=bytes_moved,
-        )
+        return result
 
     def staged_genotype_learning(
         self,

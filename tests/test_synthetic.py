@@ -502,3 +502,14 @@ def test_predict_posteriors_compact_k1(synthetic_data):
         compact.runner_up
     with pytest.raises(ValueError, match="margin"):
         compact.margin
+
+
+def test_predict_posteriors_compact_rejects_bad_k(synthetic_data):
+    """Non-positive k fails fast with a clear error, before any forward."""
+    _filename, genotypes, _truth, handler, calls = synthetic_data
+    packed = Demultiplexer.pack_dataset(calls, genotypes)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            Demultiplexer.predict_posteriors_compact(
+                packed, genotypes, barcode_handler=handler, k=bad
+            )
