@@ -59,7 +59,7 @@ def load_host_library() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, f32p, f32p,
     ]
     lib.demux_collapse_calls.restype = ctypes.c_int64

@@ -16,6 +16,7 @@
 // (no external dependencies; see native/__init__.py for the on-demand build)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <memory>
@@ -135,8 +136,21 @@ RadixBufs radix_pairs(uint64_t* cur_keys, uint64_t* cur_pay,
                       uint64_t* nxt_keys, uint64_t* nxt_pay, int64_t n) {
   constexpr int kDigitBits = 11;
   constexpr int kBuckets = 1 << kDigitBits;
+  // occupied-bits scan threaded like every other full-array sweep here
+  // (at 22M keys the serial version was one extra ~176 MB memory pass)
   uint64_t or_all = 0;
-  for (int64_t i = 0; i < n; i++) or_all |= cur_keys[i];
+  {
+    const int nt = pick_threads(n);
+    const int64_t blk = (n + nt - 1) / nt;
+    std::vector<uint64_t> partial(nt, 0);
+    run_threaded(nt, [&](int t) {
+      uint64_t acc = 0;
+      const int64_t lo = t * blk, hi = std::min<int64_t>(n, lo + blk);
+      for (int64_t i = lo; i < hi; i++) acc |= cur_keys[i];
+      partial[t] = acc;
+    });
+    for (uint64_t v : partial) or_all |= v;
+  }
   int top_bit = 0;
   while (top_bit < 64 && (or_all >> top_bit)) top_bit++;  // bits actually used
   // (the < 64 guard keeps a stray sign bit from shifting by >= 64 — UB that
@@ -264,7 +278,7 @@ int64_t demux_match_compact_strided(
     const char* call_rec, int64_t call_stride,
     int64_t off_pos, int64_t off_base, int64_t off_pwrong, int64_t off_mol,
     const char* mol_rec, int64_t mol_stride, int64_t off_cb, int64_t off_mp,
-    int64_t n,
+    int64_t n_mol, int64_t n,
     int32_t* out_vid, int32_t* out_cb, int32_t* out_mol,
     float* out_p, float* out_pmol) {
   if (n <= 0) return 0;
@@ -307,6 +321,10 @@ int64_t demux_match_compact_strided(
   const int n_threads = pick_threads(n);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::vector<int64_t> matched(n_threads + 1, 0);
+  // a molecule_index outside [0, n_mol) is a caller bug: report it (the
+  // wrapper raises like the numpy path's IndexError) instead of an
+  // unchecked strided read
+  std::atomic<int> bad_index{0};
   run_threaded(n_threads, [&](int t) {
     const int64_t lo = t * block, hi = std::min<int64_t>(n, lo + block);
     int64_t out = lo;
@@ -318,6 +336,10 @@ int64_t demux_match_compact_strided(
       while (slot_key[h] != 0) {
         if (slot_key[h] == k) {
           int32_t mi = ld_i32(cr + off_mol);
+          if ((uint64_t)mi >= (uint64_t)n_mol) {
+            bad_index.store(1, std::memory_order_relaxed);
+            break;
+          }
           const char* mr = mol_rec + (int64_t)mi * mol_stride;
           s_vid[out] = (int32_t)slot_val[h];
           s_cb[out] = ld_i32(mr + off_cb);
@@ -332,6 +354,7 @@ int64_t demux_match_compact_strided(
     }
     matched[t + 1] = out - lo;
   });
+  if (bad_index.load(std::memory_order_relaxed)) return -1;
   for (int t = 0; t < n_threads; t++) matched[t + 1] += matched[t];
   run_threaded(n_threads, [&](int t) {
     const int64_t lo = t * block;
@@ -615,13 +638,7 @@ void demux_tile_scatter(const int32_t* cb, const int32_t* vid, const float* q,
       out_seg[c * GPC + iin / G] = b - (int32_t)(tile * tb);
     }
   };
-  if (n_threads == 1) {
-    scatter_fn(0);
-  } else {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(scatter_fn, t);
-    for (auto& th : ts) th.join();
-  }
+  run_threaded(n_threads, scatter_fn);
 }
 
 // Per-(band, barcode) call counts for the banded tiled layout
@@ -648,13 +665,7 @@ void demux_band_counts(const int32_t* cb, const int32_t* vid, int64_t n,
     for (int64_t i = range_lo[t]; i < range_lo[t + 1]; i++)
       out[(int64_t)band_lut[vid[i]] * nb + cb[i]]++;
   };
-  if (n_threads == 1) {
-    count_fn(0);
-  } else {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(count_fn, t);
-    for (auto& th : ts) th.join();
-  }
+  run_threaded(n_threads, count_fn);
 }
 
 // Fused banded slot scatter: the whole band-major tiled layout
@@ -707,13 +718,7 @@ void demux_tile_scatter_banded(
       out_seg[c * GPC + iin / G] = b - (int32_t)(tile * tb);
     }
   };
-  if (n_threads == 1) {
-    scatter_fn(0);
-  } else {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(scatter_fn, t);
-    for (auto& th : ts) th.join();
-  }
+  run_threaded(n_threads, scatter_fn);
 }
 
 // Threaded permutation gather of the three call columns by a sort order —
@@ -734,13 +739,7 @@ void demux_gather3(const int64_t* order, int64_t n, const int32_t* a,
       out_c[i] = c[j];
     }
   };
-  if (n_threads == 1) {
-    gather_fn(0);
-  } else {
-    std::vector<std::thread> ts;
-    for (int t = 0; t < n_threads; t++) ts.emplace_back(gather_fn, t);
-    for (auto& th : ts) th.join();
-  }
+  run_threaded(n_threads, gather_fn);
 }
 
 }  // extern "C"

@@ -95,6 +95,16 @@ def match_compact(table_keys, table_vids, calls_rec, molecules_rec):
     table_vids = np.ascontiguousarray(table_vids, dtype=np.int64)
     cf = calls_rec.dtype.fields
     mf = molecules_rec.dtype.fields
+    # the C++ hard-codes 4-byte i32/f32 and 1-byte u8 reads at these field
+    # offsets; a drifted field dtype must route to the numpy path instead
+    # of silently misreading memory
+    expected = (
+        (cf, "snp_position", np.int32), (cf, "base_index", np.uint8),
+        (cf, "p_base_wrong", np.float32), (cf, "molecule_index", np.int32),
+        (mf, "compressed_cb", np.int32), (mf, "p_group_misaligned", np.float32),
+    )
+    if any(fields[name][0] != np.dtype(dt) for fields, name, dt in expected):
+        return None
     out_vid = np.empty(n, np.int32)
     out_cb = np.empty(n, np.int32)
     out_mol = np.empty(n, np.int32)
@@ -111,11 +121,18 @@ def match_compact(table_keys, table_vids, calls_rec, molecules_rec):
         cf["p_base_wrong"][1], cf["molecule_index"][1],
         ctypes.cast(molecules_rec.ctypes.data, cp), molecules_rec.dtype.itemsize,
         mf["compressed_cb"][1], mf["p_group_misaligned"][1],
-        n,
+        len(molecules_rec), n,
         out_vid.ctypes.data_as(i32p), out_cb.ctypes.data_as(i32p),
         out_mol.ctypes.data_as(i32p), out_p.ctypes.data_as(f32p),
         out_pmol.ctypes.data_as(f32p),
     )
+    if k < 0:
+        # the C++ found a molecule_index outside the molecules table —
+        # same caller bug the numpy path surfaces as an IndexError
+        raise IndexError(
+            "molecule_index out of range for the molecules table "
+            f"(n_molecules={len(molecules_rec)})"
+        )
     return _sliced(k, n, out_vid, out_cb, out_mol, out_p, out_pmol)
 
 

@@ -467,8 +467,9 @@ def device_pack_barcode_calls(
     q = barcode_calls["p_base_wrong"].astype(np.float32)
 
     if build_arrays and len(cb):
-        order_b = stable_argsort(cb)
-        cb, vid, q = cb[order_b], vid[order_b], q[order_b]
+        # fused native key sort carrying vid/q as payload (bit-identical to
+        # stable_argsort + three gathers, ~3x cheaper at product scale)
+        cb, vid, q = sort_calls_by_cb(cb, vid, q)
     return device_pack_columns(
         cb, vid, q, n_barcodes,
         n_shards=n_shards, pad_multiple=pad_multiple,
